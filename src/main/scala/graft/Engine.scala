@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.sinks.Sinks
+import graft.sources.Source
+
+/** The reference-shaped engine entry: `source URL → SQL → one output file`.
+  *
+  * Mirrors SQL2ALL's whole lifecycle (reference src/main.rs:24-31:
+  * parse args → `Database::from_str(url)` → `db.query(sql, output)`), with
+  * Spark supplying the relational algebra the reference delegates to its
+  * backend database (reference src/lib.rs:37-43) and the executor fleet
+  * supplying the parallelism the reference lacks (single connection + single
+  * writer task, src/db/mysql.rs:85-105).
+  */
+object Engine {
+
+  /** Run `sql` against the source identified by `sourceUrl` and return the
+    * (lazy) result. Catalyst parses/analyzes/optimizes; nothing is executed
+    * until an action or sink call.
+    */
+  def query(spark: SparkSession, sourceUrl: String, sql: String): DataFrame =
+    Source.fromUrl(sourceUrl).load(spark, sql)
+
+  /** Full export: query → extension-dispatched sink, one output file
+    * (reference parity: src/main.rs:17 expects a single named file).
+    */
+  def export(spark: SparkSession, sourceUrl: String, sql: String, output: String): Unit =
+    Sinks.writeSingleFile(query(spark, sourceUrl, sql), output)
+
+  /** Scale-path export: directory of part-files, fully parallel write. */
+  def exportDir(spark: SparkSession, sourceUrl: String, sql: String,
+      output: String, format: String): Unit =
+    Sinks.writeDir(query(spark, sourceUrl, sql), output, Sinks.fromPath("x." + format))
+}

@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorFunctions
+
+/** Deduplication operators for a training-data pipeline, on `documents`.
+  *
+  * Scale notes (the part that matters at 100 TB):
+  *  - exact/fingerprint dedup are single hash-shuffles on the dedup key —
+  *    the canonical distributed plan; the kept row is chosen by `min(doc_id)`
+  *    so the result is deterministic (a bare `dropDuplicates` keeps an
+  *    arbitrary row per key).
+  *  - pairwise-similarity dedup is O(n²) if done naively; the scale path is
+  *    MinHash-LSH: candidates come from banded signature buckets (equi-join,
+  *    shuffle on band key), with a bucket-size cap as skew control, and only
+  *    candidates pay the exact-Jaccard verification. The brute-force variant
+  *    is kept on a deterministic doc_id sample as the correctness oracle.
+  */
+object Dedup {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
+
+  private def tokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
+
+  /** Exact dedup: group on the full text, keep the lowest doc_id. */
+  def exact(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .groupBy("text")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keep_id")
+
+  /** Fingerprint dedup: md5 of whitespace-normalized lowercase text. The
+    * fingerprint, not the document, is the shuffle key — at 100 TB that is
+    * 16 bytes/row instead of the full text. */
+  def fingerprint(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"), md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("fp"))
+      .groupBy("fp")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keep_id")
+
+  /** Exact pairwise word-set Jaccard on a deterministic 10% doc_id sample
+    * (oracle for the LSH variant). Intersections come from a token-equi-join
+    * — cost Σ_w df(w)², which the sample bounds. Jaccard is a ratio of
+    * integer counts ⇒ bit-identical across engines.
+    */
+  def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").filter(col("doc_id") % 10 === 0)
+    val toks = tokens(docs).cache()
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = toks.as("a")
+      .join(toks.as("b"), col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("c"))
+    val sa = sizes.select(col("doc_id").as("id_a"), col("n").as("na"))
+    val sb = sizes.select(col("doc_id").as("id_b"), col("n").as("nb"))
+    inter.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("jaccard", col("c") / (col("na") + col("nb") - col("c")))
+      .filter(col("jaccard") >= 0.85)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
+  private val NumHashes = 16
+  private val BandSize = 4
+  private val NumBands = NumHashes / BandSize
+  /** Skew control: buckets larger than this are dropped from candidate
+    * generation (standard LSH practice — a bucket holding k docs contributes
+    * k² pairs; hot buckets are near-certainly stopword-like signatures). */
+  private val BucketCap = 50
+
+  /** MinHash signatures: h_i(doc) = min over tokens of xxhash64(i, token).
+    * One row per doc, NumHashes columns — built in a single groupBy. */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val toks = tokens(docs)
+    val aggs = (0 until NumHashes).map(i => min(xxhash64(lit(i), col("w"))).as(s"h$i"))
+    toks.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash-LSH near-dup pairs over the FULL table, exact-verified.
+    * Pipeline: signatures → band keys → bucket equi-join (capped) →
+    * candidate pairs → exact Jaccard filter ≥ 0.85. Output is a subset of
+    * the brute-force pairs (verified in DedupSpec); no SQL oracle since the
+    * hash family is engine-specific.
+    */
+  def minhashLsh(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val sigs = minhashSignatures(docs)
+    val bandCols = (0 until NumBands).map { b =>
+      val hs = (0 until BandSize).map(i => col(s"h${b * BandSize + i}"))
+      struct(lit(b).as("band"), xxhash64(hs: _*).as("sig"))
+    }
+    val bands = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+
+    val bucketSizes = bands.groupBy("band", "sig").agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= BucketCap)
+    val capped = bands.join(bucketSizes, Seq("band", "sig"))
+
+    val candidates = capped.as("x")
+      .join(capped.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+
+    verifiedJaccard(docs, candidates)
+      .filter(col("jaccard") >= 0.85)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Exact Jaccard for an explicit candidate-pair set (only candidates pay
+    * the token join). */
+  private def verifiedJaccard(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val toks = tokens(docs)
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val ta = toks.select(col("doc_id").as("id_a"), col("w"))
+    val tb = toks.select(col("doc_id").as("id_b"), col("w"))
+    val inter = pairs.join(ta, "id_a").join(tb, Seq("id_b", "w"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("c"))
+    val sa = sizes.select(col("doc_id").as("id_a"), col("n").as("na"))
+    val sb = sizes.select(col("doc_id").as("id_b"), col("n").as("nb"))
+    inter.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("jaccard", col("c") / (col("na") + col("nb") - col("c")))
+  }
+
+  /** 64-bit SimHash per document from token hashes: bit b of the signature
+    * is the sign of Σ_tokens (±1 from bit b of xxhash64(token)). Shaped as
+    * narrow (doc, bit) rows → two hash aggregations — no wide shuffle, scales
+    * linearly in corpus size. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val toks = tokens(docs)
+    val bits = toks.select(
+      col("doc_id"),
+      posexplode(array((0 until 64).map(i =>
+        shiftright(xxhash64(col("w")), i).bitwiseAND(lit(1L)) * 2 - 1): _*)))
+      .toDF("doc_id", "pos", "b")
+    bits.groupBy("doc_id", "pos").agg(sum("b").as("sb"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("sb") > 0, expr("shiftleft(CAST(1 AS BIGINT), pos)"))
+        .otherwise(lit(0L))).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: 4×16-bit band blocking, then exact Hamming
+    * verification ≤ 3 via bit_count(xor). Same LSH shape as MinHash —
+    * candidates from band equi-join only. */
+  def simhashPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = simhash(t(s, d, "documents")).cache()
+    val banded = sh.select(
+      col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(
+        col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Embedding near-dup: all pairs with cosine ≥ 0.4. Brute force here
+    * (embeddings table is small even at sf0.1); the LSH-bucketed route for
+    * big corpora is Similarity.lshTopK. */
+  def embeddingNearDup(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings")
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", VectorFunctions.cosine(col("va"), col("vb")))
+      .filter(col("cos") >= 0.4)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+      .orderBy("id_a", "id_b")
+  }
+}

@@ -1,0 +1,298 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** The relational operator surface.
+  *
+  * The reference implements none of these itself — it forwards the SQL text
+  * verbatim to MySQL/PG/SQLite (reference src/main.rs:29 → src/lib.rs:37-43,
+  * SURVEY.md §2.2). Here each category is expressed with the
+  * DataFrame/Dataset API so Catalyst owns optimization: filters and column
+  * selections below all reach the parquet scan (PushedFilters/ReadSchema),
+  * small dimensions are broadcast explicitly, and large joins/aggregations
+  * shuffle on their natural keys only once.
+  *
+  * Determinism contract (for the DuckDB oracle hash-compare): every query
+  * has a total ORDER BY; doubles that result from multi-row aggregation are
+  * `round(…, 2)`; rank/top-k ordering keys are either exact (ints, stored
+  * doubles compared without arithmetic) or rounded before ranking, with an
+  * id tie-break.
+  */
+object Relational {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
+
+  /** TPC-H Q1-style pricing summary: scan → filter (pushed to parquet) →
+    * hash aggregate (partial map-side + final). One shuffle on the 2-column
+    * group key; at 100 TB this stays the textbook plan.
+    */
+  def q01PricingSummary(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg("l_quantity"), 2).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Filter + projection only — verifies pushdown/pruning path. */
+  def q02FilterProject(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .filter(col("l_quantity") >= 10 && col("l_quantity") <= 20 && col("l_discount") > 0.05)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        // unrounded on purpose: the same two IEEE ops run on both engines,
+        // so the raw double is bit-identical, while round() at half-cent
+        // boundaries is not (Spark HALF_UP on decimal string vs DuckDB
+        // float rounding)
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** TPC-H Q3-style 3-way join + agg + top-k. customer is small → broadcast;
+    * orders⋈lineitem is the big equi-join and shuffles on orderkey once.
+    * Ranking is on the *rounded* revenue with orderkey tie-break, so the
+    * top-10 cut is deterministic across engines.
+    */
+  def q03TopRevenueOrders(s: SparkSession, d: String): DataFrame = {
+    val c = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = t(s, d, "orders")
+    val l = t(s, d, "lineitem")
+    broadcast(c).join(o, c("c_custkey") === o("o_custkey"))
+      .join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy(o("o_orderkey").as("o_orderkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** Star-join rollup through two broadcast dims (nation, region). */
+  def q04RegionCustomerRollup(s: SparkSession, d: String): DataFrame = {
+    val c = t(s, d, "customer")
+    val n = t(s, d, "nation")
+    val r = t(s, d, "region")
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(r("r_name").as("r_name"))
+      .agg(count(lit(1)).as("n_customers"), round(sum("c_acctbal"), 2).as("total_acctbal"))
+      .orderBy("r_name")
+  }
+
+  /** Left-semi join (EXISTS). */
+  def q05SemiJoin(s: SparkSession, d: String): DataFrame = {
+    val c = t(s, d, "customer")
+    val o = t(s, d, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Left-anti join (NOT EXISTS): customers with no order in H1'1995. */
+  def q06AntiJoin(s: SparkSession, d: String): DataFrame = {
+    val c = t(s, d, "customer")
+    val o = t(s, d, "orders")
+      .filter(col("o_orderdate") < lit("1995-07-01").cast("timestamp"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** DISTINCT (shuffle-dedup on the pair). */
+  def q07Distinct(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer").select("c_mktsegment", "c_nationkey").distinct()
+      .orderBy("c_mktsegment", "c_nationkey")
+
+  /** ROLLUP grouping hierarchy. NULLS FIRST on both sides (Spark's asc
+    * default) — DuckDB defaults to NULLS LAST, so the oracle says it
+    * explicitly. */
+  def q08Rollup(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  /** CUBE over two lineitem flags. */
+  def q09Cube(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** GROUPING SETS via the SQL front-end (the engine's verbatim-SQL path). */
+  def q10GroupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.registerAll(s, d)
+    s.sql(
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** Window rank over an aggregate: revenue rank of suppliers within nation.
+    * Rank key is rounded revenue + suppkey tie-break (deterministic). */
+  def q11WindowRank(s: SparkSession, d: String): DataFrame = {
+    val l = t(s, d, "lineitem")
+    val sup = t(s, d, "supplier")
+    val rev = l.join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+      .groupBy(sup("s_suppkey").as("s_suppkey"), sup("s_nationkey").as("s_nationkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+    val w = Window.partitionBy("s_nationkey").orderBy(col("revenue").desc, col("s_suppkey"))
+    rev.withColumn("rnk", rank().over(w).cast("long"))
+      .orderBy("s_nationkey", "rnk", "s_suppkey")
+  }
+
+  /** lag() over event time per user; microsecond longs keep both engines
+    * exact (parquet ns timestamps truncate identically to µs). */
+  def q12WindowLag(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "events").withColumn("ts_us", unix_micros(col("ts")))
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    e.select(
+        col("event_id"), col("user_id"),
+        (col("ts_us") - lag("ts_us", 1).over(w)).as("gap_us"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Running-sum frame (ROWS UNBOUNDED PRECEDING → CURRENT ROW). Identical
+    * accumulation order on both engines ⇒ bit-identical doubles. */
+  def q13RunningSum(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, d, "orders")
+      .select(
+        col("o_orderkey"), col("o_custkey"),
+        round(sum("o_totalprice").over(w), 2).as("running_total"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Top-k: Catalyst plans TakeOrderedAndProject — no global sort. */
+  def q14TopK(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  /** UNION ALL + reaggregate. */
+  def q15UnionAll(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+      .unionAll(t(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
+      .groupBy("nationkey").agg(count(lit(1)).as("n"))
+      .orderBy("nationkey")
+
+  /** INTERSECT (distinct semantics). */
+  def q16Intersect(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+      .intersect(t(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
+      .orderBy("nationkey")
+
+  /** EXCEPT (distinct semantics). */
+  def q17Except(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+      .except(t(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
+      .orderBy("nationkey")
+
+  /** Scalar string functions (all codegen'd built-ins). */
+  def q18StringFuncs(s: SparkSession, d: String): DataFrame =
+    t(s, d, "part")
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        length(col("p_name")).cast("long").as("name_len"),
+        substring(col("p_name"), 1, 8).as("name_pfx"),
+        concat(col("p_brand"), lit("/"), col("p_type")).as("brand_type"),
+        regexp_replace(col("p_name"), "a", "@").as("name_sub"))
+      .orderBy("p_partkey")
+
+  /** Date/time extraction + aggregate. */
+  def q19DateFuncs(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .groupBy(
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("yr", "mo")
+
+  /** Math scalar functions (IEEE-deterministic: sqrt/pow/abs/ceil/floor). */
+  def q20MathFuncs(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .filter(col("l_orderkey") % 100 === 0)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(sqrt(col("l_extendedprice")), 6).as("sqrt_price"),
+        round(col("l_discount") * col("l_discount"), 6).as("disc_sq"),
+        ceil(col("l_quantity")).cast("long").as("qty_ceil"),
+        floor(col("l_tax") * 100).cast("long").as("tax_pct"),
+        abs(col("l_extendedprice") - col("l_quantity") * 1000).as("abs_diff"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** CASE bucketing + aggregate. */
+  def q21CaseBuckets(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer")
+      .select(
+        when(col("c_acctbal") < 0, "negative")
+          .when(col("c_acctbal") < 5000, "mid")
+          .otherwise("high").as("bucket"),
+        col("c_acctbal"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), round(avg("c_acctbal"), 2).as("avg_bal"))
+      .orderBy("bucket")
+
+  /** JSON extraction from the events.props payload. */
+  def q22Json(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("k").agg(count(lit(1)).as("n"))
+      .orderBy("k")
+
+  /** Exact multi-column count distinct (expand + two-phase agg in Spark). */
+  def q23CountDistinct(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("nd_part"),
+        countDistinct(col("l_suppkey")).as("nd_supp"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** HLL sketch count-distinct — the 100 TB path where exact is too
+    * expensive. No oracle (sketch values are engine-specific); driver
+    * records a rows-only check. */
+  def q24ApproxCountDistinct(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_nd_part"),
+        approx_count_distinct(col("l_orderkey")).as("approx_nd_order"))
+      .orderBy("l_returnflag")
+
+  /** The big fact-fact equi-join: lineitem⋈orders on orderkey. At bench SF
+    * AQE may broadcast orders; at 100 TB this is the canonical shuffle
+    * (sort-merge) join on a single key — exactly one exchange per side. */
+  def q25BigJoinAgg(s: SparkSession, d: String): DataFrame = {
+    val l = t(s, d, "lineitem")
+    val o = t(s, d, "orders")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Conditional aggregation via pivot (explicit value list keeps the plan a
+    * single pass — no second job to discover pivot values). */
+  def q26Pivot(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0)
+      .orderBy("user_id")
+}

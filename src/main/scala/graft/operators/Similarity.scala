@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (`embedding: array<float>`, 64-dim).
+  *
+  *  - `bruteForceTopK` is the exact baseline: query-set × corpus join with
+  *    codegen'd cosine, per-query top-k via window rank. Cost |Q|·|C| —
+  *    fine for small query sets, the correctness oracle for ANN variants.
+  *  - `lshTopK` is the scale path: random-hyperplane LSH buckets both sides
+  *    so the join is an equi-join on bucket id (shuffle on a compact key,
+  *    candidate count ≈ |Q|·|C|/2^bits per probe), then exact cosine rescores
+  *    within buckets. Hyperplanes are seeded constants ⇒ fully deterministic.
+  */
+object Similarity {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
+
+  private val Dim = 64
+
+  /** Exact top-k neighbors for query vectors (vec_id < 10), ranked on
+    * rounded cosine with id tie-break for cross-engine determinism. */
+  def bruteForceTopK(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings")
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+    val scored = broadcast(q).join(c, col("q_id") =!= col("c_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .select("q_id", "c_id", "cos", "rk")
+      .orderBy("q_id", "rk")
+  }
+
+  /** Deterministic pseudo-random hyperplanes: `nPlanes` rows of ±1 entries
+    * seeded from (plane, dim) — materialized as literal arrays so the
+    * bucketing expression is constant-folded into the scan. */
+  private def planes(nPlanes: Int): Seq[Column] =
+    (0 until nPlanes).map { p =>
+      val rng = new scala.util.Random(42L * (p + 1))
+      array((0 until Dim).map(_ => lit(if (rng.nextBoolean()) 1.0 else -1.0)): _*)
+    }
+
+  private def bucketOf(v: Column, ps: Seq[Column]): Column =
+    ps.zipWithIndex.map { case (p, i) =>
+      when(dot(v, p) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** ANN via sign-LSH bucketing (8 hyperplanes → 256 buckets), exact cosine
+    * rescoring within the bucket. Approximate by design — neighbors landing
+    * in other buckets are missed (recall measured in SimilaritySpec);
+    * rows-only driver check. */
+  def lshTopK(s: SparkSession, d: String): DataFrame = {
+    val ps = planes(8)
+    val e = t(s, d, "embeddings")
+    val withBucket = e.withColumn("bucket", bucketOf(col("embedding"), ps))
+    val q = withBucket.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("bucket"))
+    val c = withBucket
+      .select(col("vec_id").as("c_id"), col("embedding").as("cv"), col("bucket"))
+    val scored = q.join(c, Seq("bucket"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .select("q_id", "bucket", "c_id", "cos", "rk")
+      .orderBy("q_id", "rk")
+  }
+
+  /** IVF-style variant: coarse partitions from label (stand-in for k-means
+    * cell ids at scale), search restricted to the query's cell. Demonstrates
+    * the partition-pruned ANN shape: the corpus is clustered/bucketed once,
+    * queries only scan their cell. */
+  def ivfTopK(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings")
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("label"))
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("cv"), col("label"))
+    val scored = q.join(c, Seq("label"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("label").cast("long").as("cell"), col("c_id"), col("cos"), col("rk"))
+      .orderBy("q_id", "rk")
+  }
+}

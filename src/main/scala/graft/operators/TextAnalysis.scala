@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis operators over `documents` — token statistics, quality
+  * scoring, marker-word language ID, n-gram profiling. Everything is
+  * composed from codegen'd built-ins (split / higher-order array functions),
+  * no UDFs, so the whole pipeline stays in WholeStageCodegen and
+  * distributes as a pure map + aggregate.
+  *
+  * Determinism: all ratios are divisions of exact integer counts, which are
+  * bit-identical across engines; scores are rounded for display only.
+  */
+object TextAnalysis {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
+
+  private val toks: Column = split(col("text"), " ")
+
+  private def hitCount(words: Seq[String]): Column =
+    size(filter(toks, w => w.isInCollection(words))).cast("long")
+
+  /** Token counting: whitespace tokens + distinct-token vocabulary size. */
+  def tokenStats(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"))
+      .orderBy("doc_id")
+
+  private val Stopwords = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Quality scoring: length / stopword-ratio / vocabulary-diversity
+    * heuristics of the kind a pretraining filter applies. */
+  def qualityScore(s: SparkSession, d: String): DataFrame = {
+    val nTok = size(toks).cast("double")
+    val nStop = hitCount(Stopwords).cast("double")
+    val nDistinct = size(array_distinct(toks)).cast("double")
+    // chars excluding the (n-1) separator spaces, over token count
+    val avgWordLen = (length(col("text")) - (size(toks) - 1)) / nTok
+    val stopRatio = nStop / nTok
+    val diversity = nDistinct / nTok
+    t(s, d, "documents")
+      .select(
+        col("doc_id"),
+        col("n_chars"),
+        size(toks).cast("long").as("n_tokens"),
+        round(avgWordLen, 4).as("avg_word_len"),
+        round(stopRatio, 4).as("stop_ratio"),
+        round(diversity, 4).as("diversity"),
+        round((lit(1.0) - stopRatio) * least(nTok, lit(100.0)) / 100.0, 4).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  private val Markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "es" -> Seq("el", "la", "los", "y"),
+    "fr" -> Seq("le", "les", "des", "et"))
+
+  /** Marker-word language ID (n-gram-heuristic family): argmax of per-
+    * language stopword hit counts, fixed priority order on ties. */
+  def languageId(s: SparkSession, d: String): DataFrame = {
+    val hits = Markers.map { case (lang, words) => lang -> hitCount(words) }
+    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    val pred = hits.foldRight(lit("unknown"): Column) { case ((lang, h), els) =>
+      when(h === best && h > 0, lang).otherwise(els)
+    }
+    t(s, d, "documents")
+      .select(col("doc_id"), col("lang"), pred.as("pred_lang"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus bigram profile: top-20 word bigrams. The per-document expansion
+    * is a flat map (explode) feeding a partial-aggregated count — one
+    * shuffle keyed by bigram. */
+  def topBigrams(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .filter(size(toks) >= 2)
+      .select(explode(transform(
+        sequence(lit(0), size(toks) - 2),
+        i => concat(element_at(toks, i + 1), lit(" "), element_at(toks, i + 2)))).as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(20)
+}

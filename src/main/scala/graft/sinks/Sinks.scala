@@ -1,0 +1,85 @@
+package graft.sinks
+
+import java.io.File
+import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.DataFrame
+
+/** Output-format dispatch and sinks.
+  *
+  * The reference lowercases the output path, splits on '.', and picks the
+  * format from the last segment (reference src/lib.rs:76-90); the three
+  * working sinks are parquet (src/lib.rs:102-113), CSV with headers on
+  * (src/lib.rs:114-123) and newline-delimited JSON with explicit nulls kept
+  * (src/lib.rs:124-137, `with_explicit_nulls(true)` at :127). An Arrow IPC
+  * variant exists but panics unimplemented (src/lib.rs:73,138).
+  *
+  * Spark-side each format is a `DataFrameWriter` configuration; the parity
+  * options that differ from Spark defaults are CSV `header=true` and JSON
+  * `ignoreNullFields=false` (Spark drops null fields from NDJSON output by
+  * default; the reference keeps them).
+  */
+object Sinks {
+
+  sealed abstract class Format(val name: String)
+  case object Parquet extends Format("parquet")
+  case object Csv extends Format("csv")
+  case object Json extends Format("json")
+  /** Bonus over the reference (roadmap-only there, README.md:29). */
+  case object Orc extends Format("orc")
+
+  /** Extension → format: lowercase whole path, last '.'-segment
+    * (reference src/lib.rs:80-81). */
+  def fromPath(path: String): Format =
+    path.toLowerCase.split('.').lastOption match {
+      case Some("parquet") => Parquet
+      case Some("csv")     => Csv
+      case Some("json")    => Json
+      case Some("orc")     => Orc
+      case Some("arrow")   => throw new UnsupportedOperationException(
+        "arrow sink is unimplemented (parity with reference src/lib.rs:138)")
+      case other => throw new IllegalArgumentException(
+        s"Unsupported output format '${other.getOrElse("")}' for path: $path")
+    }
+
+  private def writer(df: DataFrame, format: Format) = {
+    val w = df.write.mode("overwrite")
+    format match {
+      case Parquet => w.format("parquet")
+      case Orc     => w.format("orc")
+      case Csv     => w.format("csv").option("header", "true")
+      case Json    => w.format("json").option("ignoreNullFields", "false")
+    }
+  }
+
+  /** Scale path: write a directory of part-files, fully parallel — every
+    * executor streams its partitions to the committer. This is what a 100 TB
+    * export should use; `writeSingleFile` below exists only for
+    * reference-parity ("one named output file", reference src/main.rs:17).
+    */
+  def writeDir(df: DataFrame, path: String, format: Format): Unit =
+    writer(df, format).save(path)
+
+  /** Reference-parity sink: exactly one output file at `path`.
+    *
+    * Spark always writes a directory of part-files, so this coalesces to a
+    * single partition (serializing the final write — documented tradeoff,
+    * SURVEY.md §7.4.1), writes to a temp dir, and promotes the lone
+    * part-file to the requested name.
+    */
+  def writeSingleFile(df: DataFrame, path: String): Unit = {
+    val format = fromPath(path)
+    val tmp = path + ".tmp-spark-write"
+    writer(df.coalesce(1), format).save(tmp)
+    val part = Option(new File(tmp).listFiles()).getOrElse(Array.empty[File])
+      .find(f => f.getName.startsWith("part-"))
+      .getOrElse(throw new IllegalStateException(s"no part-file produced under $tmp"))
+    JFiles.move(part.toPath, Paths.get(path), StandardCopyOption.REPLACE_EXISTING)
+    deleteRecursively(new File(tmp))
+  }
+
+  private def deleteRecursively(f: File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
+}

@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Local approximation of the driver's correctness gate (t2):
+run graft.Verify first, then this script compares each Spark parquet dump
+against its DuckDB oracle (columns sorted by name, rows sorted, exact
+equality). Usage: tools/check.py [sfdir] [outdir]
+"""
+import glob
+import json
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df.columns):
+        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def main() -> int:
+    sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    fails = []
+    for name in sorted(oracle):
+        sql = oracle[name]
+        if not glob.glob(f"{outdir}/{name}/*.parquet"):
+            print(f"{name}: FAIL missing spark output")
+            fails.append(name)
+            continue
+        got = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'").df()
+        try:
+            exp = con.sql(sql).df()
+        except Exception as e:  # noqa: BLE001
+            print(f"{name}: FAIL oracle error: {e}")
+            fails.append(name)
+            continue
+        g, e = norm(got), norm(exp)
+        if list(g.columns) != list(e.columns):
+            print(f"{name}: FAIL columns {list(g.columns)} vs {list(e.columns)}")
+            fails.append(name)
+            continue
+        if [str(t) for t in g.dtypes] != [str(t) for t in e.dtypes]:
+            print(f"{name}: WARN dtypes {dict(g.dtypes.astype(str))} vs {dict(e.dtypes.astype(str))}")
+        if len(g) != len(e):
+            print(f"{name}: FAIL rowcount {len(g)} vs {len(e)}")
+            fails.append(name)
+            continue
+        try:
+            pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=True)
+            print(f"{name}: OK ({len(g)} rows)")
+        except AssertionError as ex:
+            msg = str(ex).split("\n")[0:6]
+            print(f"{name}: FAIL values: " + " | ".join(msg))
+            fails.append(name)
+    # rows-only queries: just report
+    extra = sorted(set(p.split("/")[-1] for p in glob.glob(f"{outdir}/*") if "/oracle_sql" not in p)
+                   - set(oracle))
+    for name in extra:
+        n = con.sql(f"SELECT count(*) FROM '{outdir}/{name}/*.parquet'").fetchone()[0]
+        print(f"{name}: rows-only ({n} rows)")
+    print(f"\n{len(oracle) - len(fails)}/{len(oracle)} oracle queries OK")
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
