@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, GraftShim}
 import org.apache.spark.sql.functions._
 
 /** Vector math over `array<float>` embedding columns, composed from
@@ -30,6 +30,16 @@ object VectorFunctions {
 
   /** cos(a, b) = a·b / (‖a‖‖b‖) */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Codegen'd dot product (custom Catalyst expression — see
+    * FloatVectorDot's scaladoc for why this beats the HOF composition by
+    * ~20× inside similarity joins). Same accumulation order ⇒ same bits. */
+  def dotFast(a: Column, b: Column): Column =
+    GraftShim.column(FloatVectorDot(
+      GraftShim.expression(a), GraftShim.expression(b)))
+
+  /** Codegen'd ‖a‖₂. */
+  def normFast(a: Column): Column = sqrt(dotFast(a, a))
 
   /** Squared euclidean distance. */
   def l2sq(a: Column, b: Column): Column =

@@ -174,10 +174,15 @@ object Dedup {
     * big corpora is Similarity.lshTopK. */
   def embeddingNearDup(s: SparkSession, d: String): DataFrame = {
     val e = t(s, d, "embeddings")
-    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
-    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    // norms are computed once per row before the O(n²) join; each pair then
+    // costs a single codegen'd dot product (FloatVectorDot)
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+      VectorFunctions.normFast(col("embedding")).as("norm_a"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+      VectorFunctions.normFast(col("embedding")).as("norm_b"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cos", VectorFunctions.cosine(col("va"), col("vb")))
+      .withColumn("cos",
+        VectorFunctions.dotFast(col("va"), col("vb")) / (col("norm_a") * col("norm_b")))
       .filter(col("cos") >= 0.4)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
       .orderBy("id_a", "id_b")

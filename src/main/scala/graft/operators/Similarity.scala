@@ -29,10 +29,13 @@ object Similarity {
   def bruteForceTopK(s: SparkSession, d: String): DataFrame = {
     val e = t(s, d, "embeddings")
     val q = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
-    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        normFast(col("embedding")).as("qn"))
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("cv"),
+      normFast(col("embedding")).as("cn"))
     val scored = broadcast(q).join(c, col("q_id") =!= col("c_id"))
-      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("cos",
+        round(dotFast(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
     scored.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= 5)
@@ -46,12 +49,12 @@ object Similarity {
   private def planes(nPlanes: Int): Seq[Column] =
     (0 until nPlanes).map { p =>
       val rng = new scala.util.Random(42L * (p + 1))
-      array((0 until Dim).map(_ => lit(if (rng.nextBoolean()) 1.0 else -1.0)): _*)
+      array((0 until Dim).map(_ => lit(if (rng.nextBoolean()) 1.0f else -1.0f)): _*)
     }
 
   private def bucketOf(v: Column, ps: Seq[Column]): Column =
     ps.zipWithIndex.map { case (p, i) =>
-      when(dot(v, p) >= 0, lit(1L << i)).otherwise(lit(0L))
+      when(dotFast(v, p) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** ANN via sign-LSH bucketing (8 hyperplanes → 256 buckets), exact cosine
@@ -63,12 +66,15 @@ object Similarity {
     val e = t(s, d, "embeddings")
     val withBucket = e.withColumn("bucket", bucketOf(col("embedding"), ps))
     val q = withBucket.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("bucket"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("bucket"),
+        normFast(col("embedding")).as("qn"))
     val c = withBucket
-      .select(col("vec_id").as("c_id"), col("embedding").as("cv"), col("bucket"))
+      .select(col("vec_id").as("c_id"), col("embedding").as("cv"), col("bucket"),
+        normFast(col("embedding")).as("cn"))
     val scored = q.join(c, Seq("bucket"))
       .filter(col("q_id") =!= col("c_id"))
-      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("cos",
+        round(dotFast(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
     scored.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= 5)
@@ -83,11 +89,14 @@ object Similarity {
   def ivfTopK(s: SparkSession, d: String): DataFrame = {
     val e = t(s, d, "embeddings")
     val q = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("label"))
-    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("cv"), col("label"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("label"),
+        normFast(col("embedding")).as("qn"))
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("cv"), col("label"),
+      normFast(col("embedding")).as("cn"))
     val scored = q.join(c, Seq("label"))
       .filter(col("q_id") =!= col("c_id"))
-      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("cos",
+        round(dotFast(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
     scored.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= 5)
