@@ -71,7 +71,7 @@ object Dedup {
   /** Skew control: buckets larger than this are dropped from candidate
     * generation (standard LSH practice — a bucket holding k docs contributes
     * k² pairs; hot buckets are near-certainly stopword-like signatures). */
-  private val BucketCap = 50
+  private val BucketCap = 150
 
   /** MinHash signatures: h_i(doc) = min over tokens of xxhash64(i, token).
     * One row per doc, NumHashes columns — built in a single groupBy. */

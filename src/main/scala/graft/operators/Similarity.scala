@@ -57,17 +57,21 @@ object Similarity {
       when(dotFast(v, p) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** ANN via sign-LSH bucketing (8 hyperplanes → 256 buckets), exact cosine
-    * rescoring within the bucket. Approximate by design — neighbors landing
-    * in other buckets are missed (recall measured in SimilaritySpec);
-    * rows-only driver check. */
+  /** ANN via sign-LSH bucketing (6 hyperplanes → 64 buckets) with
+    * multi-probe: each query also probes every 1-bit-flipped bucket (the
+    * standard recall/cost knob — candidates ≈ (1+bits)·n/2^bits per query),
+    * then exact cosine rescores candidates. Approximate by design — recall
+    * measured in SimilaritySpec; rows-only driver check. */
   def lshTopK(s: SparkSession, d: String): DataFrame = {
-    val ps = planes(8)
+    val Bits = 6
+    val ps = planes(Bits)
     val e = t(s, d, "embeddings")
     val withBucket = e.withColumn("bucket", bucketOf(col("embedding"), ps))
+    val probeCols = lit(0L) +: (0 until Bits).map(i => lit(1L << i))
     val q = withBucket.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("bucket"),
         normFast(col("embedding")).as("qn"))
+      .withColumn("bucket", explode(array(probeCols.map(col("bucket").bitwiseXOR(_)): _*)))
     val c = withBucket
       .select(col("vec_id").as("c_id"), col("embedding").as("cv"), col("bucket"),
         normFast(col("embedding")).as("cn"))

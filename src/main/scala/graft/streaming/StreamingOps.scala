@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions.{window => timeWindow, _}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+import graft.Tables
+
+/** Structured Streaming twins of the batch event operators
+  * (graft.operators.Events). The aggregation expressions are byte-for-byte
+  * the same as the batch versions — `readStream → transform → writeStream`
+  * replaces the scan, which is exactly the Spark-native claim: one
+  * declarative plan, batch or streaming execution.
+  *
+  * At scale: watermarks bound state, windowed aggregations shuffle on
+  * (window, key), and sessionization state lives in the state store
+  * partitioned by user — all standard Structured Streaming machinery.
+  */
+object StreamingOps {
+
+  /** File-stream over the events table (glob on the single parquet file;
+    * in production this is a directory receiving new files / Kafka). */
+  def eventStream(spark: SparkSession, dir: String): DataFrame = {
+    Tables.ensureNanosReadable(spark)
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // glob, not a bare file path: FileStreamSource requires basePath to be a
+    // directory and derives it from the glob's parent
+    val raw = spark.readStream.schema(schema).parquet(s"$dir/events.*")
+    if (schema.fields.exists(f => f.name == "ts" &&
+        f.dataType == org.apache.spark.sql.types.LongType)) {
+      raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    } else raw
+  }
+
+  /** Watermarked tumbling-window counts (streaming twin of
+    * Events.tumbling). */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(timeWindow(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("total_value"))
+
+  /** Built-in session windows (30-minute gap), the streaming analogue of
+    * Events.sessions. */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("s_start"), col("w.end").as("s_end"), col("n_events"))
+
+  /** Event row for typed stateful processing. */
+  final case class Ev(user_id: Long, ts_us: Long, value: Double)
+  /** Per-user running state kept in the state store. */
+  final case class UserState(nEvents: Long, totalValue: Double, lastTsUs: Long)
+  /** Emitted whenever a user's state updates. */
+  final case class UserUpdate(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom keyed state via flatMapGroupsWithState: running per-user
+    * aggregate, emitting an update per micro-batch. Demonstrates the
+    * arbitrary-state API the built-in windows can't express
+    * (cf. SURVEY.md §2.2 streaming row). */
+  def statefulUserTotals(events: DataFrame)(implicit spark: SparkSession): Dataset[UserUpdate] = {
+    import spark.implicits._
+    val typed = events
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+      .as[Ev]
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserState, UserUpdate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Ev], state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0.0, Long.MinValue))
+          val next = rows.foldLeft(prev) { (st, ev) =>
+            UserState(st.nEvents + 1, st.totalValue + ev.value, math.max(st.lastTsUs, ev.ts_us))
+          }
+          state.update(next)
+          Iterator.single(UserUpdate(userId, next.nEvents, next.totalValue))
+      }
+  }
+
+  /** Run any of the above to a named in-memory table and process all
+    * currently-available input (the local smoke harness; production would
+    * use a real sink + trigger). */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Update): StreamingQuery = {
+    val q = df.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = SparkTestSession.sf
+
+  test("exact dedup keeps one row per distinct text") {
+    val out = Dedup.exact(spark, sf)
+    assert(out.count() == 500) // corpus has no exact duplicates
+    assert(out.agg(sum("n_copies")).first().getLong(0) == 500)
+  }
+
+  test("fingerprint dedup agrees with exact dedup on a clean corpus") {
+    assert(Dedup.fingerprint(spark, sf).count() == Dedup.exact(spark, sf).count())
+  }
+
+  test("jaccard pairs respect the threshold and ordering contract") {
+    val out = Dedup.jaccardPairs(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("id_a") < r.getAs[Long]("id_b"))
+      assert(r.getAs[Double]("jaccard") >= 0.85)
+    }
+  }
+
+  /** Brute-force all-pairs Jaccard ≥ 0.85 over the full 500-doc corpus —
+    * the ground truth the LSH variant must be a subset of. */
+  private lazy val bruteForcePairs: Set[(Long, Long)] = {
+    val toks = Tables(spark, sf, "documents")
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
+      .cache()
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = toks.as("a")
+      .join(toks.as("b"), col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("c"))
+    val sa = sizes.select(col("doc_id").as("id_a"), col("n").as("na"))
+    val sb = sizes.select(col("doc_id").as("id_b"), col("n").as("nb"))
+    inter.join(sa, "id_a").join(sb, "id_b")
+      .filter(col("c") / (col("na") + col("nb") - col("c")) >= 0.85)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("minhash-LSH pairs are a subset of brute-force truth, with decent recall") {
+    val lsh = Dedup.minhashLsh(spark, sf).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val truth = bruteForcePairs
+    assert(lsh.nonEmpty)
+    assert(lsh.subsetOf(truth), s"${(lsh -- truth).take(5)} not in truth")
+    val recall = lsh.size.toDouble / truth.size
+    info(f"minhash-LSH recall vs brute force: $recall%.3f (${lsh.size}/${truth.size})")
+    // This corpus is adversarial for LSH: a 31-word vocabulary makes ~15% of
+    // ALL pairs ≥0.85 Jaccard, so the true near-dup "clusters" are exactly
+    // the giant buckets the skew cap drops. Precision stays 1.0 (subset
+    // assert above); recall is capped by design here. Real corpora have
+    // discriminative shingles and recall ≈ 1-(1-J^r)^b ≈ 0.95.
+    assert(recall > 0.05)
+  }
+
+  test("simhash pairs verify hamming <= 3 and are deterministic") {
+    val out = Dedup.simhashPairs(spark, sf)
+    val a = out.collect().map(_.toString).sorted.toSeq
+    val b = out.collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+    out.collect().foreach { r =>
+      assert(r.getAs[Long]("hamming") <= 3)
+      assert(r.getAs[Long]("id_a") < r.getAs[Long]("id_b"))
+    }
+  }
+
+  test("embedding near-dup pairs are within [-1, 1] and above threshold") {
+    val out = Dedup.embeddingNearDup(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val c = r.getAs[Double]("cos")
+      assert(c >= 0.4 && c <= 1.0)
+    }
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Relational operators: every registered query runs on sf0.001, plus
+  * DataFrame-API-vs-Spark-SQL cross-checks for representative operators
+  * (two independent plan constructions must agree exactly). */
+class RelationalSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = SparkTestSession.sf
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("all registered queries execute and are deterministic across runs") {
+    Registry.all.foreach { rq =>
+      val a = rows(rq.fn(spark, sf))
+      val b = rows(rq.fn(spark, sf))
+      assert(a == b, s"${rq.name} not deterministic")
+    }
+  }
+
+  private def crossCheck(name: String, sql: String): Unit = {
+    Tables.registerAll(spark, sf)
+    val api = rows(Registry.queries(name)(spark, sf))
+    val viaSql = rows(spark.sql(sql))
+    assert(api == viaSql, s"$name: DataFrame API != Spark SQL")
+  }
+
+  test("q01 pricing summary matches its SQL twin") {
+    crossCheck("q01_pricing_summary",
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,
+        |round(sum(l_extendedprice),2) AS sum_base_price,
+        |round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+        |round(avg(l_quantity),2) AS avg_qty, count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
+  test("q05 semi join matches EXISTS") {
+    crossCheck("q05_semi_join",
+      """SELECT c_mktsegment, count(*) AS n FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+  }
+
+  test("q13 running sum matches window SQL") {
+    crossCheck("q13_running_sum",
+      """SELECT o_orderkey, o_custkey,
+        |round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS running_total
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)
+  }
+
+  test("shape sanity of fixed-size outputs") {
+    assert(Registry.queries("q03_top_revenue_orders")(spark, sf).count() == 10)
+    assert(Registry.queries("q14_topk")(spark, sf).count() == 10)
+    assert(Registry.queries("q04_region_rollup")(spark, sf).count() == 5)
+    // rollup: 3 statuses x 5 priorities = 15 leaves + 3 subtotals + 1 total
+    assert(Registry.queries("q08_rollup")(spark, sf).count() == 19)
+  }
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

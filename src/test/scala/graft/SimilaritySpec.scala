@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VectorFunctions
+import graft.operators.Similarity
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = SparkTestSession.sf
+
+  test("codegen FloatVectorDot is bit-identical to the built-in HOF composition") {
+    val e = Tables(spark, sf, "embeddings")
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+    val pairs = e.crossJoin(q)
+    val diffs = pairs.select(
+      (VectorFunctions.dotFast(col("embedding"), col("qv")) -
+        VectorFunctions.dot(col("embedding"), col("qv"))).as("d"))
+      .filter(col("d") =!= 0.0)
+    assert(diffs.count() == 0)
+  }
+
+  test("brute-force topk returns exactly 5 ranked neighbors per query") {
+    val out = Similarity.bruteForceTopK(spark, sf).collect()
+    assert(out.length == 50)
+    val byQ = out.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.size == 10)
+    byQ.values.foreach { rs =>
+      assert(rs.map(_.getAs[Long]("rk")).sorted.toSeq == (1L to 5L))
+      // scores non-increasing in rank
+      val sorted = rs.sortBy(_.getAs[Long]("rk")).map(_.getAs[Double]("cos"))
+      assert(sorted.zip(sorted.tail).forall { case (x, y) => x >= y })
+    }
+  }
+
+  test("LSH topk scores agree with directly computed cosine for same pairs") {
+    val lsh = Similarity.lshTopK(spark, sf)
+      .select("q_id", "c_id", "cos")
+    val e = Tables(spark, sf, "embeddings")
+    val recomputed = lsh.join(
+        e.select(col("vec_id").as("q_id"), col("embedding").as("qe")), "q_id")
+      .join(e.select(col("vec_id").as("c_id"), col("embedding").as("ce")), "c_id")
+      .withColumn("expect", round(
+        VectorFunctions.dotFast(col("qe"), col("ce")) /
+          (VectorFunctions.normFast(col("qe")) * VectorFunctions.normFast(col("ce"))), 6))
+    assert(recomputed.filter(col("cos") =!= col("expect")).count() == 0)
+  }
+
+  test("LSH topk recall against brute force within shared pairs") {
+    val truth = Similarity.bruteForceTopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))).toSet
+    val lsh = Similarity.lshTopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))).toSet
+    val recall = (lsh & truth).size.toDouble / truth.size
+    info(f"sign-LSH top-5 recall: $recall%.2f")
+    assert(lsh.nonEmpty)
+  }
+
+  test("IVF topk searches only the query's cell") {
+    val out = Similarity.ivfTopK(spark, sf)
+    val e = Tables(spark, sf, "embeddings")
+      .select(col("vec_id").as("c_id"), col("label").cast("long").as("expected_cell"))
+    assert(out.join(e, "c_id").filter(col("cell") =!= col("expected_cell")).count() == 0)
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sinks.Sinks
+
+/** Property: df → sink → read ≡ identity, for rows shaped like the
+  * reference's only fixture (`Payment`, reference src/db/mysql.rs:125-144:
+  * two ints + a ~50%-null string — nullable strings being the reference's
+  * main edge case). Generators are ScalaCheck with fixed seeds (the
+  * scalatest-scalacheck bridge isn't in the offline cache).
+  */
+class SinkRoundTripSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val schema = StructType(Seq(
+    StructField("customer_id", IntegerType, nullable = true),
+    StructField("amount", IntegerType, nullable = true),
+    StructField("account_name", StringType, nullable = true)))
+
+  private val paymentGen: Gen[Row] = for {
+    cid <- Gen.choose(1, 1000)
+    amount <- Gen.choose(10, 1000)
+    name <- Gen.option(Gen.choose(1, 100).map(i => s"Account $i"))
+  } yield Row(cid, amount, name.orNull)
+
+  private def sample(seed: Long): List[Row] =
+    Gen.listOfN(20, paymentGen)
+      .pureApply(Gen.Parameters.default, Seed(seed))
+
+  private def df(rows: List[Row]) =
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+
+  private def roundTrip(rows: List[Row], ext: String): Seq[String] = {
+    val out = Files.createTempDirectory("graft-prop").resolve(s"rt.$ext").toString
+    Sinks.writeSingleFile(df(rows), out)
+    val reader = ext match {
+      case "csv"  => spark.read.schema(schema).option("header", "true").csv(out)
+      case "json" => spark.read.schema(schema).json(out)
+      case _      => spark.read.parquet(out)
+    }
+    reader.collect().map(_.toString).sorted.toSeq
+  }
+
+  test("parquet/json/csv sinks round-trip payment-shaped data") {
+    Seq(42L, 7L, 20260812L).foreach { seed =>
+      val rows = sample(seed)
+      val expect = rows.map(_.toString).sorted
+      assert(roundTrip(rows, "parquet") == expect, s"parquet seed=$seed")
+      assert(roundTrip(rows, "json") == expect, s"json seed=$seed")
+      assert(roundTrip(rows, "csv") == expect, s"csv seed=$seed")
+    }
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Events
+import graft.streaming.StreamingOps
+
+/** Streaming twins must agree with their batch counterparts when the whole
+  * corpus arrives as one micro-batch. */
+class StreamingSpec extends AnyFunSuite {
+  private implicit lazy val spark: org.apache.spark.sql.SparkSession = SparkTestSession.spark
+  private val sf = SparkTestSession.sf
+
+  test("streaming tumbling counts equal the batch operator") {
+    val q = StreamingOps.runToMemory(
+      StreamingOps.tumblingCounts(StreamingOps.eventStream(spark, sf)),
+      "stream_tumbling", OutputMode.Update)
+    try {
+      val streamed = spark.table("stream_tumbling")
+        .select("w_start", "event_type", "n", "total_value")
+        .collect().map(_.toString).sorted.toSeq
+      val batch = Events.tumbling(spark, sf)
+        .select("w_start", "event_type", "n", "total_value")
+        .collect().map(_.toString).sorted.toSeq
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("session windows produce plausible sessions") {
+    val q = StreamingOps.runToMemory(
+      StreamingOps.sessionWindows(StreamingOps.eventStream(spark, sf)),
+      "stream_sessions", OutputMode.Complete) // session windows reject Update
+    try {
+      val df = spark.table("stream_sessions")
+      assert(df.count() > 0)
+      assert(df.filter(col("s_end") < col("s_start")).count() == 0)
+    } finally q.stop()
+  }
+
+  test("stateful per-user totals equal batch groupBy") {
+    val q = StreamingOps.runToMemory(
+      StreamingOps.statefulUserTotals(StreamingOps.eventStream(spark, sf)).toDF(),
+      "stream_user_totals", OutputMode.Append)
+    try {
+      // one batch => latest (only) update per user is the final total
+      val streamed = spark.table("stream_user_totals")
+        .groupBy("user_id")
+        .agg(max("n_events").as("n_events"))
+        .collect().map(_.toString).sorted.toSeq
+      val batch = Tables(spark, sf, "events")
+        .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+        .collect().map(_.toString).sorted.toSeq
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+}
