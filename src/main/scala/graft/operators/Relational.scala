@@ -286,6 +286,25 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** Typed UDAF (Aggregator[IN,BUF,OUT]) in a grouped aggregation. */
+  def q27TypedUdaf(s: SparkSession, d: String): DataFrame = {
+    val sumsq = udaf(graft.functions.Aggregators.SumOfSquares)
+    t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(sumsq(col("l_quantity")).as("sum_sq"), count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  /** JSON → typed map + generator (explode over map entries): the
+    * from_json/map-functions/UDTF-shaped surface. */
+  def q28MapExplode(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .select(explode(from_json(col("props"),
+        org.apache.spark.sql.types.DataType.fromDDL("map<string,int>"))).as(Seq("key", "value")))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n"), sum("value").as("total"))
+      .orderBy("key")
+
   /** Conditional aggregation via pivot (explicit value list keeps the plan a
     * single pass — no second job to discover pivot values). */
   def q26Pivot(s: SparkSession, d: String): DataFrame =

@@ -1,0 +1,57 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+
+import graft.functions.FloatVectorDot
+
+/** Optimizer rule: recognize the built-in higher-order-function dot-product
+  * idiom
+  *
+  * {{{ aggregate(zip_with(a, b, (x, y) -> double(x) * double(y)), 0.0, (acc, v) -> acc + v) }}}
+  *
+  * over `array<float>` columns and replace it with the codegen'd
+  * [[FloatVectorDot]] expression (same accumulation order, same result,
+  * ~20× faster inside joins — HOFs are interpreted and break whole-stage
+  * codegen).
+  *
+  * This is the engine's "write declarative code, let the optimizer pick the
+  * fast kernel" story: user code (or SQL) can use the portable HOF form and
+  * still get the native kernel. Inject with
+  * `--conf spark.sql.extensions=graft.plans.GraftExtensions`, or at runtime
+  * via `spark.experimental.extraOptimizations`.
+  */
+object RewriteVectorDot extends Rule[LogicalPlan] {
+
+  private def isFloatArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  private def isDoubleCastOfVar(e: Expression): Boolean = e match {
+    case Cast(_: NamedLambdaVariable, DoubleType, _, _) => true
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case ArrayAggregate(
+          ZipWith(a, b, LambdaFunction(Multiply(x, y, _), _, _)),
+          Literal(0.0, DoubleType),
+          LambdaFunction(Add(acc: NamedLambdaVariable, v: NamedLambdaVariable, _), _, _),
+          LambdaFunction(fin: NamedLambdaVariable, Seq(finArg), _))
+        if isFloatArray(a) && isFloatArray(b) &&
+          isDoubleCastOfVar(x) && isDoubleCastOfVar(y) &&
+          acc != v && fin.exprId == finArg.exprId =>
+      FloatVectorDot(a, b)
+  }
+}
+
+/** `spark.sql.extensions` entry point registering the graft optimizer
+  * rules. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    e.injectOptimizerRule(_ => RewriteVectorDot)
+}

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VectorFunctions
+import graft.plans.RewriteVectorDot
+
+class RewriteVectorDotSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = SparkTestSession.sf
+
+  test("optimizer rule rewrites the HOF dot idiom into float_vector_dot") {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ RewriteVectorDot
+    try {
+      val e = Tables(spark, sf, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      val df = e.crossJoin(q)
+        .select(VectorFunctions.dot(col("embedding"), col("qv")).as("dp"))
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("float_vector_dot"), optimized.take(500))
+
+      // and the rewritten plan computes the same values as the raw HOF form
+      val withRule = df.collect().map(_.getDouble(0)).sorted.toSeq
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == RewriteVectorDot)
+      val withoutRule = e.crossJoin(q)
+        .select(VectorFunctions.dot(col("embedding"), col("qv")).as("dp"))
+        .collect().map(_.getDouble(0)).sorted.toSeq
+      assert(withRule == withoutRule)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == RewriteVectorDot)
+    }
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions: the properties that make these operators survive
+  * a 100 TB scale-up, checked against the actual physical plans so a
+  * regression (lost pushdown, surprise shuffle, broadcast flip) fails CI.
+  */
+class ScaleSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = SparkTestSession.sf
+
+  private def plan(name: String): String =
+    Registry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q01: the shipdate filter reaches the parquet scan") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("PushedFilters") && p.contains("LessThanOrEqual(l_shipdate"))
+  }
+
+  test("q02: column pruning — scan reads only the 5 needed of 11 columns") {
+    val p = plan("q02_filter_project")
+    // toString truncates long schemas; the prefix is enough to prove the
+    // scan was pruned to the needed columns (full lineitem has 11)
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double"))
+    assert(!p.contains("l_shipdate"))
+  }
+
+  test("q03: top-k plans TakeOrderedAndProject (no global sort) over broadcast joins") {
+    val p = plan("q03_top_revenue_orders")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("q14: limit+order never globally sorts") {
+    assert(plan("q14_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("q04: both dimension joins broadcast — no shuffle of the fact side") {
+    val p = plan("q04_region_rollup")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("bucketed co-located join eliminates the shuffle entirely") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-warehouse").toString
+    val n = 8
+    Tables(spark, sf, "orders").write
+      .bucketBy(n, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$wh/orders_b").mode("overwrite").saveAsTable("orders_b")
+    Tables(spark, sf, "lineitem").write
+      .bucketBy(n, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$wh/lineitem_b").mode("overwrite").saveAsTable("lineitem_b")
+    try {
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val joined = spark.table("lineitem_b")
+          .join(spark.table("orders_b"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy("l_orderkey")
+          .agg(count(lit(1)).as("n"))
+        val p = joined.queryExecution.executedPlan.toString
+        assert(p.contains("SortMergeJoin"))
+        assert(!p.contains("ShuffleExchange") && !p.contains("Exchange hashpartitioning"),
+          s"unexpected shuffle in bucketed join:\n${p.take(800)}")
+        assert(joined.count() > 0)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
+}
