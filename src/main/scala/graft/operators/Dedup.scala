@@ -130,20 +130,20 @@ object Dedup {
   }
 
   /** 64-bit SimHash per document from token hashes: bit b of the signature
-    * is the sign of Σ_tokens (±1 from bit b of xxhash64(token)). Shaped as
-    * narrow (doc, bit) rows → two hash aggregations — no wide shuffle, scales
-    * linearly in corpus size. */
+    * is the sign of Σ_tokens (±1 from bit b of xxhash64(token)). One wide
+    * hash aggregation (64 sum columns over the token stream, map-side
+    * combined) — a single shuffle of 64 longs per doc, no row explosion
+    * (the posexplode formulation shuffles 64× the token count). */
   def simhash(docs: DataFrame): DataFrame = {
     val toks = tokens(docs)
-    val bits = toks.select(
-      col("doc_id"),
-      posexplode(array((0 until 64).map(i =>
-        shiftright(xxhash64(col("w")), i).bitwiseAND(lit(1L)) * 2 - 1): _*)))
-      .toDF("doc_id", "pos", "b")
-    bits.groupBy("doc_id", "pos").agg(sum("b").as("sb"))
-      .groupBy("doc_id")
-      .agg(sum(when(col("sb") > 0, expr("shiftleft(CAST(1 AS BIGINT), pos)"))
-        .otherwise(lit(0L))).as("simhash"))
+    val bitSums = (0 until 64).map(i =>
+      sum(shiftright(xxhash64(col("w")), i).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$i"))
+    toks.groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(
+        col("doc_id"),
+        (0 until 64).map(i => when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
   }
 
   /** SimHash near-dup pairs: 4×16-bit band blocking, then exact Hamming
