@@ -102,6 +102,24 @@ class EngineSpec extends AnyFunSuite {
     assert(spark.read.orc(out).count() == 25)
   }
 
+  test("csv source directory round-trips through the engine") {
+    // export two tables as CSV, then query them through the csv:// scheme
+    val dir = Files.createTempDirectory("graft-csv-src").toString
+    Engine.export(spark, s"parquet://$sf", "SELECT * FROM region", s"$dir/region.csv")
+    Engine.export(spark, s"parquet://$sf", "SELECT * FROM nation", s"$dir/nation.csv")
+    val df = Engine.query(spark, s"csv://$dir",
+      "SELECT r.r_name, count(*) AS n FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey GROUP BY r.r_name")
+    assert(df.count() == 5)
+    assert(df.agg(org.apache.spark.sql.functions.sum("n")).first().getLong(0) == 25)
+  }
+
+  test("exportDir writes a parallel directory of part-files") {
+    val dir = Files.createTempDirectory("graft-dir").resolve("out").toString
+    Engine.exportDir(spark, s"parquet://$sf",
+      "SELECT l_orderkey, l_quantity FROM lineitem", dir, "parquet")
+    assert(spark.read.parquet(dir).count() == 6000)
+  }
+
   test("zero-row export writes header-only csv, not a broken empty file") {
     val out = tmp("csv")
     Engine.export(spark, s"parquet://$sf",
