@@ -84,6 +84,8 @@ object Registry {
       "SELECT l_returnflag, sum(l_quantity*l_quantity) AS sum_sq, count(*) AS n FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     q("q28_map_explode", Relational.q28MapExplode,
       "SELECT 'k' AS key, count(*) AS n, CAST(sum(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS BIGINT) AS total FROM events ORDER BY key"),
+    q("q29_typed_dataset", Relational.q29TypedDataset,
+      "SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     q("ev5_asof_join", AsOf.eventsLatestOrder,
       "WITH u AS (SELECT user_id AS k, epoch_us(ts) AS t, 1 AS is_l, event_id, CAST(NULL AS BIGINT) AS o_orderkey, CAST(NULL AS DOUBLE) AS o_totalprice FROM events UNION ALL SELECT o_custkey, epoch_us(o_orderdate), 0, CAST(NULL AS BIGINT), o_orderkey, o_totalprice FROM orders), wv AS (SELECT k, is_l, event_id, last_value(o_orderkey IGNORE NULLS) OVER (PARTITION BY k ORDER BY t, is_l, o_orderkey NULLS FIRST ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_orderkey, last_value(o_totalprice IGNORE NULLS) OVER (PARTITION BY k ORDER BY t, is_l, o_orderkey NULLS FIRST ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_totalprice FROM u) SELECT event_id, k AS user_id, asof_orderkey, asof_totalprice FROM wv WHERE is_l = 1 ORDER BY event_id"),
 

@@ -41,6 +41,15 @@ object VectorFunctions {
   /** Codegen'd ‖a‖₂. */
   def normFast(a: Column): Column = sqrt(dotFast(a, a))
 
+  /** Make `float_vector_dot` callable from SQL text on an existing session
+    * (the `GraftExtensions` route covers sessions built with
+    * `spark.sql.extensions`). */
+  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "float_vector_dot",
+      exprs => FloatVectorDot(exprs.head, exprs(1)),
+      "built-in")
+
   /** Squared euclidean distance. */
   def l2sq(a: Column, b: Column): Column =
     aggregate(

@@ -305,6 +305,32 @@ object Relational {
       .agg(count(lit(1)).as("n"), sum("value").as("total"))
       .orderBy("key")
 
+  /** Row type for the typed-Dataset surface (compile-time field checks). */
+  final case class Li(l_returnflag: String, l_quantity: Double)
+
+  /** Typed Dataset API: case-class encoder + groupByKey/mapGroups. The
+    * aggregate is integer-exact (quantities are whole numbers < 2^53), so
+    * iteration order inside a group cannot change the result. Note the
+    * deliberate tradeoff documented here: mapGroups forgoes partial
+    * aggregation (all rows shuffle), which is why the untyped agg path is
+    * preferred for plain sums at scale — this query exists to cover the
+    * typed surface. */
+  def q29TypedDataset(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    t(s, d, "lineitem")
+      .select("l_returnflag", "l_quantity")
+      .as[Li]
+      .groupByKey(_.l_returnflag)
+      .mapGroups { (flag, rows) =>
+        var n = 0L
+        var qty = 0.0
+        rows.foreach { r => n += 1; qty += r.l_quantity }
+        (flag, n, qty)
+      }
+      .toDF("l_returnflag", "n", "sum_qty")
+      .orderBy("l_returnflag")
+  }
+
   /** Conditional aggregation via pivot (explicit value list keeps the plan a
     * single pass — no second job to discover pivot values). */
   def q26Pivot(s: SparkSession, d: String): DataFrame =

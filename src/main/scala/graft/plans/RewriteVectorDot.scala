@@ -50,8 +50,13 @@ object RewriteVectorDot extends Rule[LogicalPlan] {
 }
 
 /** `spark.sql.extensions` entry point registering the graft optimizer
-  * rules. */
+  * rules and SQL functions. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RewriteVectorDot)
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("float_vector_dot"),
+      new ExpressionInfo(classOf[FloatVectorDot].getName, "float_vector_dot"),
+      (exprs: Seq[Expression]) => FloatVectorDot(exprs.head, exprs(1))))
+  }
 }

@@ -57,8 +57,11 @@ object Sinks {
     * export should use; `writeSingleFile` below exists only for
     * reference-parity ("one named output file", reference src/main.rs:17).
     */
-  def writeDir(df: DataFrame, path: String, format: Format): Unit =
-    writer(df, format).save(path)
+  def writeDir(df: DataFrame, path: String, format: Format,
+      partitionBy: Seq[String] = Nil): Unit = {
+    val w = writer(df, format)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).save(path)
+  }
 
   /** Reference-parity sink: exactly one output file at `path`.
     *

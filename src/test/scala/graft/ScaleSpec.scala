@@ -43,6 +43,27 @@ class ScaleSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("partitioned write enables partition pruning on read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").resolve("events").toString
+    graft.sinks.Sinks.writeDir(
+      Tables(spark, sf, "events"), dir, graft.sinks.Sinks.Parquet, partitionBy = Seq("event_type"))
+    val read = spark.read.parquet(dir).filter(col("event_type") === "purchase")
+    val p = read.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(event_type"), p.take(500))
+    val expected = Tables(spark, sf, "events")
+      .filter(col("event_type") === "purchase").count()
+    assert(read.count() == expected)
+  }
+
+  test("float_vector_dot is callable from SQL and codegen'd") {
+    graft.functions.VectorFunctions.registerSql(spark)
+    Tables(spark, sf, "embeddings").createOrReplaceTempView("emb_sql")
+    val df = spark.sql(
+      "SELECT vec_id, float_vector_dot(embedding, embedding) AS sq FROM emb_sql ORDER BY vec_id LIMIT 5")
+    val got = df.collect()
+    assert(got.length == 5 && got.forall(_.getDouble(1) > 0))
+  }
+
   test("bucketed co-located join eliminates the shuffle entirely") {
     val wh = java.nio.file.Files.createTempDirectory("graft-warehouse").toString
     val n = 8
