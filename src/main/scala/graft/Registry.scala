@@ -29,7 +29,7 @@ object Registry {
 
   val all: Seq[RegisteredQuery] = Seq(
     q("q01_pricing_summary", Relational.q01PricingSummary,
-      "SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty, round(sum(l_extendedprice),2) AS sum_base_price, round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price, round(avg(l_quantity),2) AS avg_qty, count(*) AS count_order FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+      "SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty, round(sum(l_extendedprice),2) AS sum_base_price, round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price, avg(l_quantity) AS avg_qty, count(*) AS count_order FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
     q("q02_filter_project", Relational.q02FilterProject,
       "SELECT l_orderkey, l_linenumber, l_extendedprice*(1-l_discount) AS revenue FROM lineitem WHERE l_quantity >= 10 AND l_quantity <= 20 AND l_discount > 0.05 ORDER BY l_orderkey, l_linenumber"),
     q("q03_top_revenue_orders", Relational.q03TopRevenueOrders,
@@ -115,7 +115,7 @@ object Registry {
     q("ev1_tumbling_window", Events.tumbling,
       "SELECT date_trunc('hour', ts) AS w_start, event_type, count(*) AS n, round(sum(value),2) AS total_value FROM events GROUP BY 1, 2 ORDER BY w_start, event_type"),
     q("ev2_sessionization", Events.sessions,
-      "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events), f AS (SELECT user_id, event_id, ts_us, CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL OR ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) > 1800000000 THEN 1 ELSE 0 END AS new_s FROM e), s AS (SELECT user_id, ts_us, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM f), ps AS (SELECT user_id, session_id, count(*) AS n_events, (max(ts_us) - min(ts_us)) / 1000000 AS dur_s FROM s GROUP BY 1, 2) SELECT user_id, count(*) AS n_sessions, CAST(sum(n_events) AS BIGINT) AS n_events_total, round(avg(n_events),2) AS avg_events, max(dur_s) AS max_dur_s FROM ps GROUP BY user_id ORDER BY user_id"),
+      "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events), f AS (SELECT user_id, event_id, ts_us, CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL OR ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) > 1800000000 THEN 1 ELSE 0 END AS new_s FROM e), s AS (SELECT user_id, ts_us, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM f), ps AS (SELECT user_id, session_id, count(*) AS n_events, (max(ts_us) - min(ts_us)) / 1000000 AS dur_s FROM s GROUP BY 1, 2) SELECT user_id, count(*) AS n_sessions, CAST(sum(n_events) AS BIGINT) AS n_events_total, avg(n_events) AS avg_events, max(dur_s) AS max_dur_s FROM ps GROUP BY user_id ORDER BY user_id"),
     q("ev3_sliding_window", Events.sliding,
       "WITH x AS (SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000 - CAST(k AS BIGINT) * 900000000) AS w_start FROM events, UNNEST([0, 1, 2, 3]) AS t(k)) SELECT w_start, count(*) AS n FROM x GROUP BY w_start ORDER BY w_start"),
     q("ev4_top_spenders", Events.topSpenders,

@@ -56,7 +56,7 @@ object Events {
       .agg(
         count(lit(1)).as("n_sessions"),
         sum("n_events").as("n_events_total"),
-        round(avg("n_events"), 2).as("avg_events"),
+        avg("n_events").as("avg_events"), // unrounded: exact-integer ratio
         max("dur_s").as("max_dur_s"))
       .orderBy("user_id")
   }

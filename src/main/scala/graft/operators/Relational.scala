@@ -38,7 +38,10 @@ object Relational {
         round(sum("l_quantity"), 2).as("sum_qty"),
         round(sum("l_extendedprice"), 2).as("sum_base_price"),
         round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(avg("l_quantity"), 2).as("avg_qty"),
+        // unrounded: integer-ratio (sum and count of whole-number quantities
+        // are exact) — identical division on both engines; round() at a
+        // .xx5 boundary is not (see q02 note)
+        avg("l_quantity").as("avg_qty"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 

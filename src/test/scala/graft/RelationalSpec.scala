@@ -33,7 +33,7 @@ class RelationalSpec extends AnyFunSuite {
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,
         |round(sum(l_extendedprice),2) AS sum_base_price,
         |round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
-        |round(avg(l_quantity),2) AS avg_qty, count(*) AS count_order
+        |avg(l_quantity) AS avg_qty, count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin)
