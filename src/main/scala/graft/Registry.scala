@@ -29,13 +29,13 @@ object Registry {
 
   val all: Seq[RegisteredQuery] = Seq(
     q("q01_pricing_summary", Relational.q01PricingSummary,
-      "SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty, round(sum(l_extendedprice),2) AS sum_base_price, round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price, avg(l_quantity) AS avg_qty, count(*) AS count_order FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+      "SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price, CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_disc_price, avg(l_quantity) AS avg_qty, count(*) AS count_order FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
     q("q02_filter_project", Relational.q02FilterProject,
       "SELECT l_orderkey, l_linenumber, l_extendedprice*(1-l_discount) AS revenue FROM lineitem WHERE l_quantity >= 10 AND l_quantity <= 20 AND l_discount > 0.05 ORDER BY l_orderkey, l_linenumber"),
     q("q03_top_revenue_orders", Relational.q03TopRevenueOrders,
-      "SELECT o.o_orderkey, round(sum(l.l_extendedprice*(1-l.l_discount)),2) AS revenue FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey JOIN lineitem l ON o.o_orderkey = l.l_orderkey WHERE c.c_mktsegment = 'BUILDING' GROUP BY o.o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10"),
+      "SELECT o.o_orderkey, CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey JOIN lineitem l ON o.o_orderkey = l.l_orderkey WHERE c.c_mktsegment = 'BUILDING' GROUP BY o.o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10"),
     q("q04_region_rollup", Relational.q04RegionCustomerRollup,
-      "SELECT r.r_name, count(*) AS n_customers, round(sum(c.c_acctbal),2) AS total_acctbal FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey JOIN region r ON n.n_regionkey = r.r_regionkey GROUP BY r.r_name ORDER BY r.r_name"),
+      "SELECT r.r_name, count(*) AS n_customers, CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey JOIN region r ON n.n_regionkey = r.r_regionkey GROUP BY r.r_name ORDER BY r.r_name"),
     q("q05_semi_join", Relational.q05SemiJoin,
       "SELECT c_mktsegment, count(*) AS n FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) GROUP BY c_mktsegment ORDER BY c_mktsegment"),
     q("q06_anti_join", Relational.q06AntiJoin,
@@ -43,13 +43,13 @@ object Registry {
     q("q07_distinct", Relational.q07Distinct,
       "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer ORDER BY c_mktsegment, c_nationkey"),
     q("q08_rollup", Relational.q08Rollup,
-      "SELECT o_orderstatus, o_orderpriority, count(*) AS n, round(sum(o_totalprice),2) AS total FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority) ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"),
+      "SELECT o_orderstatus, o_orderpriority, count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority) ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"),
     q("q09_cube", Relational.q09Cube,
       "SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty, count(*) AS n FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"),
     q("q10_grouping_sets", Relational.q10GroupingSets,
       "SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem GROUP BY GROUPING SETS ((l_returnflag),(l_linestatus),()) ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"),
     q("q11_window_rank", Relational.q11WindowRank,
-      "WITH rev AS (SELECT s.s_suppkey, s.s_nationkey, round(sum(l.l_extendedprice*(1-l.l_discount)),2) AS revenue FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey GROUP BY s.s_suppkey, s.s_nationkey) SELECT s_suppkey, s_nationkey, revenue, CAST(rank() OVER (PARTITION BY s_nationkey ORDER BY revenue DESC, s_suppkey) AS BIGINT) AS rnk FROM rev ORDER BY s_nationkey, rnk, s_suppkey"),
+      "WITH rev AS (SELECT s.s_suppkey, s.s_nationkey, CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey GROUP BY s.s_suppkey, s.s_nationkey) SELECT s_suppkey, s_nationkey, revenue, CAST(rank() OVER (PARTITION BY s_nationkey ORDER BY revenue DESC, s_suppkey) AS BIGINT) AS rnk FROM rev ORDER BY s_nationkey, rnk, s_suppkey"),
     q("q12_window_lag", Relational.q12WindowLag,
       "SELECT event_id, user_id, epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us FROM events ORDER BY user_id, event_id"),
     q("q13_running_sum", Relational.q13RunningSum,
@@ -65,18 +65,18 @@ object Registry {
     q("q18_string_funcs", Relational.q18StringFuncs,
       "SELECT p_partkey, upper(p_brand) AS brand_u, CAST(length(p_name) AS BIGINT) AS name_len, substr(p_name, 1, 8) AS name_pfx, p_brand || '/' || p_type AS brand_type, regexp_replace(p_name, 'a', '@', 'g') AS name_sub FROM part ORDER BY p_partkey"),
     q("q19_date_funcs", Relational.q19DateFuncs,
-      "SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, CAST(month(o_orderdate) AS BIGINT) AS mo, count(*) AS n, round(sum(o_totalprice),2) AS total FROM orders GROUP BY 1, 2 ORDER BY yr, mo"),
+      "SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, CAST(month(o_orderdate) AS BIGINT) AS mo, count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total FROM orders GROUP BY 1, 2 ORDER BY yr, mo"),
     q("q20_math_funcs", Relational.q20MathFuncs,
       "SELECT l_orderkey, l_linenumber, round(sqrt(l_extendedprice),6) AS sqrt_price, round(l_discount*l_discount,6) AS disc_sq, CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil, CAST(floor(l_tax*100) AS BIGINT) AS tax_pct, abs(l_extendedprice - l_quantity*1000) AS abs_diff FROM lineitem WHERE l_orderkey % 100 = 0 ORDER BY l_orderkey, l_linenumber"),
     q("q21_case_buckets", Relational.q21CaseBuckets,
-      "SELECT CASE WHEN c_acctbal < 0 THEN 'negative' WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS bucket, count(*) AS n, round(avg(c_acctbal),2) AS avg_bal FROM customer GROUP BY 1 ORDER BY bucket"),
+      "SELECT CASE WHEN c_acctbal < 0 THEN 'negative' WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS bucket, count(*) AS n, CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_bal FROM customer GROUP BY 1 ORDER BY bucket"),
     q("q22_json_extract", Relational.q22Json,
       "SELECT CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k, count(*) AS n FROM events GROUP BY k ORDER BY k"),
     q("q23_count_distinct", Relational.q23CountDistinct,
       "SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_part, count(DISTINCT l_suppkey) AS nd_supp, count(*) AS n FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     noOracle("q24_approx_count_distinct", Relational.q24ApproxCountDistinct),
     q("q25_big_join_agg", Relational.q25BigJoinAgg,
-      "SELECT o_orderpriority, count(*) AS n_items, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+      "SELECT o_orderpriority, count(*) AS n_items, CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey GROUP BY o_orderpriority ORDER BY o_orderpriority"),
     q("q26_pivot", Relational.q26Pivot,
       "SELECT user_id, CAST(sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS click, CAST(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS view, CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase, CAST(sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup, CAST(sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS error FROM events GROUP BY user_id ORDER BY user_id"),
 
@@ -95,11 +95,11 @@ object Registry {
     q("dd2_fingerprint_dedup", Dedup.fingerprint,
       "SELECT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY fp ORDER BY keep_id"),
     q("dd3_jaccard_pairs", Dedup.jaccardPairs,
-      "WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0), toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM d), sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id), inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c FROM toks a JOIN toks b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT id_a, id_b, round(c / (sa.n + sb.n - c), 4) AS jaccard FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id WHERE c / (sa.n + sb.n - c) >= 0.85 ORDER BY id_a, id_b"),
+      "WITH m AS (SELECT greatest(1, count(*) // 500) AS mod FROM documents), d AS (SELECT doc_id, text FROM documents, m WHERE doc_id % m.mod = 0), toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM d), sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id), inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c FROM toks a JOIN toks b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT id_a, id_b, round(c / (sa.n + sb.n - c), 4) AS jaccard FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id WHERE c / (sa.n + sb.n - c) >= 0.85 ORDER BY id_a, id_b"),
     noOracle("dd4_minhash_lsh", Dedup.minhashLsh),
     noOracle("dd5_simhash_pairs", Dedup.simhashPairs),
     q("dd6_embedding_neardup", Dedup.embeddingNearDup,
-      "SELECT a.vec_id AS id_a, b.vec_id AS id_b, round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cos FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4 ORDER BY id_a, id_b"),
+      "WITH m AS (SELECT greatest(1, count(*) // 2000) AS mod FROM embeddings), e AS (SELECT vec_id, embedding FROM embeddings, m WHERE vec_id % m.mod = 0) SELECT a.vec_id AS id_a, b.vec_id AS id_b, round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cos FROM e a JOIN e b ON a.vec_id < b.vec_id WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4 ORDER BY id_a, id_b"),
 
     // ---- text analysis ----
     q("tx1_token_stats", TextAnalysis.tokenStats,
@@ -108,18 +108,20 @@ object Registry {
       "SELECT doc_id, n_chars, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens, round((length(text) - (len(string_split(text,' ')) - 1)) / CAST(len(string_split(text,' ')) AS DOUBLE), 4) AS avg_word_len, round(len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and','to','in'))) / CAST(len(string_split(text,' ')) AS DOUBLE), 4) AS stop_ratio, round(len(list_distinct(string_split(text,' '))) / CAST(len(string_split(text,' ')) AS DOUBLE), 4) AS diversity, round((1.0 - len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and','to','in'))) / CAST(len(string_split(text,' ')) AS DOUBLE)) * least(CAST(len(string_split(text,' ')) AS DOUBLE), 100.0) / 100.0, 4) AS quality FROM documents ORDER BY doc_id"),
     q("tx3_language_id", TextAnalysis.languageId,
       "WITH h AS (SELECT doc_id, lang, len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and'))) AS en_h, len(list_filter(string_split(text,' '), w -> w IN ('der','die','das','und'))) AS de_h, len(list_filter(string_split(text,' '), w -> w IN ('el','la','los','y'))) AS es_h, len(list_filter(string_split(text,' '), w -> w IN ('le','les','des','et'))) AS fr_h FROM documents) SELECT doc_id, lang, CASE WHEN en_h = greatest(en_h,de_h,es_h,fr_h) AND en_h > 0 THEN 'en' WHEN de_h = greatest(en_h,de_h,es_h,fr_h) AND de_h > 0 THEN 'de' WHEN es_h = greatest(en_h,de_h,es_h,fr_h) AND es_h > 0 THEN 'es' WHEN fr_h = greatest(en_h,de_h,es_h,fr_h) AND fr_h > 0 THEN 'fr' ELSE 'unknown' END AS pred_lang FROM h ORDER BY doc_id"),
+    q("tx5_regex_tokens", TextAnalysis.regexTokens,
+      "SELECT doc_id, CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_re_tokens, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens FROM documents ORDER BY doc_id"),
     q("tx4_top_bigrams", TextAnalysis.topBigrams,
       "WITH toks AS (SELECT string_split(text,' ') AS a FROM documents WHERE len(string_split(text,' ')) >= 2), bi AS (SELECT a[i] || ' ' || a[i+1] AS bigram FROM toks, UNNEST(generate_series(1, len(a)-1)) AS t(i)) SELECT bigram, count(*) AS n FROM bi GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20"),
 
     // ---- event streams (batch form; streaming twin in graft.streaming) ----
     q("ev1_tumbling_window", Events.tumbling,
-      "SELECT date_trunc('hour', ts) AS w_start, event_type, count(*) AS n, round(sum(value),2) AS total_value FROM events GROUP BY 1, 2 ORDER BY w_start, event_type"),
+      "SELECT date_trunc('hour', ts) AS w_start, event_type, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value FROM events GROUP BY 1, 2 ORDER BY w_start, event_type"),
     q("ev2_sessionization", Events.sessions,
       "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events), f AS (SELECT user_id, event_id, ts_us, CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL OR ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) > 1800000000 THEN 1 ELSE 0 END AS new_s FROM e), s AS (SELECT user_id, ts_us, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM f), ps AS (SELECT user_id, session_id, count(*) AS n_events, (max(ts_us) - min(ts_us)) / 1000000 AS dur_s FROM s GROUP BY 1, 2) SELECT user_id, count(*) AS n_sessions, CAST(sum(n_events) AS BIGINT) AS n_events_total, avg(n_events) AS avg_events, max(dur_s) AS max_dur_s FROM ps GROUP BY user_id ORDER BY user_id"),
     q("ev3_sliding_window", Events.sliding,
       "WITH x AS (SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000 - CAST(k AS BIGINT) * 900000000) AS w_start FROM events, UNNEST([0, 1, 2, 3]) AS t(k)) SELECT w_start, count(*) AS n FROM x GROUP BY w_start ORDER BY w_start"),
     q("ev4_top_spenders", Events.topSpenders,
-      "SELECT user_id, count(*) AS n_purchases, round(sum(value),2) AS spend FROM events WHERE event_type = 'purchase' GROUP BY user_id ORDER BY spend DESC, user_id LIMIT 10"),
+      "SELECT user_id, count(*) AS n_purchases, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS spend FROM events WHERE event_type = 'purchase' GROUP BY user_id ORDER BY spend DESC, user_id LIMIT 10"),
 
     // ---- similarity search ----
     q("ss1_topk_bruteforce", Similarity.bruteForceTopK,

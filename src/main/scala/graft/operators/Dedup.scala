@@ -43,13 +43,17 @@ object Dedup {
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy("keep_id")
 
-  /** Exact pairwise word-set Jaccard on a deterministic 10% doc_id sample
+  /** Exact pairwise word-set Jaccard on a deterministic doc_id sample
     * (oracle for the LSH variant). Intersections come from a token-equi-join
-    * — cost Σ_w df(w)², which the sample bounds. Jaccard is a ratio of
-    * integer counts ⇒ bit-identical across engines.
+    * — cost Σ_w df(w)², quadratic in sampled docs, so the sample modulus
+    * adapts to corpus size (target ≈500 docs: m = max(1, n/500), the same
+    * arithmetic the oracle SQL computes). Jaccard is a ratio of integer
+    * counts ⇒ bit-identical across engines.
     */
   def jaccardPairs(s: SparkSession, d: String): DataFrame = {
-    val docs = t(s, d, "documents").filter(col("doc_id") % 10 === 0)
+    val all = t(s, d, "documents")
+    val m = math.max(1L, all.count() / 500)
+    val docs = all.filter(col("doc_id") % m === 0)
     val toks = tokens(docs).cache()
     val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = toks.as("a")
@@ -151,12 +155,17 @@ object Dedup {
     * candidates from band equi-join only. */
   def simhashPairs(s: SparkSession, d: String): DataFrame = {
     val sh = simhash(t(s, d, "documents")).cache()
-    val banded = sh.select(
+    val allBanded = sh.select(
       col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
           shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*)).as("bk"))
       .select(col("doc_id"), col("simhash"), col("bk.band").as("band"), col("bk.key").as("key"))
+    // same skew control as MinHash-LSH: a band bucket of k docs costs k²
+    // candidate pairs, so hot buckets are dropped rather than exploded
+    val smallBuckets = allBanded.groupBy("band", "key")
+      .agg(count(lit(1)).as("bsz")).filter(col("bsz") <= BucketCap)
+    val banded = allBanded.join(smallBuckets, Seq("band", "key"))
     banded.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
@@ -173,7 +182,12 @@ object Dedup {
     * (embeddings table is small even at sf0.1); the LSH-bucketed route for
     * big corpora is Similarity.lshTopK. */
   def embeddingNearDup(s: SparkSession, d: String): DataFrame = {
-    val e = t(s, d, "embeddings")
+    val all = t(s, d, "embeddings")
+    // brute force is O(n²): bound the pair count with the same adaptive
+    // deterministic sample rule as jaccardPairs (target ≈2000 vectors);
+    // the LSH-bucketed route (Similarity.lshTopK) is the unbounded-n path
+    val m = math.max(1L, all.count() / 2000)
+    val e = all.filter(col("vec_id") % m === 0)
     // norms are computed once per row before the O(n²) join; each pair then
     // costs a single codegen'd dot product (FloatVectorDot)
     val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"),

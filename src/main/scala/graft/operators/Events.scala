@@ -23,7 +23,8 @@ object Events {
   def tumbling(s: SparkSession, d: String): DataFrame =
     t(s, d, "events")
       .groupBy(timeWindow(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
       .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("total_value"))
       .orderBy("w_start", "event_type")
 
@@ -66,7 +67,8 @@ object Events {
     t(s, d, "events")
       .filter(col("event_type") === "purchase")
       .groupBy("user_id")
-      .agg(count(lit(1)).as("n_purchases"), round(sum("value"), 2).as("spend"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("spend"))
       .orderBy(col("spend").desc, col("user_id"))
       .limit(10)
 }

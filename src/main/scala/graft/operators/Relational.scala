@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -26,6 +26,18 @@ object Relational {
 
   private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
 
+  /** Money sums accumulate in DECIMAL, not double: at 100 TB a double sum's
+    * accumulated error exceeds a cent (observed at the 10× stress scale:
+    * 6e10-magnitude revenue differed from the sequential oracle in the 2nd
+    * decimal), while decimal sums are exact, order-insensitive, and
+    * identical on every engine. Rounded (a no-op beyond scale 2→2) and cast
+    * to double only for output. */
+  private def decMoney(c: Column): Column = c.cast("decimal(18,2)")
+  private val revenueDec: Column =
+    decMoney(col("l_extendedprice")) * (lit(1).cast("decimal(3,2)") - decMoney(col("l_discount")))
+  private def sumMoney(c: Column): Column = sum(decMoney(c)).cast("double")
+  private def sumRevenue: Column = round(sum(revenueDec), 2).cast("double")
+
   /** TPC-H Q1-style pricing summary: scan → filter (pushed to parquet) →
     * hash aggregate (partial map-side + final). One shuffle on the 2-column
     * group key; at 100 TB this stays the textbook plan.
@@ -36,8 +48,8 @@ object Relational {
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        sumMoney(col("l_extendedprice")).as("sum_base_price"),
+        sumRevenue.as("sum_disc_price"),
         // unrounded: integer-ratio (sum and count of whole-number quantities
         // are exact) — identical division on both engines; round() at a
         // .xx5 boundary is not (see q02 note)
@@ -70,7 +82,7 @@ object Relational {
     broadcast(c).join(o, c("c_custkey") === o("o_custkey"))
       .join(l, o("o_orderkey") === l("l_orderkey"))
       .groupBy(o("o_orderkey").as("o_orderkey"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(sumRevenue.as("revenue"))
       .orderBy(col("revenue").desc, col("o_orderkey"))
       .limit(10)
   }
@@ -83,7 +95,7 @@ object Relational {
     c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy(r("r_name").as("r_name"))
-      .agg(count(lit(1)).as("n_customers"), round(sum("c_acctbal"), 2).as("total_acctbal"))
+      .agg(count(lit(1)).as("n_customers"), sumMoney(col("c_acctbal")).as("total_acctbal"))
       .orderBy("r_name")
   }
 
@@ -119,7 +131,7 @@ object Relational {
   def q08Rollup(s: SparkSession, d: String): DataFrame =
     t(s, d, "orders")
       .rollup("o_orderstatus", "o_orderpriority")
-      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .agg(count(lit(1)).as("n"), sumMoney(col("o_totalprice")).as("total"))
       .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
 
   /** CUBE over two lineitem flags. */
@@ -146,7 +158,7 @@ object Relational {
     val sup = t(s, d, "supplier")
     val rev = l.join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
       .groupBy(sup("s_suppkey").as("s_suppkey"), sup("s_nationkey").as("s_nationkey"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(sumRevenue.as("revenue"))
     val w = Window.partitionBy("s_nationkey").orderBy(col("revenue").desc, col("s_suppkey"))
     rev.withColumn("rnk", rank().over(w).cast("long"))
       .orderBy("s_nationkey", "rnk", "s_suppkey")
@@ -219,7 +231,7 @@ object Relational {
       .groupBy(
         year(col("o_orderdate")).cast("long").as("yr"),
         month(col("o_orderdate")).cast("long").as("mo"))
-      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .agg(count(lit(1)).as("n"), sumMoney(col("o_totalprice")).as("total"))
       .orderBy("yr", "mo")
 
   /** Math scalar functions (IEEE-deterministic: sqrt/pow/abs/ceil/floor). */
@@ -244,7 +256,8 @@ object Relational {
           .otherwise("high").as("bucket"),
         col("c_acctbal"))
       .groupBy("bucket")
-      .agg(count(lit(1)).as("n"), round(avg("c_acctbal"), 2).as("avg_bal"))
+      .agg(count(lit(1)).as("n"),
+        (sumMoney(col("c_acctbal")) / count(lit(1))).as("avg_bal"))
       .orderBy("bucket")
 
   /** JSON extraction from the events.props payload. */
@@ -285,7 +298,7 @@ object Relational {
       .groupBy("o_orderpriority")
       .agg(
         count(lit(1)).as("n_items"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        sumRevenue.as("revenue"))
       .orderBy("o_orderpriority")
   }
 

@@ -1,0 +1,49 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Builds a 10×-sf0.1 stress corpus under /tmp/stress by replicating each
+  * table with shifted keys (join consistency preserved: every *10+k key
+  * maps across fact/dim tables). Documents/embeddings replicate content
+  * verbatim — deliberately creating true duplicate clusters to stress the
+  * dedup operators' skew handling. Usage: runMain graft.tools.MakeStress
+  */
+object MakeStress {
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = if (args.length > 1) args(1) else "/tmp/stress"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def rep(df: DataFrame, keyShifts: Map[String, Int => String => String] = Map.empty): DataFrame = df
+
+    val k = explode(array((0 until 10).map(lit): _*)).as("k")
+    def shifted(name: String, keys: String*): DataFrame = {
+      val df = graft.Tables(spark, src, name).withColumn("k", k)
+      keys.foldLeft(df)((d, c) => d.withColumn(c, col(c) * 10 + col("k"))).drop("k")
+    }
+
+    val tables: Seq[(String, DataFrame)] = Seq(
+      "region" -> graft.Tables(spark, src, "region"),
+      "nation" -> graft.Tables(spark, src, "nation"),
+      "customer" -> shifted("customer", "c_custkey"),
+      "supplier" -> shifted("supplier", "s_suppkey"),
+      "part" -> shifted("part", "p_partkey"),
+      "orders" -> shifted("orders", "o_orderkey", "o_custkey"),
+      "lineitem" -> shifted("lineitem", "l_orderkey", "l_partkey", "l_suppkey"),
+      "events" -> shifted("events", "event_id"),
+      "documents" -> shifted("documents", "doc_id"),
+      "embeddings" -> shifted("embeddings", "vec_id"))
+    tables.foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+      println(s"$name: ${spark.read.parquet(s"$out/$name.parquet").count()} rows")
+    }
+    spark.stop()
+  }
+}
