@@ -302,6 +302,19 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** Correlated scalar subquery — Catalyst decorrelates it into a left
+    * outer aggregate join (no per-row execution; same query text runs on
+    * the oracle). Raw max/count outputs, so no float arithmetic at all. */
+  def q30CorrelatedSubquery(s: SparkSession, d: String): DataFrame = {
+    Tables.registerAll(s, d)
+    s.sql(
+      """SELECT c_custkey,
+        |       (SELECT max(o_totalprice) FROM orders o WHERE o.o_custkey = c.c_custkey) AS max_order,
+        |       (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
+        |FROM customer c
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   /** Typed UDAF (Aggregator[IN,BUF,OUT]) in a grouped aggregation. */
   def q27TypedUdaf(s: SparkSession, d: String): DataFrame = {
     val sumsq = udaf(graft.functions.Aggregators.SumOfSquares)
