@@ -93,7 +93,7 @@ object Dedup {
     */
   def minhashLsh(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents")
-    val sigs = minhashSignatures(docs)
+    val sigs = minhashSignatures(docs).cache() // reused: band keys + full-signature groups
     val bandCols = (0 until NumBands).map { b =>
       val hs = (0 until BandSize).map(i => col(s"h${b * BandSize + i}"))
       struct(lit(b).as("band"), xxhash64(hs: _*).as("sig"))
@@ -105,12 +105,27 @@ object Dedup {
       .filter(col("bsz") <= BucketCap)
     val capped = bands.join(bucketSizes, Seq("band", "sig"))
 
-    val candidates = capped.as("x")
+    val bucketPairs = capped.as("x")
       .join(capped.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-      .distinct()
+
+    // Recall recovery for capped hot buckets, in LINEAR cost: documents
+    // sharing the FULL signature (near-certain duplicates — exactly what
+    // fills a hot bucket) pair against their group's canonical doc as a
+    // star, not pairwise. Still exact-verified below, so precision is
+    // unaffected.
+    val keyed = sigs.withColumn("sigkey",
+      xxhash64((0 until NumHashes).map(i => col(s"h$i")): _*))
+    val canon = keyed.groupBy("sigkey")
+      .agg(min("doc_id").as("id_a"), count(lit(1)).as("gsz"))
+      .filter(col("gsz") > 1)
+    val starPairs = keyed.join(canon, "sigkey")
+      .filter(col("doc_id") =!= col("id_a"))
+      .select(col("id_a"), col("doc_id").as("id_b"))
+
+    val candidates = bucketPairs.unionByName(starPairs).distinct()
 
     verifiedJaccard(docs, candidates)
       .filter(col("jaccard") >= 0.85)
