@@ -24,13 +24,18 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     ensureNanosReadable(spark)
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    // ns → µs truncation is exactly what DuckDB does reading the same file,
-    // so oracle comparisons on ts-derived values stay bit-exact.
+    normalizeNanos(spark.read.parquet(s"$dir/$name.parquet"))
+  }
+
+  /** Rebuild a nanosAsLong-read `ts` column into a µs timestamp. The ns → µs
+    * truncation is exactly what DuckDB does reading the same file, so oracle
+    * comparisons on ts-derived values stay bit-exact. Applied on every read
+    * path (Tables and the engine's view registration) so `ts` has one type
+    * everywhere. */
+  def normalizeNanos(df: DataFrame): DataFrame =
     df.schema.fields.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
       .map(_ => df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)")))
       .getOrElse(df)
-  }
 
   /** Register every table in `dir` as a temp view so `spark.sql` queries
     * (the engine's verbatim-SQL path, ≈ reference src/main.rs:29) resolve.

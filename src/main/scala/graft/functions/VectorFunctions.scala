@@ -47,7 +47,10 @@ object VectorFunctions {
   def registerSql(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "float_vector_dot",
-      exprs => FloatVectorDot(exprs.head, exprs(1)),
+      exprs => {
+        require(exprs.length == 2, s"float_vector_dot expects 2 arguments, got ${exprs.length}")
+        FloatVectorDot(exprs.head, exprs(1))
+      },
       "built-in")
 
   /** Squared euclidean distance. */

@@ -69,10 +69,13 @@ object Multimodal {
     * (stand-in for video frame extraction), as a codegen'd expression —
     * no UDF. */
   def sampleFrames(media: DataFrame, frameSize: Int, stride: Int, maxFrames: Int): DataFrame = {
-    val lastIdx = greatest(lit(0), least(
+    val lastIdx = least(
       floor((octet_length(col("payload")) - frameSize).cast("double") / stride).cast("int"),
-      lit(maxFrames - 1)))
-    media.select(col("media_id"), sequence(lit(0), lastIdx).as("frame_idx"))
+      lit(maxFrames - 1))
+    // payloads shorter than one frame produce no rows (lastIdx < 0), rather
+    // than a phantom frame 0 the payload cannot fill
+    media.filter(octet_length(col("payload")) >= frameSize)
+      .select(col("media_id"), sequence(lit(0), lastIdx).as("frame_idx"))
       .select(col("media_id"), explode(col("frame_idx")).as("frame_no"))
   }
 

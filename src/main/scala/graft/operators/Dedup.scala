@@ -54,7 +54,10 @@ object Dedup {
     val all = t(s, d, "documents")
     val m = math.max(1L, all.count() / 500)
     val docs = all.filter(col("doc_id") % m === 0)
-    val toks = tokens(docs).cache()
+    // not cached: the token stream is a cheap codegen'd scan+split, and
+    // Verify/Bench run ~50 queries in one session — per-query caches would
+    // accumulate in storage memory across the run
+    val toks = tokens(docs)
     val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = toks.as("a")
       .join(toks.as("b"), col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
@@ -169,7 +172,7 @@ object Dedup {
     * verification ≤ 3 via bit_count(xor). Same LSH shape as MinHash —
     * candidates from band equi-join only. */
   def simhashPairs(s: SparkSession, d: String): DataFrame = {
-    val sh = simhash(t(s, d, "documents")).cache()
+    val sh = simhash(t(s, d, "documents")) // not cached: see jaccardPairs note
     val allBanded = sh.select(
       col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(b =>

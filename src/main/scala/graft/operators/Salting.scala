@@ -29,6 +29,8 @@ object Salting {
       key: String,
       saltBy: Seq[Column],
       factor: Int): DataFrame = {
+    require(!large.columns.contains("__salt") && !small.columns.contains("__salt"),
+      "saltedEquiJoin uses a __salt working column; inputs must not already have one")
     val salted = large.withColumn("__salt", pmod(hash(saltBy: _*), lit(factor)))
     val replicated = small.withColumn("__salt",
       explode(array((0 until factor).map(lit): _*)))

@@ -31,19 +31,24 @@ object RewriteVectorDot extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  private def isDoubleCastOfVar(e: Expression): Boolean = e match {
-    case Cast(_: NamedLambdaVariable, DoubleType, _, _) => true
-    case _ => false
+  private def castOfVar(e: Expression): Option[NamedLambdaVariable] = e match {
+    case Cast(v: NamedLambdaVariable, DoubleType, _, _) => Some(v)
+    case _ => None
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
     case ArrayAggregate(
-          ZipWith(a, b, LambdaFunction(Multiply(x, y, _), _, _)),
+          ZipWith(a, b, LambdaFunction(Multiply(x, y, _), mergeArgs, _)),
           Literal(0.0, DoubleType),
           LambdaFunction(Add(acc: NamedLambdaVariable, v: NamedLambdaVariable, _), _, _),
           LambdaFunction(fin: NamedLambdaVariable, Seq(finArg), _))
         if isFloatArray(a) && isFloatArray(b) &&
-          isDoubleCastOfVar(x) && isDoubleCastOfVar(y) &&
+          // the multiply's operands must be exactly the lambda's two distinct
+          // arguments (in order) — (x, y) -> double(x) * double(x) is a sum
+          // of squares of a, NOT a·b, and must not match
+          mergeArgs.size == 2 &&
+          castOfVar(x).exists(_.exprId == mergeArgs.head.exprId) &&
+          castOfVar(y).exists(_.exprId == mergeArgs(1).exprId) &&
           acc != v && fin.exprId == finArg.exprId =>
       FloatVectorDot(a, b)
   }
@@ -57,6 +62,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("float_vector_dot"),
       new ExpressionInfo(classOf[FloatVectorDot].getName, "float_vector_dot"),
-      (exprs: Seq[Expression]) => FloatVectorDot(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, s"float_vector_dot expects 2 arguments, got ${exprs.length}")
+        FloatVectorDot(exprs.head, exprs(1))
+      }))
   }
 }

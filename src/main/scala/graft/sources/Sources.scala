@@ -51,7 +51,8 @@ object Source {
           case "csv" => spark.read.option("header", "true").option("inferSchema", "true")
           case _     => spark.read
         }
-        reader.format(format).load(f.getAbsolutePath).createOrReplaceTempView(name)
+        graft.Tables.normalizeNanos(reader.format(format).load(f.getAbsolutePath))
+          .createOrReplaceTempView(name)
       }
     }
   }

@@ -38,7 +38,10 @@ object StreamingOps {
     events
       .withWatermark("ts", "2 hours")
       .groupBy(timeWindow(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .agg(count(lit(1)).as("n"),
+        // identical to the batch twin (Events.tumbling): exact decimal
+        // accumulation, so batch ≡ stream holds at any scale
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
       .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("total_value"))
 
   /** Built-in session windows (30-minute gap), the streaming analogue of

@@ -21,8 +21,6 @@ object MakeStress {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def rep(df: DataFrame, keyShifts: Map[String, Int => String => String] = Map.empty): DataFrame = df
-
     val k = explode(array((0 until 10).map(lit): _*)).as("k")
     def shifted(name: String, keys: String*): DataFrame = {
       val df = graft.Tables(spark, src, name).withColumn("k", k)

@@ -69,8 +69,12 @@ def main() -> int:
     extra = sorted(set(p.split("/")[-1] for p in glob.glob(f"{outdir}/*") if "/oracle_sql" not in p)
                    - set(oracle))
     for name in extra:
-        n = con.sql(f"SELECT count(*) FROM '{outdir}/{name}/*.parquet'").fetchone()[0]
-        print(f"{name}: rows-only ({n} rows)")
+        try:
+            n = con.sql(f"SELECT count(*) FROM '{outdir}/{name}/*.parquet'").fetchone()[0]
+            print(f"{name}: rows-only ({n} rows)")
+        except Exception as e:  # noqa: BLE001
+            print(f"{name}: rows-only FAIL (no readable output: {e})")
+            fails.append(name)
     print(f"\n{len(oracle) - len(fails)}/{len(oracle)} oracle queries OK")
     return 1 if fails else 0
 
