@@ -120,6 +120,17 @@ class EngineSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == 6000)
   }
 
+  test("orc and json source directories round-trip through the engine") {
+    val dir = Files.createTempDirectory("graft-multi-src").toString
+    Engine.export(spark, s"parquet://$sf", "SELECT * FROM region", s"$dir/region.orc")
+    assert(Engine.query(spark, s"orc://$dir", "SELECT count(*) AS n FROM region")
+      .first().getLong(0) == 5)
+    val jdir = Files.createTempDirectory("graft-json-src").toString
+    Engine.export(spark, s"parquet://$sf", "SELECT n_nationkey, n_name FROM nation", s"$jdir/nation.json")
+    assert(Engine.query(spark, s"json://$jdir", "SELECT count(*) AS n FROM nation")
+      .first().getLong(0) == 25)
+  }
+
   test("zero-row export writes header-only csv, not a broken empty file") {
     val out = tmp("csv")
     Engine.export(spark, s"parquet://$sf",

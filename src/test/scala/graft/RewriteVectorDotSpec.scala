@@ -29,6 +29,17 @@ class RewriteVectorDotSpec extends AnyFunSuite {
         .select(VectorFunctions.dot(col("embedding"), col("qv")).as("dp"))
         .collect().map(_.getDouble(0)).sorted.toSeq
       assert(withRule == withoutRule)
+
+      // negative case: sum-of-squares over ONE array uses the same shape but
+      // both multiply operands are the same lambda variable — must NOT be
+      // rewritten into a dot product of two arrays
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteVectorDot
+      val sq = e.crossJoin(q).select(
+        aggregate(
+          zip_with(col("embedding"), col("qv"), (x, _) => x.cast("double") * x.cast("double")),
+          lit(0.0), (acc, v) => acc + v).as("sumsq"))
+      assert(!sq.queryExecution.optimizedPlan.toString.contains("float_vector_dot"))
     } finally {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations.filterNot(_ == RewriteVectorDot)
