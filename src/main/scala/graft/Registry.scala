@@ -84,6 +84,9 @@ object Registry {
       "SELECT l_returnflag, sum(l_quantity*l_quantity) AS sum_sq, count(*) AS n FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     q("q28_map_explode", Relational.q28MapExplode,
       "SELECT 'k' AS key, count(*) AS n, CAST(sum(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS BIGINT) AS total FROM events ORDER BY key"),
+    q("q31_percentiles", Relational.q31Percentiles,
+      "SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS p50, quantile_cont(l_extendedprice, 0.95) AS p95, count(*) AS n FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    noOracle("q32_approx_percentiles", Relational.q32ApproxPercentiles),
     q("q30_correlated_subquery", Relational.q30CorrelatedSubquery,
       "SELECT c_custkey, (SELECT max(o_totalprice) FROM orders o WHERE o.o_custkey = c.c_custkey) AS max_order, (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders FROM customer c ORDER BY c_custkey"),
     q("q29_typed_dataset", Relational.q29TypedDataset,

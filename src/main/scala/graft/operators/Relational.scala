@@ -302,6 +302,29 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** Exact percentiles (sort-based; both engines linearly interpolate with
+    * the same formula over identical doubles). The sketch-based scale path
+    * is q32. */
+  def q31Percentiles(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_extendedprice, 0.5)").as("p50"),
+        expr("percentile(l_extendedprice, 0.95)").as("p95"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** Sketch percentiles (KLL-style approx_percentile) — the 100 TB path
+    * where an exact global sort is off the table. Engine-specific sketch ⇒
+    * rows-only driver check; bounds asserted in RelationalSpec. */
+  def q32ApproxPercentiles(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("ap50"),
+        expr("approx_percentile(l_extendedprice, 0.95, 1000)").as("ap95"))
+      .orderBy("l_returnflag")
+
   /** Correlated scalar subquery — Catalyst decorrelates it into a left
     * outer aggregate join (no per-row execution; same query text runs on
     * the oracle). Raw max/count outputs, so no float arithmetic at all. */

@@ -63,6 +63,16 @@ class RelationalSpec extends AnyFunSuite {
     assert(Registry.queries("q08_rollup")(spark, sf).count() == 19)
   }
 
+  test("approx percentiles land near the exact ones") {
+    val exact = Registry.queries("q31_percentiles")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    Registry.queries("q32_approx_percentiles")(spark, sf).collect().foreach { r =>
+      val (p50, p95) = exact(r.getString(0))
+      assert(math.abs(r.getDouble(1) - p50) / p50 < 0.05)
+      assert(math.abs(r.getDouble(2) - p95) / p95 < 0.05)
+    }
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
