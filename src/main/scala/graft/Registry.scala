@@ -91,6 +91,8 @@ object Registry {
       "SELECT c_custkey, (SELECT max(o_totalprice) FROM orders o WHERE o.o_custkey = c.c_custkey) AS max_order, (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders FROM customer c ORDER BY c_custkey"),
     q("q29_typed_dataset", Relational.q29TypedDataset,
       "SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    q("ev6_range_join", AsOf.eventPairsWithin60s,
+      "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events) SELECT a.user_id AS user_id, count(*) AS n_pairs FROM e a JOIN e b ON a.user_id = b.user_id AND b.ts_us > a.ts_us AND b.ts_us <= a.ts_us + 60000000 GROUP BY a.user_id ORDER BY a.user_id"),
     q("ev5_asof_join", AsOf.eventsLatestOrder,
       "WITH u AS (SELECT user_id AS k, epoch_us(ts) AS t, 1 AS is_l, event_id, CAST(NULL AS BIGINT) AS o_orderkey, CAST(NULL AS DOUBLE) AS o_totalprice FROM events UNION ALL SELECT o_custkey, epoch_us(o_orderdate), 0, CAST(NULL AS BIGINT), o_orderkey, o_totalprice FROM orders), wv AS (SELECT k, is_l, event_id, last_value(o_orderkey IGNORE NULLS) OVER (PARTITION BY k ORDER BY t, is_l, o_orderkey NULLS FIRST ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_orderkey, last_value(o_totalprice IGNORE NULLS) OVER (PARTITION BY k ORDER BY t, is_l, o_orderkey NULLS FIRST ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_totalprice FROM u) SELECT event_id, k AS user_id, asof_orderkey, asof_totalprice FROM wv WHERE is_l = 1 ORDER BY event_id"),
 

@@ -22,6 +22,31 @@ import graft.Tables
   */
 object AsOf {
 
+  /** Banded range join: pairs of events from the same user within a 60 s
+    * window. A naive theta join (`0 < b.ts - a.ts <= 60s`) is O(|per-user|²)
+    * comparisons with no equi-key for the shuffle; bucketing time into
+    * window-sized bands turns it into an equi-join on (user, band) — each
+    * left row probes its own band and the next one, then the exact range
+    * predicate filters. Shuffle key stays compact and the comparison count
+    * drops to true-neighborhood size. Same result as the naive oracle join.
+    */
+  def eventPairsWithin60s(s: SparkSession, d: String): DataFrame = {
+    val winUs = 60L * 1000000
+    val e = Tables(s, d, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("band", expr(s"ts_us DIV $winUs"))
+    val probes = e.select(
+      col("user_id"), col("event_id").as("id_a"), col("ts_us").as("ts_a"),
+      explode(array(col("band"), col("band") + 1)).as("band"))
+    val right = e.select(
+      col("user_id"), col("event_id").as("id_b"), col("ts_us").as("ts_b"), col("band"))
+    probes.join(right, Seq("user_id", "band"))
+      .filter(col("ts_b") > col("ts_a") && col("ts_b") <= col("ts_a") + winUs)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("user_id")
+  }
+
   /** For every event, the most recent order of the same customer at or
     * before the event time. */
   def eventsLatestOrder(s: SparkSession, d: String): DataFrame = {
