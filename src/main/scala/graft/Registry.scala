@@ -62,6 +62,10 @@ object Registry {
       "SELECT c_nationkey AS nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier ORDER BY nationkey"),
     q("q17_except", Relational.q17Except,
       "SELECT c_nationkey AS nationkey FROM customer EXCEPT SELECT s_nationkey FROM supplier ORDER BY nationkey"),
+    q("q33_intersect_all", Relational.q33IntersectAll,
+      "SELECT nationkey, count(*) AS n FROM (SELECT c_nationkey AS nationkey FROM customer INTERSECT ALL SELECT s_nationkey FROM supplier) t GROUP BY nationkey ORDER BY nationkey"),
+    q("q34_except_all", Relational.q34ExceptAll,
+      "SELECT nationkey, count(*) AS n FROM (SELECT c_nationkey AS nationkey FROM customer EXCEPT ALL SELECT s_nationkey FROM supplier) t GROUP BY nationkey ORDER BY nationkey"),
     q("q18_string_funcs", Relational.q18StringFuncs,
       "SELECT p_partkey, upper(p_brand) AS brand_u, CAST(length(p_name) AS BIGINT) AS name_len, substr(p_name, 1, 8) AS name_pfx, p_brand || '/' || p_type AS brand_type, regexp_replace(p_name, 'a', '@', 'g') AS name_sub FROM part ORDER BY p_partkey"),
     q("q19_date_funcs", Relational.q19DateFuncs,
@@ -105,6 +109,7 @@ object Registry {
       "WITH m AS (SELECT greatest(1, count(*) // 500) AS mod FROM documents), d AS (SELECT doc_id, text FROM documents, m WHERE doc_id % m.mod = 0), toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM d), sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id), inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c FROM toks a JOIN toks b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT id_a, id_b, round(c / (sa.n + sb.n - c), 4) AS jaccard FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id WHERE c / (sa.n + sb.n - c) >= 0.85 ORDER BY id_a, id_b"),
     noOracle("dd4_minhash_lsh", Dedup.minhashLsh),
     noOracle("dd5_simhash_pairs", Dedup.simhashPairs),
+    noOracle("dd7_winnow_fingerprints", (s, d) => Dedup.winnowFingerprints(s, d)),
     q("dd6_embedding_neardup", Dedup.embeddingNearDup,
       "WITH m AS (SELECT greatest(1, count(*) // 2000) AS mod FROM embeddings), e AS (SELECT vec_id, embedding FROM embeddings, m WHERE vec_id % m.mod = 0) SELECT a.vec_id AS id_a, b.vec_id AS id_b, round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cos FROM e a JOIN e b ON a.vec_id < b.vec_id WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4 ORDER BY id_a, id_b"),
 

@@ -196,6 +196,31 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Winnowing fingerprints (Schleimer et al., SIGMOD'03): hash every
+    * character k-gram (rolling window), then keep the minimum hash of each
+    * window of `w` consecutive k-gram hashes. Guarantees any match of
+    * length ≥ w+k-1 shares a fingerprint, with ~2/(w+1) density — the
+    * standard document-fingerprinting trade. All built-ins (substring
+    * k-grams + slice/array_min winnows) over a materialized array, no UDF.
+    * Output: (doc_id, fp) distinct fingerprint set per doc; rows-only
+    * driver check (hash family is engine-specific), properties in
+    * DedupSpec. */
+  def winnowFingerprints(s: SparkSession, d: String, k: Int = 5, w: Int = 4): DataFrame = {
+    val docs = t(s, d, "documents").filter(length(col("text")) >= k + w - 1)
+    val withHashes = docs.select(
+      col("doc_id"),
+      transform(
+        sequence(lit(1), length(col("text")) - (k - 1)),
+        i => xxhash64(col("text").substr(i, lit(k)))).as("kg"))
+    val winnowed = withHashes.select(
+      col("doc_id"),
+      array_distinct(transform(
+        sequence(lit(1), size(col("kg")) - (w - 1)),
+        j => array_min(slice(col("kg"), j, lit(w))))).as("fps"))
+    winnowed.select(col("doc_id"), explode(col("fps")).as("fp"))
+      .orderBy("doc_id", "fp")
+  }
+
   /** Embedding near-dup: all pairs with cosine ≥ 0.4. Brute force here
     * (embeddings table is small even at sf0.1); the LSH-bucketed route for
     * big corpora is Similarity.lshTopK. */

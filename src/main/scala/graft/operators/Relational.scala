@@ -213,6 +213,21 @@ object Relational {
       .except(t(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
       .orderBy("nationkey")
 
+  /** INTERSECT ALL (multiset semantics), re-aggregated for a deterministic
+    * compact result. */
+  def q33IntersectAll(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+      .intersectAll(t(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
+      .groupBy("nationkey").agg(count(lit(1)).as("n"))
+      .orderBy("nationkey")
+
+  /** EXCEPT ALL (multiset difference). */
+  def q34ExceptAll(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+      .exceptAll(t(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
+      .groupBy("nationkey").agg(count(lit(1)).as("n"))
+      .orderBy("nationkey")
+
   /** Scalar string functions (all codegen'd built-ins). */
   def q18StringFuncs(s: SparkSession, d: String): DataFrame =
     t(s, d, "part")

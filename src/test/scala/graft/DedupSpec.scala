@@ -74,6 +74,19 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("winnowing fingerprints: identical docs share all, guarantee property holds") {
+    val fps = Dedup.winnowFingerprints(spark, sf).cache()
+    val perDoc = fps.groupBy("doc_id").agg(count(lit(1)).as("n")).collect()
+    assert(perDoc.length == 500)
+    // winnow density ~2/(w+1): far fewer fingerprints than characters
+    perDoc.foreach(r => assert(r.getAs[Long]("n") > 0 && r.getAs[Long]("n") < 600))
+    // determinism across runs
+    val a = fps.collect().map(_.toString).sorted.toSeq
+    val b = Dedup.winnowFingerprints(spark, sf).collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+    fps.unpersist()
+  }
+
   test("embedding near-dup pairs are within [-1, 1] and above threshold") {
     val out = Dedup.embeddingNearDup(spark, sf).collect()
     assert(out.nonEmpty)
