@@ -206,18 +206,32 @@ object Dedup {
     * driver check (hash family is engine-specific), properties in
     * DedupSpec. */
   def winnowFingerprints(s: SparkSession, d: String, k: Int = 5, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val docs = t(s, d, "documents").filter(length(col("text")) >= k + w - 1)
-    val withHashes = docs.select(
+    // posexplode the k-gram hash array immediately: the generator is a hard
+    // plan boundary, so the O(len) transform evaluates ONCE per document.
+    // (A nested transform-of-slices formulation gets its projections
+    // collapsed by Catalyst and re-evaluates the k-gram array per window —
+    // O(len²) interpreted evals; observed as a 15-minute single task.)
+    // explode bare positions, hash after: substr+xxhash64 then run inside
+    // whole-stage codegen per row instead of an interpreted transform lambda
+    val kgrams = docs.select(
       col("doc_id"),
-      transform(
-        sequence(lit(1), length(col("text")) - (k - 1)),
-        i => xxhash64(col("text").substr(i, lit(k)))).as("kg"))
-    val winnowed = withHashes.select(
-      col("doc_id"),
-      array_distinct(transform(
-        sequence(lit(1), size(col("kg")) - (w - 1)),
-        j => array_min(slice(col("kg"), j, lit(w))))).as("fps"))
-    winnowed.select(col("doc_id"), explode(col("fps")).as("fp"))
+      length(col("text")).as("len"),
+      col("text"),
+      posexplode(sequence(lit(1), length(col("text")) - (k - 1))))
+      .toDF("doc_id", "len", "text", "pos", "i")
+      .select(col("doc_id"), col("len"), col("pos"),
+        xxhash64(col("text").substr(col("i"), lit(k))).as("h"))
+    // winnow = min hash of each w-window, as a sliding window-min per doc —
+    // shuffles once on doc_id, linear work, scales to any corpus
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, w - 1)
+    kgrams
+      .withColumn("wmin", min("h").over(win))
+      .filter(col("pos") <= col("len") - (k - 1) - (w - 1) - 1)
+      .select(col("doc_id"), col("wmin").as("fp"))
+      .distinct()
       .orderBy("doc_id", "fp")
   }
 
