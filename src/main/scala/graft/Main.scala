@@ -29,8 +29,11 @@ object Main {
 
   def main(args: Array[String]): Unit = {
     val parsed = parseArgs(args)
-    val url = parsed.getOrElse("url",
-      throw new IllegalArgumentException("missing required -u/--url"))
+    // -u is optional with an empty default, matching the reference's clap
+    // config (reference src/main.rs:13); the empty URL then fails scheme
+    // dispatch (reference src/lib.rs:64's error arm ≡ Source.fromUrl's),
+    // so the error surfaces at connect time, not argument parsing.
+    val url = parsed.getOrElse("url", "")
     val query = parsed.getOrElse("query",
       throw new IllegalArgumentException("missing required -q/--query"))
     val output = parsed.getOrElse("output",

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.multimodal.Multimodal
 import graft.operators._
 
 /** Single source of truth for the engine's query surface: every operator
@@ -75,7 +76,10 @@ object Registry {
     q("q21_case_buckets", Relational.q21CaseBuckets,
       "SELECT CASE WHEN c_acctbal < 0 THEN 'negative' WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS bucket, count(*) AS n, CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_bal FROM customer GROUP BY 1 ORDER BY bucket"),
     q("q22_json_extract", Relational.q22Json,
-      "SELECT CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k, count(*) AS n FROM events GROUP BY k ORDER BY k"),
+      // real JSON path extraction on both sides (Spark get_json_object ≡
+      // DuckDB json_extract_string), not a regex that only matched because
+      // the fixture's props is a single-key int object
+      "SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS n FROM events GROUP BY k ORDER BY k NULLS FIRST"),
     q("q23_count_distinct", Relational.q23CountDistinct,
       "SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_part, count(DISTINCT l_suppkey) AS nd_supp, count(*) AS n FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     noOracle("q24_approx_count_distinct", Relational.q24ApproxCountDistinct),
@@ -87,7 +91,10 @@ object Registry {
     q("q27_typed_udaf", Relational.q27TypedUdaf,
       "SELECT l_returnflag, sum(l_quantity*l_quantity) AS sum_sq, count(*) AS n FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     q("q28_map_explode", Relational.q28MapExplode,
-      "SELECT 'k' AS key, count(*) AS n, CAST(sum(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS BIGINT) AS total FROM events ORDER BY key"),
+      // genuine key explosion (json_keys + unnest ≡ Spark's explode of
+      // from_json map<string,int>): tolerant of multi-key objects, unlike
+      // the old fixed-'k' regex oracle
+      "WITH kv AS (SELECT props, unnest(json_keys(props)) AS key FROM events) SELECT key, count(*) AS n, CAST(sum(CAST(json_extract_string(props, '$.\"' || key || '\"') AS BIGINT)) AS BIGINT) AS total FROM kv GROUP BY key ORDER BY key"),
     q("q31_percentiles", Relational.q31Percentiles,
       "SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS p50, quantile_cont(l_extendedprice, 0.95) AS p95, count(*) AS n FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     noOracle("q32_approx_percentiles", Relational.q32ApproxPercentiles),
@@ -134,6 +141,11 @@ object Registry {
       "WITH x AS (SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000 - CAST(k AS BIGINT) * 900000000) AS w_start FROM events, UNNEST([0, 1, 2, 3]) AS t(k)) SELECT w_start, count(*) AS n FROM x GROUP BY w_start ORDER BY w_start"),
     q("ev4_top_spenders", Events.topSpenders,
       "SELECT user_id, count(*) AS n_purchases, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS spend FROM events WHERE event_type = 'purchase' GROUP BY user_id ORDER BY spend DESC, user_id LIMIT 10"),
+
+    // ---- multimodal (binary payload columns; stub decode kernel) ----
+    noOracle("mm1_media_features", Multimodal.mediaFeaturesQuery),
+    q("mm2_frame_sample", (s, d) => Multimodal.frameSampleQuery(s, d),
+      "WITH m AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS len FROM documents WHERE octet_length(encode(text)) >= 64) SELECT media_id, unnest(generate_series(0, CAST(least(floor((len - 64) / 32), 7) AS BIGINT))) AS frame_no FROM m ORDER BY media_id, frame_no"),
 
     // ---- similarity search ----
     q("ss1_topk_bruteforce", Similarity.bruteForceTopK,

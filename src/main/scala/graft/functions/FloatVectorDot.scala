@@ -18,11 +18,20 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * keeping the scoring inside the generated join stage.
   *
   * The accumulation order (sequential, double) is identical to the built-in
-  * composition and the DuckDB oracle, so results are bit-compatible.
-  * Array nulls are not expected in embeddings; null elements contribute 0.
+  * composition and the DuckDB oracle, so results are bit-compatible. Null
+  * semantics are also identical BY CONSTRUCTION: `zip_with` pads a shorter
+  * array with nulls and a null product poisons the running sum, so the HOF
+  * form yields NULL on any length mismatch or null element — this
+  * expression does the same, which is what makes [[graft.plans.RewriteVectorDot]]
+  * a semantics-preserving rewrite for arbitrary user queries, not just the
+  * engine's own null-free fixed-dim embeddings.
   */
 case class FloatVectorDot(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  // result can be NULL even for non-null inputs (length mismatch / null
+  // element), matching the HOF composition
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(t: DataType) = t match {
@@ -40,13 +49,13 @@ case class FloatVectorDot(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) {
-      if (!x.isNullAt(i) && !y.isNullAt(i)) {
-        s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
-      }
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
     s
@@ -58,14 +67,17 @@ case class FloatVectorDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
          |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

@@ -84,6 +84,33 @@ object Multimodal {
   def resize(media: DataFrame, targetBytes: Int): DataFrame =
     media.withColumn("payload", expr(s"substring(payload, 1, $targetBytes)"))
 
+  /** Registry query (mm1): decode/feature-extract over the documents-backed
+    * media fixture. The stub kernel is a pure function of the payload bytes,
+    * so the result is deterministic — the driver's rows-only check plus
+    * MultimodalSpec's exact-value tests cover it (no SQL oracle: the kernel
+    * is engine code, not ANSI SQL). Feature components are surfaced as
+    * scalar columns so the output parquet is flat. */
+  def mediaFeaturesQuery(spark: SparkSession, dir: String): DataFrame = {
+    extractFeatures(fixtureFromDocuments(spark, dir))
+      .select(
+        col("media_id"),
+        col("n_bytes"),
+        round(element_at(col("feature"), 1).cast("double"), 6).as("f0"),
+        round(element_at(col("feature"), 8).cast("double"), 6).as("f7"),
+        round(element_at(col("feature"), 16).cast("double"), 6).as("f15"))
+      .orderBy("media_id")
+  }
+
+  /** Registry query (mm2): video-style frame sampling over the media
+    * fixture — 64-byte frames every 32 bytes, at most 8 per item. Pure
+    * relational arithmetic over payload lengths, so this one DOES get a
+    * DuckDB oracle (octet_length + generate_series), giving the multimodal
+    * family a hash-checked correctness row. */
+  def frameSampleQuery(spark: SparkSession, dir: String): DataFrame =
+    sampleFrames(fixtureFromDocuments(spark, dir).toDF(), 64, 32, 8)
+      .select(col("media_id"), col("frame_no").cast("long").as("frame_no"))
+      .orderBy("media_id", "frame_no")
+
   /** Deterministic fixture: media rows synthesized from the documents
     * table's text bytes (UTF-8), so multimodal plumbing is testable against
     * the standard corpus. */

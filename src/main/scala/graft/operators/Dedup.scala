@@ -54,10 +54,13 @@ object Dedup {
     val all = t(s, d, "documents")
     val m = math.max(1L, all.count() / 500)
     val docs = all.filter(col("doc_id") % m === 0)
-    // not cached: the token stream is a cheap codegen'd scan+split, and
-    // Verify/Bench run ~50 queries in one session — per-query caches would
-    // accumulate in storage memory across the run
-    val toks = tokens(docs)
+    // localCheckpoint, not .cache(): Verify/Bench run ~55 queries in one
+    // session, and cached relations squat in storage memory until an
+    // explicit unpersist (which a lazily-returned plan has no place to
+    // call); checkpoint blocks are GC-reclaimed once the query's plan is
+    // dropped. Materializing once serves the three consumers (self-join a/b
+    // + sizes) without re-deriving the scan+split+explode per branch.
+    val toks = tokens(docs).localCheckpoint()
     val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = toks.as("a")
       .join(toks.as("b"), col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
@@ -96,7 +99,14 @@ object Dedup {
     */
   def minhashLsh(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents")
-    val sigs = minhashSignatures(docs).cache() // reused: band keys + full-signature groups
+    // The signature relation feeds FOUR consumers (band keys, bucket sizes,
+    // full-signature canon groups, star join). Left lazy, each consumer
+    // re-derives the token stream; a `.cache()` would squat in storage
+    // memory for the rest of a ~55-query Verify/Bench session (the round-1
+    // leak). An eager localCheckpoint materializes it once — one row of 17
+    // longs per doc — and its blocks are GC-reclaimed with the plan, so no
+    // per-query cache accumulates.
+    val sigs = minhashSignatures(docs).localCheckpoint()
     val bandCols = (0 until NumBands).map { b =>
       val hs = (0 until BandSize).map(i => col(s"h${b * BandSize + i}"))
       struct(lit(b).as("band"), xxhash64(hs: _*).as("sig"))
@@ -128,7 +138,10 @@ object Dedup {
       .filter(col("doc_id") =!= col("id_a"))
       .select(col("id_a"), col("doc_id").as("id_b"))
 
-    val candidates = bucketPairs.unionByName(starPairs).distinct()
+    // Small pair list (bounded by the bucket cap + linear star pairs);
+    // materialize so the verification join starts from stored pairs instead
+    // of replaying the whole band/canon pipeline on both join branches.
+    val candidates = bucketPairs.unionByName(starPairs).distinct().localCheckpoint()
 
     verifiedJaccard(docs, candidates)
       .filter(col("jaccard") >= 0.85)
@@ -139,8 +152,13 @@ object Dedup {
   /** Exact Jaccard for an explicit candidate-pair set (only candidates pay
     * the token join). */
   private def verifiedJaccard(docs: DataFrame, pairs: DataFrame): DataFrame = {
-    val toks = tokens(docs)
-    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // The token stream feeds four branches (ta, tb, and sizes twice); lazy,
+    // the round-1 physical plan re-derived the scan+split+explode subtree
+    // four times (PlanAudit showed 4 `Scan parquet → Generate` copies) —
+    // most of dd4's cost. Materialize once; blocks are GC-reclaimed after
+    // the query, unlike a leaked `.cache()`.
+    val toks = tokens(docs).localCheckpoint()
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n")).localCheckpoint()
     val ta = toks.select(col("doc_id").as("id_a"), col("w"))
     val tb = toks.select(col("doc_id").as("id_b"), col("w"))
     val inter = pairs.join(ta, "id_a").join(tb, Seq("id_b", "w"))
@@ -172,7 +190,10 @@ object Dedup {
     * verification ≤ 3 via bit_count(xor). Same LSH shape as MinHash —
     * candidates from band equi-join only. */
   def simhashPairs(s: SparkSession, d: String): DataFrame = {
-    val sh = simhash(t(s, d, "documents")) // not cached: see jaccardPairs note
+    // materialized once (two longs per doc): the banded relation feeds four
+    // branches (bucket sizes + the self-join's two sides); see jaccardPairs
+    // for why localCheckpoint instead of cache
+    val sh = simhash(t(s, d, "documents")).localCheckpoint()
     val allBanded = sh.select(
       col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(b =>
@@ -191,8 +212,11 @@ object Dedup {
       .select(
         col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
-      .distinct()
+      // filter BEFORE distinct: the Hamming predicate is a codegen'd scalar,
+      // so evaluating it first means the dedup shuffle only carries the
+      // surviving pairs (a pair colliding in k bands appears k times)
       .filter(col("hamming") <= 3)
+      .distinct()
       .orderBy("id_a", "id_b")
   }
 

@@ -18,6 +18,12 @@ import graft.functions.FloatVectorDot
   * ~20× faster inside joins — HOFs are interpreted and break whole-stage
   * codegen).
   *
+  * The rewrite is exactly semantics-preserving for ALL `array<float>`
+  * inputs, nullable elements and mismatched lengths included:
+  * FloatVectorDot returns NULL on a length mismatch or null element,
+  * mirroring how `zip_with`'s null padding poisons the HOF sum — so
+  * arbitrary user queries using the portable idiom keep their NULLs.
+  *
   * This is the engine's "write declarative code, let the optimizer pick the
   * fast kernel" story: user code (or SQL) can use the portable HOF form and
   * still get the native kernel. Inject with

@@ -73,11 +73,40 @@ object Source {
       driver: Option[String],
       partitionOptions: Map[String, String] = Map.empty) extends Source {
     def load(spark: SparkSession, query: String): DataFrame = {
-      val base = spark.read.format("jdbc")
-        .option("url", url)
-        .option("query", query)
-        .options(partitionOptions)
-      driver.fold(base)(d => base.option("driver", d)).load()
+      val base = spark.read.format("jdbc").option("url", url)
+      // Spark forbids combining `query` with `partitionColumn`; a
+      // partitioned read wraps the pushed-down query as a derived table so
+      // the stride predicates land inside the backend's WHERE clause.
+      val withQuery =
+        if (partitionOptions.keySet.exists(_.equalsIgnoreCase("partitionColumn")))
+          base.option("dbtable", s"($query) graft_q").options(partitionOptions)
+        else base.option("query", query).options(partitionOptions)
+      driver.fold(withQuery)(d => withQuery.option("driver", d)).load()
+    }
+  }
+
+  /** Spark partitioned-read options recognized in a source URL's query
+    * string — the one scale lever the reference's single-connection read
+    * lacks (reference src/db/mysql.rs:85-86). Any other query params stay
+    * in the JDBC URL untouched. */
+  private val PartitionKeys =
+    Set("partitioncolumn", "lowerbound", "upperbound", "numpartitions", "fetchsize")
+
+  /** Split `?k=v&…` off a URL remainder, extracting partitioned-read keys
+    * (case-insensitive) into an options map and re-attaching everything
+    * else. */
+  private[sources] def splitPartitionParams(rest: String): (String, Map[String, String]) = {
+    val qIdx = rest.indexOf('?')
+    if (qIdx < 0) (rest, Map.empty)
+    else {
+      val (path, qs) = (rest.substring(0, qIdx), rest.substring(qIdx + 1))
+      val params = qs.split('&').toSeq.filter(_.nonEmpty).map { kv =>
+        val i = kv.indexOf('=')
+        if (i < 0) kv -> "" else kv.substring(0, i) -> kv.substring(i + 1)
+      }
+      val (part, keep) = params.partition(p => PartitionKeys.contains(p._1.toLowerCase))
+      val keptQs = keep.map { case (k, v) => if (v.isEmpty) k else s"$k=$v" }.mkString("&")
+      (if (keptQs.isEmpty) path else s"$path?$keptQs", part.toMap)
     }
   }
 
@@ -88,14 +117,20 @@ object Source {
       case r if r.startsWith("//") => r.drop(2)
       case r => r
     }
+    lazy val (dbRest, partOpts) = splitPartitionParams(rest)
     scheme match {
       case "parquet" | "orc" | "csv" | "json" => Files(scheme, "/" + rest.dropWhile(_ == '/'))
-      case "mysql" => Jdbc(s"jdbc:mysql://$rest", Some("com.mysql.cj.jdbc.Driver"))
-      case "postgres" | "postgresql" => Jdbc(s"jdbc:postgresql://$rest", Some("org.postgresql.Driver"))
+      case "mysql" =>
+        Jdbc(s"jdbc:mysql://$dbRest", Some("com.mysql.cj.jdbc.Driver"), partOpts)
+      case "postgres" | "postgresql" =>
+        Jdbc(s"jdbc:postgresql://$dbRest", Some("org.postgresql.Driver"), partOpts)
       // the reference strips the scheme and opens the remainder as a file
       // path (src/lib.rs:59, src/db/sqlite.rs:71)
-      case "sqlite" => Jdbc(s"jdbc:sqlite:/${rest.dropWhile(_ == '/')}", Some("org.sqlite.JDBC"))
-      case "jdbc" => Jdbc(url, None)
+      case "sqlite" =>
+        Jdbc(s"jdbc:sqlite:/${dbRest.dropWhile(_ == '/')}", Some("org.sqlite.JDBC"), partOpts)
+      case "jdbc" =>
+        val (u, po) = splitPartitionParams(url)
+        Jdbc(u, None, po)
       case other => throw new IllegalArgumentException(
         s"Unsupported database URL scheme '$other' in: $url")
     }

@@ -84,8 +84,12 @@ object StreamingOps {
 
   /** Run any of the above to a named in-memory table and process all
     * currently-available input (the local smoke harness; production would
-    * use a real sink + trigger). */
-  def runToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Update): StreamingQuery = {
+    * use a real sink + trigger). The output mode is caller-supplied because
+    * each operator admits different modes: tumblingCounts works in
+    * Update/Append, sessionWindows requires Complete (session merging
+    * rewrites past windows), statefulUserTotals declares Append — there is
+    * no default valid for all three. */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode): StreamingQuery = {
     val q = df.writeStream
       .outputMode(mode)
       .format("memory")

@@ -34,6 +34,33 @@ class EngineSpec extends AnyFunSuite {
       case other => fail(s"unexpected: $other")
     }
     assertThrows[IllegalArgumentException](Source.fromUrl("foodb://x"))
+    // the reference's -u default is an empty string that then fails scheme
+    // dispatch (reference src/main.rs:13 → src/lib.rs:64) — same here
+    assertThrows[IllegalArgumentException](Source.fromUrl(""))
+  }
+
+  test("partitioned-read options parse from the url query string") {
+    Source.fromUrl(
+      "mysql://h:3306/db?partitionColumn=id&lowerBound=0&upperBound=1000&numPartitions=8&ssl=false") match {
+      case Source.Jdbc(url, _, po) =>
+        // the four stride options are extracted; foreign params stay in the URL
+        assert(url == "jdbc:mysql://h:3306/db?ssl=false")
+        assert(po == Map(
+          "partitionColumn" -> "id", "lowerBound" -> "0",
+          "upperBound" -> "1000", "numPartitions" -> "8"))
+      case other => fail(s"unexpected: $other")
+    }
+    Source.fromUrl("postgresql://h/db?sslmode=require") match {
+      case Source.Jdbc(url, _, po) =>
+        assert(url == "jdbc:postgresql://h/db?sslmode=require" && po.isEmpty)
+      case other => fail(s"unexpected: $other")
+    }
+    Source.fromUrl("sqlite:///tmp/db.sqlite?numPartitions=4&fetchsize=500") match {
+      case Source.Jdbc(url, _, po) =>
+        assert(url == "jdbc:sqlite:/tmp/db.sqlite")
+        assert(po == Map("numPartitions" -> "4", "fetchsize" -> "500"))
+      case other => fail(s"unexpected: $other")
+    }
   }
 
   // --- extension dispatch (reference src/lib.rs:76-90) ---

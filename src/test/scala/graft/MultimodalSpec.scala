@@ -38,6 +38,29 @@ class MultimodalSpec extends AnyFunSuite {
     counts.foreach(r => assert(r.getAs[Long]("n") >= 1 && r.getAs[Long]("n") <= 4))
   }
 
+  test("registry queries mm1/mm2 match the kernel and the frame-count formula") {
+    val mm1 = Multimodal.mediaFeaturesQuery(spark, sf).collect()
+    assert(mm1.length == 500)
+    // f0 column agrees with a direct kernel evaluation on the payload bytes
+    val byId = media.collect().map(r => r.media_id -> r.payload).toMap
+    mm1.take(20).foreach { r =>
+      // Spark round = HALF_UP over the shortest decimal repr — mirror it
+      val expect = BigDecimal(
+        Multimodal.fakeDecode(byId(r.getAs[Long]("media_id")))(0).toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("f0") == expect)
+    }
+    val lens = byId.view.mapValues(_.length).toMap
+    val byMedia = Multimodal.frameSampleQuery(spark, sf).collect()
+      .groupBy(_.getAs[Long]("media_id"))
+    // only payloads that can fill one 64-byte frame appear at all
+    assert(byMedia.keySet == lens.filter(_._2 >= 64).keys.toSet)
+    byMedia.foreach { case (id, rows) =>
+      val expect = math.min((lens(id) - 64) / 32 + 1, 8)
+      assert(rows.map(_.getAs[Long]("frame_no")).sorted.toSeq == (0L until expect))
+    }
+  }
+
   test("resize truncates payloads") {
     val resized = Multimodal.resize(media.toDF(), targetBytes = 40)
     assert(resized.filter(octet_length(col("payload")) > 40).count() == 0)

@@ -22,6 +22,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(diffs.count() == 0)
   }
 
+  test("FloatVectorDot matches HOF null semantics: length mismatch and null elements yield NULL") {
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  (0, array(cast(1.0 as float), cast(2.0 as float)), array(cast(3.0 as float), cast(4.0 as float))),
+        |  (1, array(cast(1.0 as float)),                      array(cast(3.0 as float), cast(4.0 as float))),
+        |  (2, array(cast(1.0 as float), cast(null as float)), array(cast(3.0 as float), cast(4.0 as float))),
+        |  (3, cast(null as array<float>),                     array(cast(3.0 as float)))
+        |AS t(id, a, b)""".stripMargin)
+    // null-for-null equality with the portable HOF form on every row — the
+    // property that makes RewriteVectorDot semantics-preserving
+    val disagree = df.select(
+      (VectorFunctions.dotFast(col("a"), col("b")) <=>
+        VectorFunctions.dot(col("a"), col("b"))).as("eq"))
+      .filter(!col("eq"))
+    assert(disagree.count() == 0)
+    val vals = df.select(col("id"), VectorFunctions.dotFast(col("a"), col("b")).as("d"))
+      .collect().sortBy(_.getInt(0))
+    assert(!vals(0).isNullAt(1) && vals(0).getDouble(1) == 11.0)
+    assert(vals(1).isNullAt(1) && vals(2).isNullAt(1) && vals(3).isNullAt(1))
+  }
+
   test("brute-force topk returns exactly 5 ranked neighbors per query") {
     val out = Similarity.bruteForceTopK(spark, sf).collect()
     assert(out.length == 50)
