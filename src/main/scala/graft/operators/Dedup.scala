@@ -221,15 +221,36 @@ object Dedup {
   }
 
   /** Winnowing fingerprints (Schleimer et al., SIGMOD'03): hash every
-    * character k-gram (rolling window), then keep the minimum hash of each
-    * window of `w` consecutive k-gram hashes. Guarantees any match of
-    * length ≥ w+k-1 shares a fingerprint, with ~2/(w+1) density — the
-    * standard document-fingerprinting trade. All built-ins (substring
-    * k-grams + slice/array_min winnows) over a materialized array, no UDF.
-    * Output: (doc_id, fp) distinct fingerprint set per doc; rows-only
-    * driver check (hash family is engine-specific), properties in
-    * DedupSpec. */
+    * character k-gram, then keep the minimum hash of each window of `w`
+    * consecutive k-gram hashes. Guarantees any match of length ≥ w+k-1
+    * shares a fingerprint, with ~2/(w+1) density — the standard
+    * document-fingerprinting trade. Output: (doc_id, fp) distinct
+    * fingerprint set per doc; rows-only driver check (hash family is
+    * engine-specific), properties + kernel≡built-ins equality in DedupSpec.
+    *
+    * Winnowing is per-document sequential work with no cross-row
+    * dependency, so the scale-correct plan is a narrow map: the
+    * [[graft.functions.WinnowFingerprints]] codegen kernel computes each
+    * doc's fingerprint set in one whole-stage-codegen call, and the only
+    * shuffle in the query is the output ordering. The composable
+    * formulation ([[winnowFingerprintsComposable]]) shuffles one row per
+    * corpus CHARACTER for its per-doc window sort — it is kept as the
+    * kernel's cross-validation oracle (identical hash family ⇒ identical
+    * output, asserted in DedupSpec). */
   def winnowFingerprints(s: SparkSession, d: String, k: Int = 5, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.GraftShim
+    val docs = t(s, d, "documents").filter(length(col("text")) >= k + w - 1)
+    docs.select(
+        col("doc_id"),
+        explode(GraftShim.column(graft.functions.WinnowFingerprints(
+          GraftShim.expression(col("text")), k, w))).as("fp"))
+      .orderBy("doc_id", "fp")
+  }
+
+  /** The pure-built-ins winnowing formulation (posexplode → hash → sliding
+    * window-min → distinct): correct and linear but shuffle-heavy; retained
+    * as the oracle for the codegen kernel above. */
+  def winnowFingerprintsComposable(s: SparkSession, d: String, k: Int = 5, w: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = t(s, d, "documents").filter(length(col("text")) >= k + w - 1)
     // posexplode the k-gram hash array immediately: the generator is a hard

@@ -87,6 +87,30 @@ class DedupSpec extends AnyFunSuite {
     fps.unpersist()
   }
 
+  test("winnowing codegen kernel is bit-identical to the composable built-ins oracle") {
+    val kernel = Dedup.winnowFingerprints(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val oracle = Dedup.winnowFingerprintsComposable(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(kernel == oracle)
+  }
+
+  test("winnowing guarantee: docs sharing a substring of length >= k+w-1 share a fingerprint") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def fps(s: String): Set[Long] =
+      graft.functions.WinnowKernel.winnow(UTF8String.fromString(s), 5, 4)
+        .toLongArray().toSet
+    val shared = "the quick brown fox" // 19 chars >= k+w-1 = 8
+    val x = fps("AAAAAAAA " + shared + " BBBBBBBB")
+    val y = fps("CCCCCCCC " + shared + " DDDDDDDD")
+    assert((x & y).nonEmpty)
+    // non-ASCII path agrees with itself and is deterministic
+    val uni = "áéíóú " + shared + " ñññ"
+    assert(fps(uni) == fps(uni) && fps(uni).nonEmpty)
+    // too-short text yields no fingerprints
+    assert(fps("short").isEmpty)
+  }
+
   test("embedding near-dup pairs are within [-1, 1] and above threshold") {
     val out = Dedup.embeddingNearDup(spark, sf).collect()
     assert(out.nonEmpty)
