@@ -120,6 +120,10 @@ object Registry {
     q("dd6_embedding_neardup", Dedup.embeddingNearDup,
       "WITH m AS (SELECT greatest(1, count(*) // 2000) AS mod FROM embeddings), e AS (SELECT vec_id, embedding FROM embeddings, m WHERE vec_id % m.mod = 0) SELECT a.vec_id AS id_a, b.vec_id AS id_b, round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cos FROM e a JOIN e b ON a.vec_id < b.vec_id WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4 ORDER BY id_a, id_b"),
 
+    // ---- composed cleaning pipeline (quality → lang → dedup in ONE plan) ----
+    q("pp1_clean_corpus", Pipeline.cleanCorpus,
+      "WITH q AS (SELECT doc_id, text, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens, (1.0 - len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and','to','in'))) / CAST(len(string_split(text,' ')) AS DOUBLE)) * least(CAST(len(string_split(text,' ')) AS DOUBLE), 100.0) / 100.0 AS quality, len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and'))) AS en_h, len(list_filter(string_split(text,' '), w -> w IN ('der','die','das','und'))) AS de_h, len(list_filter(string_split(text,' '), w -> w IN ('el','la','los','y'))) AS es_h, len(list_filter(string_split(text,' '), w -> w IN ('le','les','des','et'))) AS fr_h FROM documents), f AS (SELECT * FROM q WHERE en_h = greatest(en_h,de_h,es_h,fr_h) AND en_h > 0 AND quality >= 0.5), g AS (SELECT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies, arg_min(n_tokens, doc_id) AS n_tokens, round(arg_min(quality, doc_id), 4) AS quality FROM f GROUP BY fp) SELECT keep_id, n_copies, n_tokens, quality FROM g ORDER BY keep_id"),
+
     // ---- text analysis ----
     q("tx1_token_stats", TextAnalysis.tokenStats,
       "SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens, CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_distinct FROM documents ORDER BY doc_id"),

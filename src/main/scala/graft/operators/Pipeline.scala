@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** End-to-end corpus-cleaning pipeline — the composition a training-data
+  * build actually runs, as ONE declarative plan: per-document quality
+  * scoring and language ID (narrow map, no shuffle), filter to high-quality
+  * English, then fingerprint dedup keeping the lowest doc_id per normalized
+  * text.
+  *
+  * Scale shape: the scoring/ID/filter stages are codegen'd projections over
+  * the scan (filters evaluated BEFORE the shuffle, so only surviving docs
+  * move), and the single shuffle is the dedup's hash partition on the
+  * 16-byte md5 fingerprint — not the document text. At 100 TB this is scan
+  * → map → one bounded shuffle, the minimal plan for the semantics.
+  *
+  * Determinism: quality is built from integer-count ratios (bit-identical
+  * across engines — see TextAnalysis's scaladoc), the kept doc's stats are
+  * selected by `min_by(…, doc_id)` with doc_id unique, and rounding is
+  * display-only at the end.
+  */
+object Pipeline {
+
+  import TextAnalysis.{hitCount, toks, Markers, Stopwords}
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
+
+  /** Minimum quality score a document must reach to survive cleaning. */
+  val QualityThreshold = 0.5
+
+  private def quality: Column = {
+    val nTok = size(toks).cast("double")
+    val stopRatio = hitCount(Stopwords).cast("double") / nTok
+    (lit(1.0) - stopRatio) * least(nTok, lit(100.0)) / 100.0
+  }
+
+  private def predLang: Column = {
+    val hits = Markers.map { case (lang, words) => lang -> hitCount(words) }
+    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    hits.foldRight(lit("unknown"): Column) { case ((lang, h), els) =>
+      when(h === best && h > 0, lang).otherwise(els)
+    }
+  }
+
+  /** Cleaned-corpus summary: one row per kept (deduplicated) document with
+    * its duplicate-group size and the kept doc's token count and quality. */
+  def cleanCorpus(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(
+        col("doc_id"), col("text"),
+        size(toks).cast("long").as("n_tokens"),
+        quality.as("quality"),
+        predLang.as("pred_lang"))
+      .filter(col("pred_lang") === "en" && col("quality") >= QualityThreshold)
+      .withColumn("fp", md5(lower(regexp_replace(col("text"), "\\s+", " "))))
+      .groupBy("fp")
+      .agg(
+        min("doc_id").as("keep_id"),
+        count(lit(1)).as("n_copies"),
+        min_by(col("n_tokens"), col("doc_id")).as("n_tokens"),
+        round(min_by(col("quality"), col("doc_id")), 4).as("quality"))
+      .select("keep_id", "n_copies", "n_tokens", "quality")
+      .orderBy("keep_id")
+}

@@ -18,9 +18,9 @@ object TextAnalysis {
 
   private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
 
-  private val toks: Column = split(col("text"), " ")
+  private[operators] val toks: Column = split(col("text"), " ")
 
-  private def hitCount(words: Seq[String]): Column =
+  private[operators] def hitCount(words: Seq[String]): Column =
     size(filter(toks, w => w.isInCollection(words))).cast("long")
 
   /** Token counting: whitespace tokens + distinct-token vocabulary size. */
@@ -32,7 +32,7 @@ object TextAnalysis {
         size(array_distinct(toks)).cast("long").as("n_distinct"))
       .orderBy("doc_id")
 
-  private val Stopwords = Seq("the", "a", "of", "and", "to", "in")
+  private[operators] val Stopwords = Seq("the", "a", "of", "and", "to", "in")
 
   /** Quality scoring: length / stopword-ratio / vocabulary-diversity
     * heuristics of the kind a pretraining filter applies. */
@@ -56,7 +56,7 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  private val Markers: Seq[(String, Seq[String])] = Seq(
+  private[operators] val Markers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and"),
     "de" -> Seq("der", "die", "das", "und"),
     "es" -> Seq("el", "la", "los", "y"),

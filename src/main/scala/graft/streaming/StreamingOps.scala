@@ -82,6 +82,17 @@ object StreamingOps {
       }
   }
 
+  /** Streaming dedup twin (of Dedup.exact/fingerprint): drop duplicate keys
+    * with watermark-BOUNDED state — `dropDuplicatesWithinWatermark` evicts
+    * state older than the watermark delay, so a continuously-running dedup
+    * holds hours of keys, not the corpus's lifetime. A duplicate arriving
+    * outside the delay is also late data and is dropped by the watermark,
+    * so the output stays exactly-once per key for any in-delay arrival
+    * order. Unbounded-history dedup at 100 TB belongs to the batch
+    * operators; this is the ingest-time guard in front of them. */
+  def streamingDedup(rows: DataFrame, eventTimeCol: String, delay: String, keys: String*): DataFrame =
+    rows.withWatermark(eventTimeCol, delay).dropDuplicatesWithinWatermark(keys.toSeq)
+
   /** Run any of the above to a named in-memory table and process all
     * currently-available input (the local smoke harness; production would
     * use a real sink + trigger). The output mode is caller-supplied because

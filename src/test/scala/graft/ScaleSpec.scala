@@ -37,6 +37,18 @@ class ScaleSpec extends AnyFunSuite {
     assert(plan("q14_topk").contains("TakeOrderedAndProject"))
   }
 
+  test("pp1: cleaning pipeline shuffles on the md5 fingerprint, never the text") {
+    val p = plan("pp1_clean_corpus")
+    // the dedup exchange is keyed by the 16-byte fingerprint...
+    assert(p.contains("hashpartitioning(fp"), p.take(800))
+    // ...and quality/lang filters run before any exchange (narrow map over
+    // the scan), so only surviving docs are ever shuffled
+    val firstExchange = p.indexOf("Exchange")
+    val firstFilter = p.indexOf("Filter")
+    assert(firstFilter > firstExchange, // plan prints top-down: filter deeper = later index
+      s"filter@$firstFilter exchange@$firstExchange")
+  }
+
   test("q04: both dimension joins broadcast — no shuffle of the fact side") {
     val p = plan("q04_region_rollup")
     assert("BroadcastHashJoin".r.findAllIn(p).size == 2)

@@ -39,6 +39,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops cross-file duplicates down to the batch-distinct set") {
+    // a source directory where every event arrives twice (two identical
+    // files), streamed file-at-a-time so duplicates cross micro-batches
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-dedup").toString
+    val events = Tables(spark, sf, "events")
+    events.coalesce(1).write.mode("overwrite").parquet(s"$dir/a.parquet")
+    events.coalesce(1).write.mode("overwrite").parquet(s"$dir/b.parquet")
+    val schema = spark.read.parquet(s"$dir/a.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/*.parquet/*.parquet")
+    val q = StreamingOps.runToMemory(
+      StreamingOps.streamingDedup(stream, "ts", "2 hours", "event_id"),
+      "stream_dedup", OutputMode.Append)
+    try {
+      val streamed = spark.table("stream_dedup")
+      assert(streamed.count() == events.count())
+      assert(streamed.select("event_id").distinct().count() == events.count())
+    } finally q.stop()
+  }
+
   test("stateful per-user totals equal batch groupBy") {
     val q = StreamingOps.runToMemory(
       StreamingOps.statefulUserTotals(StreamingOps.eventStream(spark, sf)).toDF(),
