@@ -85,6 +85,8 @@ object Registry {
     noOracle("q24_approx_count_distinct", Relational.q24ApproxCountDistinct),
     q("q25_big_join_agg", Relational.q25BigJoinAgg,
       "SELECT o_orderpriority, count(*) AS n_items, CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    q("q35_unpivot", Relational.q35Unpivot,
+      "SELECT l_returnflag, metric, CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS total, count(*) AS n FROM (SELECT l_returnflag, 'l_quantity' AS metric, l_quantity AS v FROM lineitem UNION ALL SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem UNION ALL SELECT l_returnflag, 'l_discount', l_discount FROM lineitem UNION ALL SELECT l_returnflag, 'l_tax', l_tax FROM lineitem) t GROUP BY l_returnflag, metric ORDER BY l_returnflag, metric"),
     q("q26_pivot", Relational.q26Pivot,
       "SELECT user_id, CAST(sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS click, CAST(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS view, CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase, CAST(sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup, CAST(sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS error FROM events GROUP BY user_id ORDER BY user_id"),
 
@@ -123,6 +125,9 @@ object Registry {
     // ---- composed cleaning pipeline (quality → lang → dedup in ONE plan) ----
     q("pp1_clean_corpus", Pipeline.cleanCorpus,
       "WITH q AS (SELECT doc_id, text, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens, (1.0 - len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and','to','in'))) / CAST(len(string_split(text,' ')) AS DOUBLE)) * least(CAST(len(string_split(text,' ')) AS DOUBLE), 100.0) / 100.0 AS quality, len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and'))) AS en_h, len(list_filter(string_split(text,' '), w -> w IN ('der','die','das','und'))) AS de_h, len(list_filter(string_split(text,' '), w -> w IN ('el','la','los','y'))) AS es_h, len(list_filter(string_split(text,' '), w -> w IN ('le','les','des','et'))) AS fr_h FROM documents), f AS (SELECT * FROM q WHERE en_h = greatest(en_h,de_h,es_h,fr_h) AND en_h > 0 AND quality >= 0.5), g AS (SELECT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies, arg_min(n_tokens, doc_id) AS n_tokens, round(arg_min(quality, doc_id), 4) AS quality FROM f GROUP BY fp) SELECT keep_id, n_copies, n_tokens, quality FROM g ORDER BY keep_id"),
+
+    q("pp2_hash_split", Pipeline.hashSplit,
+      "SELECT doc_id, lang, CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '1a' THEN 'holdout' ELSE 'train' END AS split FROM documents ORDER BY doc_id"),
 
     // ---- text analysis ----
     q("tx1_token_stats", TextAnalysis.tokenStats,

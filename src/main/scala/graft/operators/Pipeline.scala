@@ -64,4 +64,19 @@ object Pipeline {
         round(min_by(col("quality"), col("doc_id")), 4).as("quality"))
       .select("keep_id", "n_copies", "n_tokens", "quality")
       .orderBy("keep_id")
+
+  /** Deterministic train/holdout split by content-independent hash: a doc
+    * lands in holdout iff the md5 of its id's decimal string starts below
+    * 0x1a (26/256 ≈ 10.2%). The split is a pure narrow map — reproducible
+    * across runs, engines, and repartitioning (no RNG, no state), which is
+    * the property a training pipeline needs so that re-runs and incremental
+    * appends never migrate a document across the split boundary. md5 is
+    * computed identically everywhere, so the assignment is oracle-exact. */
+  def hashSplit(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(
+        col("doc_id"), col("lang"),
+        when(md5(col("doc_id").cast("string").cast("binary")) < "1a", lit("holdout"))
+          .otherwise(lit("train")).as("split"))
+      .orderBy("doc_id")
 }

@@ -323,10 +323,17 @@ object Relational {
   def q31Percentiles(s: SparkSession, d: String): DataFrame =
     t(s, d, "lineitem")
       .groupBy("l_returnflag")
+      // ONE percentile aggregate with an array of fractions: `percentile`
+      // is a buffering TypedImperativeAggregate, so asking for p50/p95
+      // separately buffers and sorts every group twice (measured ~2x)
       .agg(
-        expr("percentile(l_extendedprice, 0.5)").as("p50"),
-        expr("percentile(l_extendedprice, 0.95)").as("p95"),
+        expr("percentile(l_extendedprice, array(0.5D, 0.95D))").as("ps"),
         count(lit(1)).as("n"))
+      .select(
+        col("l_returnflag"),
+        element_at(col("ps"), 1).as("p50"),
+        element_at(col("ps"), 2).as("p95"),
+        col("n"))
       .orderBy("l_returnflag")
 
   /** Sketch percentiles (KLL-style approx_percentile) — the 100 TB path
@@ -335,9 +342,12 @@ object Relational {
   def q32ApproxPercentiles(s: SparkSession, d: String): DataFrame =
     t(s, d, "lineitem")
       .groupBy("l_returnflag")
-      .agg(
-        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("ap50"),
-        expr("approx_percentile(l_extendedprice, 0.95, 1000)").as("ap95"))
+      // one sketch per group serving both fractions (see q31's note)
+      .agg(expr("approx_percentile(l_extendedprice, array(0.5D, 0.95D), 1000)").as("aps"))
+      .select(
+        col("l_returnflag"),
+        element_at(col("aps"), 1).as("ap50"),
+        element_at(col("aps"), 2).as("ap95"))
       .orderBy("l_returnflag")
 
   /** Correlated scalar subquery — Catalyst decorrelates it into a left
@@ -407,4 +417,20 @@ object Relational {
       .agg(count(lit(1)))
       .na.fill(0)
       .orderBy("user_id")
+
+  /** Pivot's inverse: unpivot/melt wide measure columns into (metric, v)
+    * rows, then aggregate long-form. The unpivot is a generator-style
+    * projection (rows × 4, no shuffle); the single shuffle is the final
+    * aggregation on (flag, metric). */
+  def q35Unpivot(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+        "metric", "v")
+      .groupBy("l_returnflag", "metric")
+      .agg(
+        sum(col("v").cast("decimal(18,2)")).cast("double").as("total"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "metric")
 }
