@@ -93,6 +93,25 @@ object StreamingOps {
   def streamingDedup(rows: DataFrame, eventTimeCol: String, delay: String, keys: String*): DataFrame =
     rows.withWatermark(eventTimeCol, delay).dropDuplicatesWithinWatermark(keys.toSeq)
 
+  /** Stream-stream interval self-join (streaming twin of
+    * AsOf.eventPairsWithin60s' banded batch form): same-user event pairs
+    * where b follows a within `interval`. BOTH sides carry a watermark and
+    * the join condition bounds ts_b relative to ts_a, which is exactly what
+    * lets Spark evict join state — a buffered left row is droppable once
+    * the watermark passes ts_a + interval, so state is O(traffic × window),
+    * not O(stream lifetime). */
+  def intervalPairs(events: DataFrame, interval: String = "60 seconds"): DataFrame = {
+    val a = events.withWatermark("ts", "2 hours")
+      .select(col("user_id"), col("event_id").as("id_a"), col("ts").as("ts_a"))
+    val b = events.withWatermark("ts", "2 hours")
+      .select(col("user_id").as("user_b"), col("event_id").as("id_b"), col("ts").as("ts_b"))
+    a.join(b,
+      col("user_id") === col("user_b") &&
+        col("ts_b") > col("ts_a") &&
+        col("ts_b") <= col("ts_a") + expr(s"INTERVAL $interval"))
+      .select(col("user_id"), col("id_a"), col("id_b"))
+  }
+
   /** Run any of the above to a named in-memory table and process all
     * currently-available input (the local smoke harness; production would
     * use a real sink + trigger). The output mode is caller-supplied because

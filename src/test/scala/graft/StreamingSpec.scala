@@ -59,6 +59,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    val stream = StreamingOps.eventStream(spark, sf)
+    val q = StreamingOps.runToMemory(
+      StreamingOps.intervalPairs(stream, "30 minutes"),
+      "stream_pairs", OutputMode.Append)
+    try {
+      val streamed = spark.table("stream_pairs")
+        .collect().map(_.toString).sorted.toSeq
+      val ev = Tables(spark, sf, "events")
+      val a = ev.select(col("user_id"), col("event_id").as("id_a"), col("ts").as("ts_a"))
+      val b = ev.select(col("user_id").as("user_b"), col("event_id").as("id_b"), col("ts").as("ts_b"))
+      val batch = a.join(b,
+          col("user_id") === col("user_b") &&
+            col("ts_b") > col("ts_a") &&
+            col("ts_b") <= col("ts_a") + expr("INTERVAL 30 minutes"))
+        .select(col("user_id"), col("id_a"), col("id_b"))
+        .collect().map(_.toString).sorted.toSeq
+      assert(batch.nonEmpty && streamed == batch)
+    } finally q.stop()
+  }
+
   test("stateful per-user totals equal batch groupBy") {
     val q = StreamingOps.runToMemory(
       StreamingOps.statefulUserTotals(StreamingOps.eventStream(spark, sf)).toDF(),
