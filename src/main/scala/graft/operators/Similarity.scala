@@ -86,6 +86,78 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
+  /** Genuine IVF: deterministic Lloyd k-means builds the coarse quantizer,
+    * then queries probe their `nprobe` nearest cells and rescore exactly.
+    *
+    * Scale shape: each Lloyd iteration is one distributed pass — cell
+    * assignment is a codegen'd argmin over k centroid literals (narrow
+    * map), the per-dimension means are one (cell, dim)-keyed aggregation,
+    * and ONLY the k×dim centroid table crosses to the driver (metadata
+    * scale; the same loop structure MLlib's KMeans uses). The corpus never
+    * collects. Search is the IVF shape: candidates come from an equi-join
+    * on cell id, so each query scans ~nprobe/k of the corpus.
+    *
+    * Determinism: seeds are the k lowest vec_ids, argmin ties break on cell
+    * id via struct ordering, and centroid means are rounded to 1e-6 after
+    * each iteration so float summation order cannot flip an assignment.
+    * No SQL oracle (k-means is iterative); recall/agreement in
+    * SimilaritySpec. */
+  def ivfKMeansTopK(
+      s: SparkSession, d: String,
+      k: Int = 8, iters: Int = 3, nprobe: Int = 2): DataFrame = {
+    val e = t(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .localCheckpoint() // reused by every Lloyd pass + the final search
+    def centLit(c: Array[Double]): Column = array(c.map(x => lit(x.toFloat)): _*)
+    // argmin_c |x-c|^2 = argmin_c (|c|^2 - 2 x·c): one codegen'd dot per
+    // centroid, ties broken by cell id through struct ordering
+    def distCells(cents: Array[Array[Double]], v: Column): Seq[Column] =
+      cents.zipWithIndex.toSeq.map { case (c, i) =>
+        struct(
+          (lit(c.map(x => x * x).sum) - lit(2.0) * dotFast(v, centLit(c))).as("d"),
+          lit(i).as("cell"))
+      }
+    def cellOf(cents: Array[Array[Double]], v: Column): Column =
+      array_min(array(distCells(cents, v): _*)).getField("cell")
+
+    var cents: Array[Array[Double]] = e.filter(col("vec_id") < k).orderBy("vec_id")
+      .collect().map(_.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray)
+    for (_ <- 0 until iters) {
+      val means = e
+        .withColumn("cell", cellOf(cents, col("embedding")))
+        .select(col("cell"), posexplode(col("embedding")))
+        .toDF("cell", "pos", "x")
+        .groupBy("cell", "pos").agg(avg("x").as("m"))
+        .collect() // k×dim rows — metadata scale
+      val next = cents.clone()
+      means.groupBy(_.getAs[Int]("cell")).foreach { case (cell, rows) =>
+        val c = new Array[Double](Dim)
+        rows.foreach(r => c(r.getAs[Int]("pos")) = math.rint(r.getAs[Double]("m") * 1e6) / 1e6)
+        next(cell) = c
+      }
+      cents = next
+    }
+
+    val c = e
+      .withColumn("cell", cellOf(cents, col("embedding")))
+      .select(col("vec_id").as("c_id"), col("embedding").as("cv"), col("cell"),
+        normFast(col("embedding")).as("cn"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        normFast(col("embedding")).as("qn"),
+        explode(slice(array_sort(array(distCells(cents, col("embedding")): _*)), 1, nprobe)
+          .getField("cell")).as("cell"))
+    val scored = q.join(c, Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos",
+        round(dotFast(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("cell").cast("long").as("cell"), col("c_id"), col("cos"), col("rk"))
+      .orderBy("q_id", "rk")
+  }
+
   /** IVF-style variant: coarse partitions from label (stand-in for k-means
     * cell ids at scale), search restricted to the query's cell. Demonstrates
     * the partition-pruned ANN shape: the corpus is clustered/bucketed once,

@@ -79,6 +79,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(lsh.nonEmpty)
   }
 
+  test("k-means IVF: deterministic, well-formed, scores exact, positive recall") {
+    val out1 = Similarity.ivfKMeansTopK(spark, sf)
+    val rows = out1.collect()
+    // 10 queries × top-5, ranks exactly 1..5 per query
+    assert(rows.length == 50)
+    rows.groupBy(_.getAs[Long]("q_id")).values.foreach { rs =>
+      assert(rs.map(_.getAs[Long]("rk")).sorted.toSeq == (1L to 5L))
+    }
+    // deterministic end-to-end (seeded init + rounded centroid means)
+    val again = Similarity.ivfKMeansTopK(spark, sf).collect().map(_.toString).sorted.toSeq
+    assert(rows.map(_.toString).sorted.toSeq == again)
+    // reported cosine equals a direct recomputation for every returned pair
+    val e = Tables(spark, sf, "embeddings")
+    val recomputed = out1.select("q_id", "c_id", "cos")
+      .join(e.select(col("vec_id").as("q_id"), col("embedding").as("qe")), "q_id")
+      .join(e.select(col("vec_id").as("c_id"), col("embedding").as("ce")), "c_id")
+      .withColumn("expect", round(
+        VectorFunctions.dotFast(col("qe"), col("ce")) /
+          (VectorFunctions.normFast(col("qe")) * VectorFunctions.normFast(col("ce"))), 6))
+    assert(recomputed.filter(col("cos") =!= col("expect")).count() == 0)
+    // probing 2 of 8 cells still recovers a decent share of true top-5
+    val truth = Similarity.bruteForceTopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))).toSet
+    val got = rows.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))).toSet
+    val recall = (got & truth).size.toDouble / truth.size
+    info(f"k-means IVF (k=8, nprobe=2) top-5 recall: $recall%.2f")
+    assert(recall > 0.1)
+  }
+
   test("IVF topk searches only the query's cell") {
     val out = Similarity.ivfTopK(spark, sf)
     val e = Tables(spark, sf, "embeddings")
