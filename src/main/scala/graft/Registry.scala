@@ -128,6 +128,11 @@ object Registry {
 
     q("pp2_hash_split", Pipeline.hashSplit,
       "SELECT doc_id, lang, CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '1a' THEN 'holdout' ELSE 'train' END AS split FROM documents ORDER BY doc_id"),
+    q("pp3_chunk_documents", (s, d) => Pipeline.chunkDocuments(s, d),
+      // DuckDB list slice a[i:j] is 1-based inclusive ≡ Spark slice(a,i,32)
+      "WITH t AS (SELECT doc_id, string_split(text,' ') AS a, CAST(len(string_split(text,' ')) AS BIGINT) AS n FROM documents), c AS (SELECT doc_id, a, unnest(generate_series(0, CAST(greatest(ceil((n - 32)/24.0), 0) AS BIGINT))) AS ci FROM t) SELECT doc_id, ci AS chunk_id, CAST(len(a[ci*24+1 : ci*24+32]) AS BIGINT) AS n_chunk_tokens, md5(array_to_string(a[ci*24+1 : ci*24+32], ' ')) AS chunk_fp FROM c ORDER BY doc_id, chunk_id"),
+    q("pp4_pack_sequences", (s, d) => Pipeline.packSequences(s, d),
+      "SELECT doc_id, doc_id % 8 AS shard, CAST(floor(coalesce(sum(CAST(len(string_split(text,' ')) AS BIGINT)) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 256) AS BIGINT) AS bin, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens FROM documents ORDER BY doc_id"),
 
     // ---- text analysis ----
     q("tx1_token_stats", TextAnalysis.tokenStats,
@@ -138,6 +143,8 @@ object Registry {
       "WITH h AS (SELECT doc_id, lang, len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and'))) AS en_h, len(list_filter(string_split(text,' '), w -> w IN ('der','die','das','und'))) AS de_h, len(list_filter(string_split(text,' '), w -> w IN ('el','la','los','y'))) AS es_h, len(list_filter(string_split(text,' '), w -> w IN ('le','les','des','et'))) AS fr_h FROM documents) SELECT doc_id, lang, CASE WHEN en_h = greatest(en_h,de_h,es_h,fr_h) AND en_h > 0 THEN 'en' WHEN de_h = greatest(en_h,de_h,es_h,fr_h) AND de_h > 0 THEN 'de' WHEN es_h = greatest(en_h,de_h,es_h,fr_h) AND es_h > 0 THEN 'es' WHEN fr_h = greatest(en_h,de_h,es_h,fr_h) AND fr_h > 0 THEN 'fr' ELSE 'unknown' END AS pred_lang FROM h ORDER BY doc_id"),
     q("tx5_regex_tokens", TextAnalysis.regexTokens,
       "SELECT doc_id, CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_re_tokens, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens FROM documents ORDER BY doc_id"),
+    q("tx6_vocabulary", (s, d) => TextAnalysis.vocabulary(s, d),
+      "WITH c AS (SELECT unnest(string_split(text,' ')) AS w FROM documents), g AS (SELECT w, count(*) AS cnt FROM c GROUP BY w HAVING count(*) >= 5) SELECT CAST(row_number() OVER (ORDER BY cnt DESC, w) AS BIGINT) AS token_id, w, cnt FROM g ORDER BY token_id"),
     q("tx4_top_bigrams", TextAnalysis.topBigrams,
       "WITH toks AS (SELECT string_split(text,' ') AS a FROM documents WHERE len(string_split(text,' ')) >= 2), bi AS (SELECT a[i] || ' ' || a[i+1] AS bigram FROM toks, UNNEST(generate_series(1, len(a)-1)) AS t(i)) SELECT bigram, count(*) AS n FROM bi GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20"),
 

@@ -79,4 +79,46 @@ object Pipeline {
         when(md5(col("doc_id").cast("string").cast("binary")) < "1a", lit("holdout"))
           .otherwise(lit("train")).as("split"))
       .orderBy("doc_id")
+
+  /** Fixed-size overlapping token chunks (`chunk` tokens every `stride`) —
+    * the context-window slicing step before tokenization/packing. Chunk
+    * count per doc is ceil(max(n-chunk,0)/stride)+1, so every token is
+    * covered and short docs yield exactly one chunk. A narrow generator
+    * over the token array (rows × chunks/doc, no shuffle); the chunk text
+    * is emitted as its md5 so the output stays compact. */
+  def chunkDocuments(s: SparkSession, d: String, chunk: Int = 32, stride: Int = 24): DataFrame = {
+    val n = size(col("a"))
+    val lastChunk = greatest(
+      ceil((n - chunk).cast("double") / stride).cast("int"), lit(0))
+    t(s, d, "documents")
+      .select(col("doc_id"), toks.as("a"))
+      .select(col("doc_id"), col("a"), explode(sequence(lit(0), lastChunk)).as("ci"))
+      .select(
+        col("doc_id"),
+        col("ci").cast("long").as("chunk_id"),
+        size(slice(col("a"), col("ci") * stride + 1, lit(chunk))).cast("long").as("n_chunk_tokens"),
+        md5(array_join(slice(col("a"), col("ci") * stride + 1, lit(chunk)), " ").cast("binary"))
+          .as("chunk_fp"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** Contiguous sequence packing: per shard (doc_id mod `shards`, so the
+    * operation is embarrassingly parallel), documents are laid out in
+    * doc_id order and a document belongs to bin ⌊tokens-before-it /
+    * target⌋ — fixed token-budget split points over each shard's stream.
+    * The per-shard running sum is a window over the shard partition, so no
+    * global ordering is ever required; shard count scales with the
+    * cluster, and each bin holds ≈`target` tokens. */
+  def packSequences(s: SparkSession, d: String, target: Int = 256, shards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t(s, d, "documents")
+      .select(col("doc_id"), (col("doc_id") % shards).as("shard"),
+        size(toks).cast("long").as("n_tokens"))
+      .withColumn("bin",
+        floor(coalesce(sum("n_tokens").over(w), lit(0L)) / target).cast("long"))
+      .select("doc_id", "shard", "bin", "n_tokens")
+      .orderBy("doc_id")
+  }
 }

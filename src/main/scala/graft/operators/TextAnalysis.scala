@@ -87,6 +87,24 @@ object TextAnalysis {
         size(toks).cast("long").as("n_ws_tokens"))
       .orderBy("doc_id")
 
+  /** Vocabulary building: corpus-frequency-ranked token ids (the id table a
+    * tokenizer trains against). The count is one token-keyed aggregation;
+    * the ranking window is global but runs over the VOCABULARY (distinct
+    * tokens ≪ corpus), which is the standard vocab-build shape — the
+    * corpus-sized work is all in the distributed count. Ties rank
+    * lexicographically so ids are total and cross-engine stable. */
+  def vocabulary(s: SparkSession, d: String, minCount: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    t(s, d, "documents")
+      .select(explode(toks).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .withColumn("token_id",
+        row_number().over(Window.orderBy(col("cnt").desc, col("w"))).cast("long"))
+      .select("token_id", "w", "cnt")
+      .orderBy("token_id")
+  }
+
   /** Corpus bigram profile: top-20 word bigrams. The per-document expansion
     * is a flat map (explode) feeding a partial-aggregated count — one
     * shuffle keyed by bigram. The token array is materialized in its own
