@@ -16,12 +16,25 @@ import graft.sources.Source
   */
 object Engine {
 
+  /** Make the engine's SQL surface self-contained on any session: register
+    * the `float_vector_dot` function and inject the HOF→kernel optimizer
+    * rule, exactly what `spark.sql.extensions=graft.plans.GraftExtensions`
+    * does at session build time. Idempotent, so safe per query. */
+  private def ensureExtensions(spark: SparkSession): Unit = {
+    graft.functions.VectorFunctions.registerSql(spark)
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.RewriteVectorDot))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RewriteVectorDot
+  }
+
   /** Run `sql` against the source identified by `sourceUrl` and return the
     * (lazy) result. Catalyst parses/analyzes/optimizes; nothing is executed
     * until an action or sink call.
     */
-  def query(spark: SparkSession, sourceUrl: String, sql: String): DataFrame =
+  def query(spark: SparkSession, sourceUrl: String, sql: String): DataFrame = {
+    ensureExtensions(spark)
     Source.fromUrl(sourceUrl).load(spark, sql)
+  }
 
   /** Full export: query → extension-dispatched sink, one output file
     * (reference parity: src/main.rs:17 expects a single named file).

@@ -158,6 +158,13 @@ class EngineSpec extends AnyFunSuite {
       .first().getLong(0) == 25)
   }
 
+  test("engine SQL surface includes float_vector_dot on any session") {
+    val df = Engine.query(spark, s"parquet://$sf",
+      "SELECT vec_id, float_vector_dot(embedding, embedding) AS sq FROM embeddings ORDER BY vec_id LIMIT 3")
+    val rows = df.collect()
+    assert(rows.length == 3 && rows.forall(_.getDouble(1) > 0.0))
+  }
+
   test("zero-row export writes header-only csv, not a broken empty file") {
     val out = tmp("csv")
     Engine.export(spark, s"parquet://$sf",
