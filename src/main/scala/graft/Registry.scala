@@ -119,6 +119,7 @@ object Registry {
     noOracle("dd4_minhash_lsh", Dedup.minhashLsh),
     noOracle("dd5_simhash_pairs", Dedup.simhashPairs),
     noOracle("dd7_winnow_fingerprints", (s, d) => Dedup.winnowFingerprints(s, d)),
+    noOracle("dd8_dup_clusters", Dedup.dupClusters),
     q("dd6_embedding_neardup", Dedup.embeddingNearDup,
       "WITH m AS (SELECT greatest(1, count(*) // 2000) AS mod FROM embeddings), e AS (SELECT vec_id, embedding FROM embeddings, m WHERE vec_id % m.mod = 0) SELECT a.vec_id AS id_a, b.vec_id AS id_b, round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cos FROM e a JOIN e b ON a.vec_id < b.vec_id WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4 ORDER BY id_a, id_b"),
 

@@ -280,6 +280,64 @@ object Dedup {
       .orderBy("doc_id", "fp")
   }
 
+  /** Duplicate clusters + keep-list: connected components over the
+    * MinHash-LSH near-dup pair graph, the step that turns pairwise
+    * similarity into the actual dedup decision (one canonical doc per
+    * cluster, everything else dropped).
+    *
+    * Algorithm: min-label propagation — every node's label converges to
+    * the smallest doc_id reachable from it. Each round is one edge-keyed
+    * join + min-aggregation (all distributed; the driver sees only the
+    * converged-yet? count), and rounds needed = graph diameter. Near-dup
+    * graphs are unions of near-cliques/stars (LSH buckets + full-signature
+    * stars), so diameter is small and 2-4 rounds converge; for
+    * general-diameter graphs the same loop takes the large-star/small-star
+    * step (Kiveris et al., "Connected Components in MapReduce") — noted,
+    * not needed here. Labels are localCheckpoint'ed EVERY round: iterative
+    * self-referential lineage otherwise grows exponentially and re-derives
+    * the whole history each action.
+    *
+    * Output: (doc_id, cluster_id=min reachable doc_id, is_canonical);
+    * singleton docs (no near-dup edge) are included as their own cluster,
+    * so the keep-list is exactly `is_canonical`. Engine-specific hash
+    * family upstream ⇒ rows-only driver check; ground-truth union-find
+    * comparison in DedupSpec. */
+  def dupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = minhashLsh(s, d).select(col("id_a"), col("id_b")).localCheckpoint()
+    val edges = pairs
+      .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b"))
+        .select(col("id_a"), col("id_b")))
+      .toDF("u", "v")
+      .localCheckpoint()
+    var labels = edges.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 20) {
+      val neighborMin = edges
+        .join(labels.select(col("node").as("v"), col("label")), "v")
+        .groupBy(col("u").as("node")).agg(min("label").as("nl"))
+      // carry the previous label through the materialization so the
+      // convergence check is a filter over the checkpoint, not another join
+      val next = labels.join(neighborMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"),
+          col("label").as("old"))
+        .localCheckpoint()
+      changed = next.filter(col("label") =!= col("old")).count()
+      labels = next.select("node", "label")
+      rounds += 1
+    }
+    val docs = t(s, d, "documents").select(col("doc_id"))
+    docs.join(labels.select(col("node").as("doc_id"), col("label")), Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   /** Embedding near-dup: all pairs with cosine ≥ 0.4. Brute force here
     * (embeddings table is small even at sf0.1); the LSH-bucketed route for
     * big corpora is Similarity.lshTopK. */

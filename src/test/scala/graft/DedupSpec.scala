@@ -111,6 +111,34 @@ class DedupSpec extends AnyFunSuite {
     assert(fps("short").isEmpty)
   }
 
+  test("dup clusters equal union-find ground truth over the LSH pair graph") {
+    val pairs = Dedup.minhashLsh(spark, sf).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    // test-side union-find ground truth
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val truth = parent.keys.map(x => x -> find(x)).toMap
+    val out = Dedup.dupClusters(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Boolean]("is_canonical"))).toMap
+    assert(out.size == 500) // every document appears, singletons included
+    truth.foreach { case (node, root) =>
+      assert(out(node)._1 == root, s"node $node: got ${out(node)._1}, want $root")
+    }
+    // docs with no near-dup edge are their own canonical cluster
+    out.foreach { case (doc, (cluster, canon)) =>
+      if (!truth.contains(doc)) assert(cluster == doc)
+      assert(canon == (cluster == doc))
+    }
+  }
+
   test("embedding near-dup pairs are within [-1, 1] and above threshold") {
     val out = Dedup.embeddingNearDup(spark, sf).collect()
     assert(out.nonEmpty)
