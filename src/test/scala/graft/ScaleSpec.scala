@@ -37,6 +37,23 @@ class ScaleSpec extends AnyFunSuite {
     assert(plan("q14_topk").contains("TakeOrderedAndProject"))
   }
 
+  test("dd7: winnowing kernel plan has no hash-partition shuffle (narrow map + output sort only)") {
+    val p = plan("dd7_winnow_fingerprints")
+    assert(p.contains("winnow_fingerprints"), p.take(500))
+    // the per-character shuffle of the old formulation is gone: the only
+    // exchange left is the range partitioning for the output orderBy
+    assert(!p.contains("Exchange hashpartitioning"), p.take(800))
+  }
+
+  test("q35: aggregation is pushed through the unpivot (expand above the agg, not below)") {
+    val p = plan("q35_unpivot")
+    val expand = p.indexOf("Expand")
+    val agg = p.lastIndexOf("HashAggregate")
+    // plan prints top-down: the Expand (unpivot) must sit ABOVE the final
+    // aggregate, i.e. melt the 3-row aggregate, not the fact table
+    assert(expand >= 0 && agg >= 0 && expand < agg, s"expand@$expand agg@$agg")
+  }
+
   test("pp1: cleaning pipeline shuffles on the md5 fingerprint, never the text") {
     val p = plan("pp1_clean_corpus")
     // the dedup exchange is keyed by the 16-byte fingerprint...
