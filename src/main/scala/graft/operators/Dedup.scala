@@ -329,6 +329,10 @@ object Dedup {
       labels = next.select("node", "label")
       rounds += 1
     }
+    // partial labels are silently WRONG clusters — fail loudly instead
+    // (20 rounds covers diameter-20 graphs; near-dup graphs converge in 2-4)
+    require(changed == 0,
+      s"label propagation did not converge in $rounds rounds ($changed labels still moving)")
     val docs = t(s, d, "documents").select(col("doc_id"))
     docs.join(labels.select(col("node").as("doc_id"), col("label")), Seq("doc_id"), "left")
       .select(

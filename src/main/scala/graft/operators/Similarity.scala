@@ -120,7 +120,9 @@ object Similarity {
     def cellOf(cents: Array[Array[Double]], v: Column): Column =
       array_min(array(distCells(cents, v): _*)).getField("cell")
 
-    var cents: Array[Array[Double]] = e.filter(col("vec_id") < k).orderBy("vec_id")
+    // seeds: the k lowest vec_ids actually present (not `vec_id < k`, which
+    // silently under-seeds a corpus with sparse or shifted ids)
+    var cents: Array[Array[Double]] = e.orderBy("vec_id").limit(k)
       .collect().map(_.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray)
     for (_ <- 0 until iters) {
       val means = e
