@@ -158,6 +158,12 @@ class EngineSpec extends AnyFunSuite {
       .first().getLong(0) == 25)
   }
 
+  test("SparkEntry.entry (driver t1 smoke) returns rows through the engine path") {
+    val rows = SparkEntry.entry(spark).collect()
+    assert(rows.nonEmpty)
+    assert(SparkEntry.entry(spark).columns.contains("sum_qty"))
+  }
+
   test("engine SQL surface includes float_vector_dot on any session") {
     val df = Engine.query(spark, s"parquet://$sf",
       "SELECT vec_id, float_vector_dot(embedding, embedding) AS sq FROM embeddings ORDER BY vec_id LIMIT 3")
