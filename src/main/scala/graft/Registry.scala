@@ -85,6 +85,8 @@ object Registry {
     noOracle("q24_approx_count_distinct", Relational.q24ApproxCountDistinct),
     q("q25_big_join_agg", Relational.q25BigJoinAgg,
       "SELECT o_orderpriority, count(*) AS n_items, CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    q("q36_window_dist", Relational.q36WindowDist,
+      "SELECT o_orderkey, o_orderpriority, CAST(ntile(10) OVER w AS BIGINT) AS decile, percent_rank() OVER w AS pct_rank, cume_dist() OVER w AS cume FROM orders WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) ORDER BY o_orderkey"),
     q("q35_unpivot", Relational.q35Unpivot,
       "SELECT l_returnflag, metric, CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS total, count(*) AS n FROM (SELECT l_returnflag, 'l_quantity' AS metric, l_quantity AS v FROM lineitem UNION ALL SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem UNION ALL SELECT l_returnflag, 'l_discount', l_discount FROM lineitem UNION ALL SELECT l_returnflag, 'l_tax', l_tax FROM lineitem) t GROUP BY l_returnflag, metric ORDER BY l_returnflag, metric"),
     q("q26_pivot", Relational.q26Pivot,
@@ -120,6 +122,8 @@ object Registry {
     noOracle("dd5_simhash_pairs", Dedup.simhashPairs),
     noOracle("dd7_winnow_fingerprints", (s, d) => Dedup.winnowFingerprints(s, d)),
     noOracle("dd8_dup_clusters", Dedup.dupClusters),
+    q("dd9_edit_distance", (s, d) => Dedup.editDistancePairs(s, d),
+      "WITH m AS (SELECT greatest(1, count(*) // 500) AS mod FROM documents), d AS (SELECT doc_id, substr(text, 1, 40) AS p FROM documents, m WHERE doc_id % m.mod = 0) SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(levenshtein(a.p, b.p) AS BIGINT) AS dist FROM d a JOIN d b ON a.doc_id < b.doc_id WHERE levenshtein(a.p, b.p) <= 10 ORDER BY id_a, id_b"),
     q("dd6_embedding_neardup", Dedup.embeddingNearDup,
       "WITH m AS (SELECT greatest(1, count(*) // 2000) AS mod FROM embeddings), e AS (SELECT vec_id, embedding FROM embeddings, m WHERE vec_id % m.mod = 0) SELECT a.vec_id AS id_a, b.vec_id AS id_b, round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cos FROM e a JOIN e b ON a.vec_id < b.vec_id WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4 ORDER BY id_a, id_b"),
 

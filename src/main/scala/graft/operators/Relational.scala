@@ -418,6 +418,24 @@ object Relational {
       .na.fill(0)
       .orderBy("user_id")
 
+  /** Distribution window functions — decile bucketing (ntile) and the
+    * exact rank ratios (percent_rank/cume_dist). The ordering inside each
+    * partition is total (price, then key), so every row is its own peer
+    * group and the emitted doubles are ratios of exact integers —
+    * bit-identical cross-engine. */
+  def q36WindowDist(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    t(s, d, "orders")
+      .select(
+        col("o_orderkey"), col("o_orderpriority"),
+        ntile(10).over(w).cast("long").as("decile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy("o_orderkey")
+  }
+
   /** Pivot's inverse: long-form (metric, total) rows from the wide measure
     * columns. The aggregation is PUSHED THROUGH the unpivot: summing each
     * measure first and melting the 3-row aggregate is semantically
