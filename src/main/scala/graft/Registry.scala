@@ -85,6 +85,11 @@ object Registry {
     noOracle("q24_approx_count_distinct", Relational.q24ApproxCountDistinct),
     q("q25_big_join_agg", Relational.q25BigJoinAgg,
       "SELECT o_orderpriority, count(*) AS n_items, CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    q("q37_merge_upsert", Relational.q37MergeUpsert,
+      // money math in DECIMAL at scale 4 end-to-end: 2dp×1.1 has ≤3
+      // decimals, so scale 4 is exact and NOTHING rounds — a scale-2
+      // re-cast (or double ×1.1) hits .xx5 cases where engines disagree
+      "WITH b AS (SELECT * REPLACE (CAST(o_totalprice AS DECIMAL(20,4)) AS o_totalprice) FROM orders), changes AS (SELECT * REPLACE (CAST(o_totalprice * CAST(1.1 AS DECIMAL(3,2)) AS DECIMAL(20,4)) AS o_totalprice) FROM b WHERE o_orderkey % 100 = 0), merged AS (SELECT * FROM changes UNION ALL SELECT o.* FROM b o WHERE NOT EXISTS (SELECT 1 FROM changes c WHERE c.o_orderkey = o.o_orderkey)) SELECT o_orderpriority, count(*) AS n, CAST(sum(o_totalprice) AS DOUBLE) AS total FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority"),
     q("q36_window_dist", Relational.q36WindowDist,
       "SELECT o_orderkey, o_orderpriority, CAST(ntile(10) OVER w AS BIGINT) AS decile, percent_rank() OVER w AS pct_rank, cume_dist() OVER w AS cume FROM orders WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) ORDER BY o_orderkey"),
     q("q35_unpivot", Relational.q35Unpivot,

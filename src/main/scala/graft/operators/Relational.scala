@@ -418,6 +418,30 @@ object Relational {
       .na.fill(0)
       .orderBy("user_id")
 
+  /** Batch merge/upsert (the lakehouse MERGE pattern without a lakehouse
+    * format): a change-set replaces matching base rows and inserts the
+    * rest — expressed as changes ∪ (base ANTI-JOIN changes). The anti join
+    * broadcasts the (small) change-set key list, so the base table never
+    * reshuffles. The change-set is synthetic (every 100th order re-priced
+    * +10%), computed ENTIRELY in decimal at scale 4 so NO rounding happens
+    * anywhere: a 2dp price × 1.1 has at most 3 decimals, which scale 4
+    * holds exactly — any scale-2 re-cast (or double ×1.1) rounds .xx5
+    * cases and engines disagree on those. */
+  def q37MergeUpsert(s: SparkSession, d: String): DataFrame = {
+    val baseD = t(s, d, "orders")
+      .withColumn("o_totalprice", col("o_totalprice").cast("decimal(20,4)"))
+    val changes = baseD.filter(col("o_orderkey") % 100 === 0)
+      .withColumn("o_totalprice",
+        (col("o_totalprice") * expr("CAST(1.1 AS DECIMAL(3,2))")).cast("decimal(20,4)"))
+    val merged = changes.unionByName(
+      baseD.join(changes.select("o_orderkey"), Seq("o_orderkey"), "left_anti"))
+    merged.groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("o_totalprice")).cast("double").as("total"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Distribution window functions — decile bucketing (ntile) and the
     * exact rank ratios (percent_rank/cume_dist). The ordering inside each
     * partition is total (price, then key), so every row is its own peer
