@@ -138,6 +138,8 @@ object Registry {
 
     q("pp2_hash_split", Pipeline.hashSplit,
       "SELECT doc_id, lang, CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '1a' THEN 'holdout' ELSE 'train' END AS split FROM documents ORDER BY doc_id"),
+    q("pp5_outlier_filter", (s, d) => Pipeline.outlierFilter(s, d, fence = 0.25),
+      "WITH d AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS DOUBLE) AS n_tokens FROM documents), q AS (SELECT quantile_cont(n_tokens, 0.25) AS q1, quantile_cont(n_tokens, 0.75) AS q3 FROM d) SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens FROM d, q WHERE n_tokens >= q1 - 0.25*(q3-q1) AND n_tokens <= q3 + 0.25*(q3-q1) ORDER BY doc_id"),
     q("pp3_chunk_documents", (s, d) => Pipeline.chunkDocuments(s, d),
       // DuckDB list slice a[i:j] is 1-based inclusive ≡ Spark slice(a,i,32)
       "WITH t AS (SELECT doc_id, string_split(text,' ') AS a, CAST(len(string_split(text,' ')) AS BIGINT) AS n FROM documents), c AS (SELECT doc_id, a, unnest(generate_series(0, CAST(greatest(ceil((n - 32)/24.0), 0) AS BIGINT))) AS ci FROM t) SELECT doc_id, ci AS chunk_id, CAST(len(a[ci*24+1 : ci*24+32]) AS BIGINT) AS n_chunk_tokens, md5(array_to_string(a[ci*24+1 : ci*24+32], ' ')) AS chunk_fp FROM c ORDER BY doc_id, chunk_id"),

@@ -102,6 +102,34 @@ object Pipeline {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** IQR outlier filter: keep documents whose token count lies within
+    * [q1 − 1.5·IQR, q3 + 1.5·IQR] — the standard stats-based length filter
+    * of a cleaning pass. The quantiles come from ONE exact `percentile`
+    * aggregate over the 8-byte stats column (not the documents), broadcast
+    * back as a 1-row bound; all comparisons are on identically-computed
+    * doubles, so the boundary decisions are cross-engine stable. At 100 TB
+    * the exact single-group percentile buffers the stats column on one
+    * reducer — swap `approx_percentile` (sketch, mergeable) or a
+    * distributed rank-select when the stats column itself is too large.
+    *
+    * `fence` is the IQR multiplier (1.5 = the textbook outlier rule; the
+    * registered query uses 0.25 because this corpus's lengths are uniform
+    * — a 1.5 fence excludes nothing and would leave the quantile boundary
+    * arithmetic untested by the oracle). */
+  def outlierFilter(s: SparkSession, d: String, fence: Double = 1.5): DataFrame = {
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), size(toks).cast("double").as("n_tokens"))
+    val bounds = docs
+      .agg(expr("percentile(n_tokens, array(0.25D, 0.75D))").as("qs"))
+      .select(element_at(col("qs"), 1).as("q1"), element_at(col("qs"), 2).as("q3"))
+    val iqr = col("q3") - col("q1")
+    docs.crossJoin(broadcast(bounds))
+      .filter(col("n_tokens") >= col("q1") - lit(fence) * iqr &&
+        col("n_tokens") <= col("q3") + lit(fence) * iqr)
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** Contiguous sequence packing: per shard (doc_id mod `shards`, so the
     * operation is embarrassingly parallel), documents are laid out in
     * doc_id order and a document belongs to bin ⌊tokens-before-it /
