@@ -27,7 +27,9 @@ class SinkRoundTripSpec extends AnyFunSuite {
   private val paymentGen: Gen[Row] = for {
     cid <- Gen.choose(1, 1000)
     amount <- Gen.choose(10, 1000)
-    name <- Gen.option(Gen.choose(1, 100).map(i => s"Account $i"))
+    // mixed-script names exercise sink/reader encoding (UTF-8 end-to-end)
+    prefix <- Gen.oneOf("Account", "Конто", "口座", "Compte é")
+    name <- Gen.option(Gen.choose(1, 100).map(i => s"$prefix $i"))
   } yield Row(cid, amount, name.orNull)
 
   private def sample(seed: Long): List[Row] =
