@@ -40,21 +40,40 @@ object Source {
     def registerViews(spark: SparkSession): Unit = {
       graft.Tables.ensureNanosReadable(spark)
       val ext = "." + format
-      val files = Option(new File(dir).listFiles()).getOrElse(Array.empty[File])
-        .filter(_.getName.toLowerCase.endsWith(ext))
-      require(files.nonEmpty, s"no *$ext files under $dir")
+      val entries = Option(new File(dir).listFiles()).getOrElse(Array.empty[File])
+      val files = entries.filter(f => f.isFile && f.getName.toLowerCase.endsWith(ext))
+      // Directory tables: a subdirectory holding format files (possibly
+      // under key=value partition dirs) registers under its own name, with
+      // Spark's native partition discovery — at scale tables are
+      // partitioned DIRECTORIES, not single files, and this is what makes
+      // partition pruning reachable through the engine's SQL path.
+      val dirTables = entries.filter(f => f.isDirectory &&
+        !f.getName.startsWith(".") && !f.getName.startsWith("_") &&
+        containsData(f, ext, 0))
+      require(files.nonEmpty || dirTables.nonEmpty, s"no *$ext files under $dir")
+      def reader = format match {
+        // header-on matches the reference's CSV sink default
+        // (reference src/lib.rs:114-123), making round-trips symmetric.
+        case "csv" => spark.read.option("header", "true").option("inferSchema", "true")
+        case _     => spark.read
+      }
       files.sortBy(_.getName).foreach { f =>
-        val name = f.getName.dropRight(ext.length)
-        val reader = format match {
-          // header-on matches the reference's CSV sink default
-          // (reference src/lib.rs:114-123), making round-trips symmetric.
-          case "csv" => spark.read.option("header", "true").option("inferSchema", "true")
-          case _     => spark.read
-        }
+        graft.Tables.normalizeNanos(reader.format(format).load(f.getAbsolutePath))
+          .createOrReplaceTempView(f.getName.dropRight(ext.length))
+      }
+      dirTables.sortBy(_.getName).foreach { f =>
+        val name = if (f.getName.toLowerCase.endsWith(ext))
+          f.getName.dropRight(ext.length) else f.getName
         graft.Tables.normalizeNanos(reader.format(format).load(f.getAbsolutePath))
           .createOrReplaceTempView(name)
       }
     }
+
+    private def containsData(f: File, ext: String, depth: Int): Boolean =
+      depth <= 3 && Option(f.listFiles()).getOrElse(Array.empty[File]).exists { c =>
+        (c.isFile && c.getName.toLowerCase.endsWith(ext)) ||
+          (c.isDirectory && containsData(c, ext, depth + 1))
+      }
   }
 
   /** JDBC source with whole-query pushdown (reference S1/S2/S3,

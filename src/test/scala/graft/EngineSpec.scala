@@ -158,6 +158,20 @@ class EngineSpec extends AnyFunSuite {
       .first().getLong(0) == 25)
   }
 
+  test("partitioned table directories register as views with partition pruning intact") {
+    val dir = Files.createTempDirectory("graft-part-src").toString
+    Tables(spark, sf, "events").write.partitionBy("event_type")
+      .mode("overwrite").parquet(s"$dir/events_part")
+    val df = Engine.query(spark, s"parquet://$dir",
+      "SELECT count(*) AS n FROM events_part WHERE event_type = 'click'")
+    val expect = Tables(spark, sf, "events")
+      .filter(org.apache.spark.sql.functions.col("event_type") === "click").count()
+    assert(df.first().getLong(0) == expect)
+    // the partition predicate prunes at planning, not as a data filter
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type"), plan.take(600))
+  }
+
   test("SparkEntry.entry (driver t1 smoke) returns rows through the engine path") {
     val rows = SparkEntry.entry(spark).collect()
     assert(rows.nonEmpty)
