@@ -42,8 +42,12 @@ object Engine {
   def export(spark: SparkSession, sourceUrl: String, sql: String, output: String): Unit =
     Sinks.writeSingleFile(query(spark, sourceUrl, sql), output)
 
-  /** Scale-path export: directory of part-files, fully parallel write. */
+  /** Scale-path export: directory of part-files, fully parallel write.
+    * `partitionBy` lays the output out as key=value directories, which the
+    * file-source schemes register back as partition-pruned tables — the
+    * write-side half of the partitioned-table round trip. */
   def exportDir(spark: SparkSession, sourceUrl: String, sql: String,
-      output: String, format: String): Unit =
-    Sinks.writeDir(query(spark, sourceUrl, sql), output, Sinks.fromPath("x." + format))
+      output: String, format: String, partitionBy: Seq[String] = Nil): Unit =
+    Sinks.writeDir(query(spark, sourceUrl, sql), output,
+      Sinks.fromPath("x." + format), partitionBy)
 }

@@ -160,8 +160,9 @@ class EngineSpec extends AnyFunSuite {
 
   test("partitioned table directories register as views with partition pruning intact") {
     val dir = Files.createTempDirectory("graft-part-src").toString
-    Tables(spark, sf, "events").write.partitionBy("event_type")
-      .mode("overwrite").parquet(s"$dir/events_part")
+    // write side: partitioned export through the engine itself
+    Engine.exportDir(spark, s"parquet://$sf", "SELECT * FROM events",
+      s"$dir/events_part", "parquet", partitionBy = Seq("event_type"))
     val df = Engine.query(spark, s"parquet://$dir",
       "SELECT count(*) AS n FROM events_part WHERE event_type = 'click'")
     val expect = Tables(spark, sf, "events")
