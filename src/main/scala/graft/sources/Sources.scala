@@ -30,8 +30,14 @@ object Source {
     * pushdown and column pruning from Catalyst — unlike the reference's
     * single-connection, one-row-per-batch stream
     * (reference src/db/mysql.rs:85-110).
+    *
+    * `fileExt` decouples the on-disk extension from the Spark format where
+    * they differ: raw corpora are `.txt` (format `text`, one `value` line
+    * column) and `.jsonl` (format `json`, NDJSON — the standard
+    * training-corpus layout).
     */
-  final case class Files(format: String, dir: String) extends Source {
+  final case class Files(format: String, dir: String, fileExt: Option[String] = None)
+      extends Source {
     def load(spark: SparkSession, query: String): DataFrame = {
       registerViews(spark)
       spark.sql(query)
@@ -39,7 +45,7 @@ object Source {
 
     def registerViews(spark: SparkSession): Unit = {
       graft.Tables.ensureNanosReadable(spark)
-      val ext = "." + format
+      val ext = "." + fileExt.getOrElse(format)
       val entries = Option(new File(dir).listFiles()).getOrElse(Array.empty[File])
       val files = entries.filter(f => f.isFile && f.getName.toLowerCase.endsWith(ext))
       // Directory tables: a subdirectory holding format files (possibly
@@ -137,8 +143,13 @@ object Source {
       case r => r
     }
     lazy val (dbRest, partOpts) = splitPartitionParams(rest)
+    def path = "/" + rest.dropWhile(_ == '/')
     scheme match {
-      case "parquet" | "orc" | "csv" | "json" => Files(scheme, "/" + rest.dropWhile(_ == '/'))
+      case "parquet" | "orc" | "csv" | "json" => Files(scheme, path)
+      // raw-corpus ingestion (bonus over the reference): .txt line files as
+      // a single `value` column; .jsonl NDJSON corpora
+      case "text" | "txt" => Files("text", path, Some("txt"))
+      case "jsonl" => Files("json", path, Some("jsonl"))
       case "mysql" =>
         Jdbc(s"jdbc:mysql://$dbRest", Some("com.mysql.cj.jdbc.Driver"), partOpts)
       case "postgres" | "postgresql" =>

@@ -158,6 +158,22 @@ class EngineSpec extends AnyFunSuite {
       .first().getLong(0) == 25)
   }
 
+  test("text and jsonl corpus schemes ingest raw training-data files") {
+    val dir = Files.createTempDirectory("graft-raw-src").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/corpus.txt"), "line one\nline two\nline three\n")
+    val txt = Engine.query(spark, s"text://$dir",
+      "SELECT count(*) AS n FROM corpus WHERE value LIKE 'line%'")
+    assert(txt.first().getLong(0) == 3)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/docs.jsonl"),
+      """{"id": 1, "text": "hello"}""" + "\n" + """{"id": 2, "text": "world"}""" + "\n")
+    val jl = Engine.query(spark, s"jsonl://$dir",
+      "SELECT count(*) AS n, min(text) AS first FROM docs")
+    val row = jl.first()
+    assert(row.getLong(0) == 2 && row.getString(1) == "hello")
+  }
+
   test("partitioned table directories register as views with partition pruning intact") {
     val dir = Files.createTempDirectory("graft-part-src").toString
     // write side: partitioned export through the engine itself
