@@ -27,6 +27,9 @@ object Sinks {
   case object Json extends Format("json")
   /** Bonus over the reference (roadmap-only there, README.md:29). */
   case object Orc extends Format("orc")
+  /** Raw-corpus bonus: one text line per row (requires a single string
+    * column, Spark's `text` writer contract). */
+  case object Text extends Format("text")
 
   /** Extension → format: lowercase whole path, last '.'-segment
     * (reference src/lib.rs:80-81). */
@@ -34,8 +37,11 @@ object Sinks {
     path.toLowerCase.split('.').lastOption match {
       case Some("parquet") => Parquet
       case Some("csv")     => Csv
-      case Some("json")    => Json
+      // .jsonl is the conventional extension for exactly what the json
+      // sink already writes (NDJSON, reference src/lib.rs:128)
+      case Some("json") | Some("jsonl") => Json
       case Some("orc")     => Orc
+      case Some("txt")     => Text
       case Some("arrow")   => throw new UnsupportedOperationException(
         "arrow sink is unimplemented (parity with reference src/lib.rs:138)")
       case other => throw new IllegalArgumentException(
@@ -49,6 +55,7 @@ object Sinks {
       case Orc     => w.format("orc")
       case Csv     => w.format("csv").option("header", "true")
       case Json    => w.format("json").option("ignoreNullFields", "false")
+      case Text    => w.format("text")
     }
   }
 

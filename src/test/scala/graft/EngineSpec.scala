@@ -70,9 +70,11 @@ class EngineSpec extends AnyFunSuite {
     assert(Sinks.fromPath("weird.name.with.dots.csv") == Sinks.Csv)
     assert(Sinks.fromPath("x.Json") == Sinks.Json)
     assert(Sinks.fromPath("x.orc") == Sinks.Orc)
+    assert(Sinks.fromPath("x.jsonl") == Sinks.Json)
+    assert(Sinks.fromPath("x.txt") == Sinks.Text)
     // arrow is a declared-but-unimplemented variant in the reference (lib.rs:138)
     assertThrows[UnsupportedOperationException](Sinks.fromPath("x.arrow"))
-    assertThrows[IllegalArgumentException](Sinks.fromPath("x.txt"))
+    assertThrows[IllegalArgumentException](Sinks.fromPath("x.tsv"))
   }
 
   // --- type map (reference src/db/conversion.rs, SURVEY §1.3) ---
@@ -155,6 +157,18 @@ class EngineSpec extends AnyFunSuite {
     val jdir = Files.createTempDirectory("graft-json-src").toString
     Engine.export(spark, s"parquet://$sf", "SELECT n_nationkey, n_name FROM nation", s"$jdir/nation.json")
     assert(Engine.query(spark, s"json://$jdir", "SELECT count(*) AS n FROM nation")
+      .first().getLong(0) == 25)
+  }
+
+  test("txt and jsonl sinks round-trip through their source schemes") {
+    val dir = Files.createTempDirectory("graft-raw-sink").toString
+    Engine.export(spark, s"parquet://$sf",
+      "SELECT r_name AS value FROM region ORDER BY r_regionkey", s"$dir/names.txt")
+    assert(Engine.query(spark, s"text://$dir", "SELECT count(*) AS n FROM names")
+      .first().getLong(0) == 5)
+    Engine.export(spark, s"parquet://$sf",
+      "SELECT n_nationkey, n_name FROM nation", s"$dir/nations.jsonl")
+    assert(Engine.query(spark, s"jsonl://$dir", "SELECT count(*) AS n FROM nations")
       .first().getLong(0) == 25)
   }
 
