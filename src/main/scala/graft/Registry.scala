@@ -155,6 +155,8 @@ object Registry {
       "WITH h AS (SELECT doc_id, lang, len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and'))) AS en_h, len(list_filter(string_split(text,' '), w -> w IN ('der','die','das','und'))) AS de_h, len(list_filter(string_split(text,' '), w -> w IN ('el','la','los','y'))) AS es_h, len(list_filter(string_split(text,' '), w -> w IN ('le','les','des','et'))) AS fr_h FROM documents) SELECT doc_id, lang, CASE WHEN en_h = greatest(en_h,de_h,es_h,fr_h) AND en_h > 0 THEN 'en' WHEN de_h = greatest(en_h,de_h,es_h,fr_h) AND de_h > 0 THEN 'de' WHEN es_h = greatest(en_h,de_h,es_h,fr_h) AND es_h > 0 THEN 'es' WHEN fr_h = greatest(en_h,de_h,es_h,fr_h) AND fr_h > 0 THEN 'fr' ELSE 'unknown' END AS pred_lang FROM h ORDER BY doc_id"),
     q("tx5_regex_tokens", TextAnalysis.regexTokens,
       "SELECT doc_id, CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_re_tokens, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens FROM documents ORDER BY doc_id"),
+    q("tx7_charngram_langid", TextAnalysis.charNgramLanguageId,
+      "WITH h AS (SELECT doc_id, lang, CAST(((length(text)-length(replace(text,'the','')))/3 + (length(text)-length(replace(text,'and','')))/3 + (length(text)-length(replace(text,' of','')))/3) AS BIGINT) AS en_tri, CAST(((length(text)-length(replace(text,'der','')))/3 + (length(text)-length(replace(text,'sch','')))/3 + (length(text)-length(replace(text,'ein','')))/3) AS BIGINT) AS de_tri, CAST(((length(text)-length(replace(text,'los','')))/3 + (length(text)-length(replace(text,'ión','')))/3 + (length(text)-length(replace(text,'que','')))/3) AS BIGINT) AS es_tri, CAST(((length(text)-length(replace(text,'les','')))/3 + (length(text)-length(replace(text,'eau','')))/3 + (length(text)-length(replace(text,'oux','')))/3) AS BIGINT) AS fr_tri FROM documents) SELECT doc_id, lang, CASE WHEN en_tri = greatest(en_tri,de_tri,es_tri,fr_tri) AND en_tri > 0 THEN 'en' WHEN de_tri = greatest(en_tri,de_tri,es_tri,fr_tri) AND de_tri > 0 THEN 'de' WHEN es_tri = greatest(en_tri,de_tri,es_tri,fr_tri) AND es_tri > 0 THEN 'es' WHEN fr_tri = greatest(en_tri,de_tri,es_tri,fr_tri) AND fr_tri > 0 THEN 'fr' ELSE 'unknown' END AS pred_lang, en_tri FROM h ORDER BY doc_id"),
     q("tx6_vocabulary", (s, d) => TextAnalysis.vocabulary(s, d),
       "WITH c AS (SELECT unnest(string_split(text,' ')) AS w FROM documents), g AS (SELECT w, count(*) AS cnt FROM c GROUP BY w HAVING count(*) >= 5) SELECT CAST(row_number() OVER (ORDER BY cnt DESC, w) AS BIGINT) AS token_id, w, cnt FROM g ORDER BY token_id"),
     q("tx4_top_bigrams", TextAnalysis.topBigrams,

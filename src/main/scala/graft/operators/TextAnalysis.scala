@@ -87,6 +87,34 @@ object TextAnalysis {
         size(toks).cast("long").as("n_ws_tokens"))
       .orderBy("doc_id")
 
+  private val TrigramProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", " of"),
+    "de" -> Seq("der", "sch", "ein"),
+    "es" -> Seq("los", "ión", "que"),
+    "fr" -> Seq("les", "eau", "oux"))
+
+  /** Character-n-gram language ID — the n-gram-heuristic family proper
+    * (tx3 is its marker-WORD sibling): per language, sum the occurrence
+    * counts of a small characteristic trigram profile, argmax with fixed
+    * priority on ties. Occurrences are counted with the replace trick
+    * `(len(text) − len(replace(text, tri))) / 3` — pure codegen'd string
+    * ops, one linear pass per profile trigram, identical semantics in any
+    * engine (no regex dialect in play). */
+  def charNgramLanguageId(s: SparkSession, d: String): DataFrame = {
+    def hits(tris: Seq[String]): Column = tris.map { tri =>
+      (length(col("text")) - length(expr(s"replace(text, '$tri', '')"))) / tri.length
+    }.reduce(_ + _).cast("long")
+    val scores = TrigramProfiles.map { case (lang, tris) => lang -> hits(tris) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val pred = scores.foldRight(lit("unknown"): Column) { case ((lang, h), els) =>
+      when(h === best && h > 0, lang).otherwise(els)
+    }
+    t(s, d, "documents")
+      .select(col("doc_id"), col("lang"), pred.as("pred_lang"),
+        scores.find(_._1 == "en").get._2.as("en_tri"))
+      .orderBy("doc_id")
+  }
+
   /** Vocabulary building: corpus-frequency-ranked token ids (the id table a
     * tokenizer trains against). The count is one token-keyed aggregation;
     * the ranking window is global but runs over the VOCABULARY (distinct
