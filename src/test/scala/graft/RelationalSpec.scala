@@ -55,6 +55,48 @@ class RelationalSpec extends AnyFunSuite {
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)
   }
 
+  test("q36 distribution windows match window SQL") {
+    crossCheck("q36_window_dist",
+      """SELECT o_orderkey, o_orderpriority,
+        |CAST(ntile(10) OVER w AS BIGINT) AS decile,
+        |percent_rank() OVER w AS pct_rank,
+        |cume_dist() OVER w AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  test("q37 merge upsert matches its SQL twin") {
+    crossCheck("q37_merge_upsert",
+      """WITH b AS (SELECT o_orderkey, o_orderpriority,
+        |             CAST(o_totalprice AS DECIMAL(20,4)) AS o_totalprice FROM orders),
+        |changes AS (SELECT o_orderkey, o_orderpriority,
+        |              CAST(o_totalprice * CAST(1.1 AS DECIMAL(3,2)) AS DECIMAL(20,4)) AS o_totalprice
+        |            FROM b WHERE o_orderkey % 100 = 0),
+        |merged AS (SELECT * FROM changes
+        |           UNION ALL
+        |           SELECT o.* FROM b o ANTI JOIN changes c ON o.o_orderkey = c.o_orderkey)
+        |SELECT o_orderpriority, count(*) AS n,
+        |       CAST(sum(o_totalprice) AS DOUBLE) AS total
+        |FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  test("q35 unpivot matches a UNION ALL construction") {
+    crossCheck("q35_unpivot",
+      """WITH agg AS (SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS l_quantity,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS l_extendedprice,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS l_discount,
+        |  CAST(sum(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS l_tax
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, metric, total, n FROM (
+        |  SELECT l_returnflag, 'l_quantity' AS metric, l_quantity AS total, n FROM agg
+        |  UNION ALL SELECT l_returnflag, 'l_extendedprice', l_extendedprice, n FROM agg
+        |  UNION ALL SELECT l_returnflag, 'l_discount', l_discount, n FROM agg
+        |  UNION ALL SELECT l_returnflag, 'l_tax', l_tax, n FROM agg)
+        |ORDER BY l_returnflag, metric""".stripMargin)
+  }
+
   test("shape sanity of fixed-size outputs") {
     assert(Registry.queries("q03_top_revenue_orders")(spark, sf).count() == 10)
     assert(Registry.queries("q14_topk")(spark, sf).count() == 10)
