@@ -45,16 +45,25 @@ object Pipeline {
     }
   }
 
+  /** The stateless cleaning prefix (quality + language gates) as a
+    * reusable transform over any relation with a `text` column. It is a
+    * pure narrow map, so the SAME plan fragment runs in batch and under
+    * Structured Streaming with no watermark or state — the ingest-time
+    * half of the pipeline (StreamingSpec proves stream ≡ batch). */
+  def qualityLangFilter(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("quality", quality)
+      .withColumn("pred_lang", predLang)
+      .filter(col("pred_lang") === "en" && col("quality") >= QualityThreshold)
+
   /** Cleaned-corpus summary: one row per kept (deduplicated) document with
     * its duplicate-group size and the kept doc's token count and quality. */
   def cleanCorpus(s: SparkSession, d: String): DataFrame =
-    t(s, d, "documents")
+    qualityLangFilter(t(s, d, "documents"))
       .select(
         col("doc_id"), col("text"),
         size(toks).cast("long").as("n_tokens"),
-        quality.as("quality"),
-        predLang.as("pred_lang"))
-      .filter(col("pred_lang") === "en" && col("quality") >= QualityThreshold)
+        col("quality"), col("pred_lang"))
       .withColumn("fp", md5(lower(regexp_replace(col("text"), "\\s+", " "))))
       .groupBy("fp")
       .agg(

@@ -59,6 +59,23 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("the cleaning pipeline's stateless prefix runs identically as a stream") {
+    val sfDir = sf
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$sfDir/documents.*")
+    val q = StreamingOps.runToMemory(
+      graft.operators.Pipeline.qualityLangFilter(stream).select("doc_id"),
+      "stream_clean", OutputMode.Append)
+    try {
+      val streamed = spark.table("stream_clean").collect()
+        .map(_.getLong(0)).sorted.toSeq
+      val batch = graft.operators.Pipeline
+        .qualityLangFilter(Tables(spark, sfDir, "documents"))
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(batch.nonEmpty && streamed == batch)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     val stream = StreamingOps.eventStream(spark, sf)
     val q = StreamingOps.runToMemory(
