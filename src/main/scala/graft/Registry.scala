@@ -85,6 +85,10 @@ object Registry {
     noOracle("q24_approx_count_distinct", Relational.q24ApproxCountDistinct),
     q("q25_big_join_agg", Relational.q25BigJoinAgg,
       "SELECT o_orderpriority, count(*) AS n_items, CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    q("q38_table_profile", Relational.q38TableProfile,
+      "SELECT count(*) AS n_rows, count(o_orderkey) AS nn_orderkey, count(DISTINCT o_orderkey) AS nd_orderkey, count(DISTINCT o_custkey) AS nd_custkey, count(DISTINCT o_orderstatus) AS nd_status, min(o_totalprice) AS min_price, max(o_totalprice) AS max_price, min(o_orderdate) AS min_date, max(o_orderdate) AS max_date FROM orders"),
+    q("q39_integrity_checks", Relational.q39IntegrityChecks,
+      "SELECT 'dup_orderkeys' AS check, count(*) FILTER (WHERE c > 1) AS v FROM (SELECT o_orderkey, count(*) AS c FROM orders GROUP BY o_orderkey) UNION ALL SELECT 'orphan_orders', count(*) FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey) UNION ALL SELECT 'orphan_lineitems', count(*) FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey) ORDER BY \"check\""),
     q("q37_merge_upsert", Relational.q37MergeUpsert,
       // money math in DECIMAL at scale 4 end-to-end: 2dp×1.1 has ≤3
       // decimals, so scale 4 is exact and NOTHING rounds — a scale-2

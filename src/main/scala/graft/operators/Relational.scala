@@ -418,6 +418,44 @@ object Relational {
       .na.fill(0)
       .orderBy("user_id")
 
+  /** Single-pass table profiling (the ANALYZE TABLE shape): per-column
+    * null counts, exact distincts, and min/max bounds in ONE aggregation
+    * over the scan — the pre-ingestion sanity pass a pipeline runs before
+    * accepting a drop. At 100 TB swap the exact distincts for
+    * `approx_count_distinct` (mergeable sketch, same single pass); exact
+    * here so the oracle can hash-check every number. */
+  def q38TableProfile(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("o_orderkey")).as("nn_orderkey"),
+        countDistinct(col("o_orderkey")).as("nd_orderkey"),
+        countDistinct(col("o_custkey")).as("nd_custkey"),
+        countDistinct(col("o_orderstatus")).as("nd_status"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        min(col("o_orderdate")).cast("timestamp").as("min_date"),
+        max(col("o_orderdate")).cast("timestamp").as("max_date"))
+
+  /** Integrity validation: primary-key uniqueness and foreign-key
+    * orphan checks as aggregations/anti-joins — the load-time contract
+    * tests of an ETL pipeline. Both checks are single-shuffle: uniqueness
+    * is a keyed count, orphan detection an anti join against the
+    * (broadcastable) parent key set. */
+  def q39IntegrityChecks(s: SparkSession, d: String): DataFrame = {
+    val orders = t(s, d, "orders")
+    val dupKeys = orders.groupBy("o_orderkey").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+      .agg(count(lit(1)).as("v")).select(lit("dup_orderkeys").as("check"), col("v"))
+    val orphans = orders
+      .join(t(s, d, "customer").select(col("c_custkey").as("o_custkey")), Seq("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("v")).select(lit("orphan_orders").as("check"), col("v"))
+    val lineOrphans = t(s, d, "lineitem")
+      .join(orders.select(col("o_orderkey").as("l_orderkey")), Seq("l_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("v")).select(lit("orphan_lineitems").as("check"), col("v"))
+    dupKeys.unionByName(orphans).unionByName(lineOrphans).orderBy("check")
+  }
+
   /** Batch merge/upsert (the lakehouse MERGE pattern without a lakehouse
     * format): a change-set replaces matching base rows and inserts the
     * rest — expressed as changes ∪ (base ANTI-JOIN changes). The anti join
