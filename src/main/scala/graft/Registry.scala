@@ -142,6 +142,8 @@ object Registry {
 
     q("pp2_hash_split", Pipeline.hashSplit,
       "SELECT doc_id, lang, CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '1a' THEN 'holdout' ELSE 'train' END AS split FROM documents ORDER BY doc_id"),
+    q("pp6_decontaminate", (s, d) => Pipeline.decontaminate(s, d),
+      "WITH d AS (SELECT doc_id, string_split(text,' ') AS a, CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '1a' THEN 'holdout' ELSE 'train' END AS split FROM documents), s AS (SELECT doc_id, split, md5(array_to_string(a[i : i+4], ' ')) AS sh FROM d, UNNEST(generate_series(1, len(a)-4)) AS t(i) WHERE len(a) >= 5), tr AS (SELECT DISTINCT doc_id AS train_id, sh FROM s WHERE split='train'), ho AS (SELECT DISTINCT sh FROM s WHERE split='holdout') SELECT train_id, count(*) AS n_shared FROM tr JOIN ho ON tr.sh = ho.sh GROUP BY train_id ORDER BY train_id"),
     q("pp5_outlier_filter", (s, d) => Pipeline.outlierFilter(s, d, fence = 0.25),
       "WITH d AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS DOUBLE) AS n_tokens FROM documents), q AS (SELECT quantile_cont(n_tokens, 0.25) AS q1, quantile_cont(n_tokens, 0.75) AS q3 FROM d) SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens FROM d, q WHERE n_tokens >= q1 - 0.25*(q3-q1) AND n_tokens <= q3 + 0.25*(q3-q1) ORDER BY doc_id"),
     q("pp3_chunk_documents", (s, d) => Pipeline.chunkDocuments(s, d),

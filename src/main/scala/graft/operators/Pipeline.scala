@@ -139,6 +139,37 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Benchmark decontamination: training documents that share at least one
+    * word `k`-shingle with any holdout/eval document — the standard
+    * contamination sweep run before training. Shape: both sides explode to
+    * (doc, shingle-fingerprint) with per-side dedup, then ONE equi-join on
+    * the 16-byte md5 of the shingle (an inverted-index probe, not a
+    * pairwise document comparison — at 100 TB the eval side's distinct
+    * fingerprint set is usually small enough to broadcast, and AQE picks
+    * that up from its size). Output: contaminated train doc → number of
+    * distinct shared shingles. */
+  def decontaminate(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    val withSplit = t(s, d, "documents")
+      .select(
+        col("doc_id"), toks.as("a"),
+        when(md5(col("doc_id").cast("string").cast("binary")) < "1a", lit("holdout"))
+          .otherwise(lit("train")).as("split"))
+      .filter(size(col("a")) >= k)
+    val shingles = withSplit
+      .select(col("doc_id"), col("split"),
+        explode(transform(
+          sequence(lit(0), size(col("a")) - k),
+          i => array_join(slice(col("a"), i + 1, lit(k)), " "))).as("sh"))
+      .select(col("doc_id"), col("split"), md5(col("sh").cast("binary")).as("sh"))
+    val train = shingles.filter(col("split") === "train")
+      .select(col("doc_id").as("train_id"), col("sh")).distinct()
+    val holdout = shingles.filter(col("split") === "holdout")
+      .select("sh").distinct()
+    train.join(holdout, "sh")
+      .groupBy("train_id").agg(count(lit(1)).as("n_shared"))
+      .orderBy("train_id")
+  }
+
   /** Contiguous sequence packing: per shard (doc_id mod `shards`, so the
     * operation is embarrassingly parallel), documents are laid out in
     * doc_id order and a document belongs to bin ⌊tokens-before-it /
