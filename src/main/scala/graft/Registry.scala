@@ -142,6 +142,8 @@ object Registry {
 
     q("pp2_hash_split", Pipeline.hashSplit,
       "SELECT doc_id, lang, CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '1a' THEN 'holdout' ELSE 'train' END AS split FROM documents ORDER BY doc_id"),
+    q("pp7_mix_corpus", Pipeline.mixCorpus,
+      "SELECT lang, count(*) AS n_total, CAST(sum(CASE WHEN lang = 'en' THEN 1 WHEN lang = 'de' THEN CAST(md5(CAST(doc_id AS VARCHAR)) < '80' AS INT) WHEN lang = 'es' THEN CAST(md5(CAST(doc_id AS VARCHAR)) < '40' AS INT) WHEN lang = 'fr' THEN CAST(md5(CAST(doc_id AS VARCHAR)) < '20' AS INT) ELSE CAST(md5(CAST(doc_id AS VARCHAR)) < '1a' AS INT) END) AS BIGINT) AS n_kept FROM documents GROUP BY lang ORDER BY lang"),
     q("pp6_decontaminate", (s, d) => Pipeline.decontaminate(s, d),
       "WITH d AS (SELECT doc_id, string_split(text,' ') AS a, CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '1a' THEN 'holdout' ELSE 'train' END AS split FROM documents), s AS (SELECT doc_id, split, md5(array_to_string(a[i : i+4], ' ')) AS sh FROM d, UNNEST(generate_series(1, len(a)-4)) AS t(i) WHERE len(a) >= 5), tr AS (SELECT DISTINCT doc_id AS train_id, sh FROM s WHERE split='train'), ho AS (SELECT DISTINCT sh FROM s WHERE split='holdout') SELECT train_id, count(*) AS n_shared FROM tr JOIN ho ON tr.sh = ho.sh GROUP BY train_id ORDER BY train_id"),
     q("pp5_outlier_filter", (s, d) => Pipeline.outlierFilter(s, d, fence = 0.25),

@@ -139,6 +139,27 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Corpus mixing: per-source (here per-language) deterministic sampling
+    * rates — the data-mixture step that up/down-weights sources to hit a
+    * target blend. Rates are dyadic md5-prefix thresholds, so membership
+    * is the same reproducible narrow-map decision as [[hashSplit]]:
+    * re-runs and appends never flip a document's inclusion. Output is the
+    * per-source summary (kept/total), which at any corpus size is one
+    * map + one tiny aggregation. */
+  def mixCorpus(s: SparkSession, d: String): DataFrame = {
+    val h = md5(col("doc_id").cast("string").cast("binary"))
+    val kept = when(col("lang") === "en", lit(true))   // rate 1.0
+      .when(col("lang") === "de", h < "80")            // rate 0.5
+      .when(col("lang") === "es", h < "40")            // rate 0.25
+      .when(col("lang") === "fr", h < "20")            // rate 0.125
+      .otherwise(h < "1a")                             // rate ~0.1
+    t(s, d, "documents")
+      .select(col("doc_id"), col("lang"), kept.cast("int").as("kept"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_total"), sum("kept").as("n_kept"))
+      .orderBy("lang")
+  }
+
   /** Benchmark decontamination: training documents that share at least one
     * word `k`-shingle with any holdout/eval document — the standard
     * contamination sweep run before training. Shape: both sides explode to
