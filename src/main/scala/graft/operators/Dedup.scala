@@ -304,18 +304,43 @@ object Dedup {
     * comparison in DedupSpec. */
   def dupClusters(s: SparkSession, d: String): DataFrame = {
     val pairs = minhashLsh(s, d).select(col("id_a"), col("id_b")).localCheckpoint()
-    val edges = pairs
-      .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b"))
-        .select(col("id_a"), col("id_b")))
+    val labels = connectedComponents(pairs)
+    val docs = t(s, d, "documents").select(col("doc_id"))
+    docs.join(labels.select(col("node").as("doc_id"), col("label")), Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Connected components over an undirected pair list `(id_a, id_b)`:
+    * returns `(node, label)` with label = smallest node id reachable, for
+    * every node appearing in at least one pair.
+    *
+    * Fast path: min-label propagation — one edge join + min-aggregation per
+    * round, rounds needed = component diameter; near-dup graphs (LSH
+    * buckets + full-signature stars) converge in 2-4. A graph still moving
+    * after `propagationRounds` (e.g. a long chain) is handed — unchanged —
+    * to large-star/small-star (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond"), which converges in O(log n) rounds on ANY
+    * graph: no diameter ceiling, no partial-result abort. Labels are
+    * localCheckpoint'ed every round — iterative self-referential lineage
+    * otherwise re-derives the whole history each action. */
+  def connectedComponents(pairs: DataFrame, propagationRounds: Int = 20): DataFrame = {
+    val edges = pairs.toDF("id_a", "id_b")
+    val sym = edges
+      .unionByName(edges.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .toDF("u", "v")
+      .filter(col("u") =!= col("v"))
       .localCheckpoint()
-    var labels = edges.select(col("u").as("node")).distinct()
+    var labels = sym.select(col("u").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint()
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 20) {
-      val neighborMin = edges
+    while (changed > 0 && rounds < propagationRounds) {
+      val neighborMin = sym
         .join(labels.select(col("node").as("v"), col("label")), "v")
         .groupBy(col("u").as("node")).agg(min("label").as("nl"))
       // carry the previous label through the materialization so the
@@ -329,17 +354,50 @@ object Dedup {
       labels = next.select("node", "label")
       rounds += 1
     }
-    // partial labels are silently WRONG clusters — fail loudly instead
-    // (20 rounds covers diameter-20 graphs; near-dup graphs converge in 2-4)
-    require(changed == 0,
-      s"label propagation did not converge in $rounds rounds ($changed labels still moving)")
-    val docs = t(s, d, "documents").select(col("doc_id"))
-    docs.join(labels.select(col("node").as("doc_id"), col("label")), Seq("doc_id"), "left")
-      .select(
-        col("doc_id"),
-        coalesce(col("label"), col("doc_id")).as("cluster_id"))
-      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
-      .orderBy("doc_id")
+    if (changed == 0) labels else largeSmallStar(sym)
+  }
+
+  /** Two-phase connected components: alternate large-star (route every
+    * larger neighbor of u to min(N(u) ∪ {u})) and small-star (route the
+    * smaller neighbors, and u itself, there) until the edge set is a fixed
+    * point — per-component stars rooted at the component minimum. Each
+    * phase is one per-node window-min plus a projection, fully distributed;
+    * rounds are O(log n) for any graph shape. */
+  private def largeSmallStar(sym: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byU = Window.partitionBy("u")
+    var cur = sym // kept SYMMETRIC at the top of each round
+    var converged = false
+    var rounds = 0
+    while (!converged) {
+      // proven to converge; the cap is a loud infinite-loop guard only
+      require(rounds < 50, s"large-star/small-star still moving after $rounds rounds")
+      val ls = cur
+        .withColumn("m", least(min(col("v")).over(byU), col("u")))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // ls is directed larger→smaller: N(u) below is u's smaller neighbors
+      val withMin = ls.withColumn("m", least(min(col("v")).over(byU), col("u")))
+      val ss = withMin.select(col("v").as("u"), col("m").as("v"))
+        .unionByName(withMin.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint()
+      // fixed point = the directed edge set stopped changing
+      val prevDirected = cur.filter(col("u") > col("v"))
+      converged = ss.exceptAll(prevDirected).isEmpty && prevDirected.exceptAll(ss).isEmpty
+      cur = ss.unionByName(ss.select(col("v").as("u"), col("u").as("v"))).localCheckpoint()
+      rounds += 1
+    }
+    // at the fixed point every non-root node carries exactly one edge to its
+    // component root; min() is belt-and-braces against ties in flight
+    val stars = cur.filter(col("u") > col("v"))
+      .groupBy(col("u").as("node")).agg(min(col("v")).as("root"))
+    sym.select(col("u").as("node")).distinct()
+      .join(stars, Seq("node"), "left")
+      .select(col("node"), coalesce(col("root"), col("node")).as("label"))
   }
 
   /** Fuzzy matching by edit distance on normalized prefixes — the

@@ -98,8 +98,11 @@ object Similarity {
     * on cell id, so each query scans ~nprobe/k of the corpus.
     *
     * Determinism: seeds are the k lowest vec_ids, argmin ties break on cell
-    * id via struct ordering, and centroid means are rounded to 1e-6 after
-    * each iteration so float summation order cannot flip an assignment.
+    * id via struct ordering, and centroid means come from exact DECIMAL
+    * accumulation (summation-order-independent, unlike float avg()), so the
+    * centroids — and every assignment derived from them — are bit-stable
+    * across runs and partitionings; the 1e-6 rounding merely keeps the
+    * literals compact.
     * No SQL oracle (k-means is iterative); recall/agreement in
     * SimilaritySpec. */
   def ivfKMeansTopK(
@@ -129,7 +132,13 @@ object Similarity {
         .withColumn("cell", cellOf(cents, col("embedding")))
         .select(col("cell"), posexplode(col("embedding")))
         .toDF("cell", "pos", "x")
-        .groupBy("cell", "pos").agg(avg("x").as("m"))
+        // decimal accumulation, not avg(float): decimal sums are exact and
+        // therefore independent of partition/merge order, so the mean (and
+        // every downstream cell assignment) is bit-stable across runs —
+        // float avg() could straddle the 1e-6 rounding boundary below
+        .groupBy("cell", "pos")
+        .agg((sum(col("x").cast("decimal(20,10)")) / count(lit(1)))
+          .cast("double").as("m"))
         .collect() // k×dim rows — metadata scale
       val next = cents.clone()
       means.groupBy(_.getAs[Int]("cell")).foreach { case (cell, rows) =>

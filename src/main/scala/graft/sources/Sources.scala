@@ -57,6 +57,19 @@ object Source {
         !f.getName.startsWith(".") && !f.getName.startsWith("_") &&
         containsData(f, ext, 0))
       require(files.nonEmpty || dirTables.nonEmpty, s"no *$ext files under $dir")
+      // A file table and a directory table resolving to the same view name
+      // (events.parquet file + events/ dir) would silently shadow one
+      // another through createOrReplaceTempView — fail loudly instead.
+      val fileNames = files.map(f => f.getName.dropRight(ext.length))
+      val dirNames = dirTables.map { f =>
+        if (f.getName.toLowerCase.endsWith(ext)) f.getName.dropRight(ext.length) else f.getName
+      }
+      val dups = (fileNames ++ dirNames).groupBy(identity).collect {
+        case (n, occ) if occ.size > 1 => n
+      }
+      require(dups.isEmpty,
+        s"ambiguous table name(s) ${dups.mkString(", ")} under $dir: " +
+          "a file table and a directory table share a view name")
       def reader = format match {
         // header-on matches the reference's CSV sink default
         // (reference src/lib.rs:114-123), making round-trips symmetric.

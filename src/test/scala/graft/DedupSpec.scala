@@ -139,6 +139,39 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("connected components: chain deeper than the propagation cap falls back and converges") {
+    import spark.implicits._
+    // a 0-1-2-…-60 chain has diameter 60 > the 20-round propagation cap, so
+    // this exercises the large-star/small-star fallback end to end
+    val chain = (0L until 60L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(chain).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
+    assert(labels.size == 61)
+    labels.foreach { case (n, l) => assert(l == 0L, s"node $n labelled $l") }
+  }
+
+  test("large-star/small-star agrees with union-find on a random multi-component graph") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val pairs = Seq.fill(120)((rng.nextInt(80).toLong, rng.nextInt(80).toLong))
+      .filter { case (a, b) => a != b }
+    // propagationRounds = 0 forces the fallback path for the whole graph
+    val got = Dedup.connectedComponents(pairs.toDF("id_a", "id_b"), propagationRounds = 0)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val truth = parent.keys.map(x => x -> find(x)).toMap
+    assert(got.keySet == truth.keySet)
+    truth.foreach { case (n, r) => assert(got(n) == r, s"node $n: got ${got(n)}, want $r") }
+  }
+
   test("embedding near-dup pairs are within [-1, 1] and above threshold") {
     val out = Dedup.embeddingNearDup(spark, sf).collect()
     assert(out.nonEmpty)

@@ -203,6 +203,16 @@ class EngineSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters: [isnotnull(event_type"), plan.take(600))
   }
 
+  test("a file table and a directory table sharing a view name fail loudly") {
+    val dir = Files.createTempDirectory("graft-collide-src").toString
+    Engine.export(spark, s"parquet://$sf", "SELECT * FROM region", s"$dir/events.parquet")
+    Engine.exportDir(spark, s"parquet://$sf", "SELECT * FROM events", s"$dir/events", "parquet")
+    val e = intercept[IllegalArgumentException] {
+      Engine.query(spark, s"parquet://$dir", "SELECT count(*) AS n FROM events").collect()
+    }
+    assert(e.getMessage.contains("ambiguous table name"), e.getMessage)
+  }
+
   test("SparkEntry.entry (driver t1 smoke) returns rows through the engine path") {
     val rows = SparkEntry.entry(spark).collect()
     assert(rows.nonEmpty)
