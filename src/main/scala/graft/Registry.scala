@@ -96,6 +96,13 @@ object Registry {
       "WITH b AS (SELECT * REPLACE (CAST(o_totalprice AS DECIMAL(20,4)) AS o_totalprice) FROM orders), changes AS (SELECT * REPLACE (CAST(o_totalprice * CAST(1.1 AS DECIMAL(3,2)) AS DECIMAL(20,4)) AS o_totalprice) FROM b WHERE o_orderkey % 100 = 0), merged AS (SELECT * FROM changes UNION ALL SELECT o.* FROM b o WHERE NOT EXISTS (SELECT 1 FROM changes c WHERE c.o_orderkey = o.o_orderkey)) SELECT o_orderpriority, count(*) AS n, CAST(sum(o_totalprice) AS DOUBLE) AS total FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority"),
     q("q36_window_dist", Relational.q36WindowDist,
       "SELECT o_orderkey, o_orderpriority, CAST(ntile(10) OVER w AS BIGINT) AS decile, percent_rank() OVER w AS pct_rank, cume_dist() OVER w AS cume FROM orders WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) ORDER BY o_orderkey"),
+    q("q40_range_frame", Relational.q40RangeFrame,
+      "WITH o AS (SELECT o_orderkey, o_custkey, epoch_us(o_orderdate) AS ts_us, CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders) SELECT o_orderkey, o_custkey, CAST(sum(p) OVER w AS DOUBLE) AS trailing_spend, count(*) OVER w AS n_in_window FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY ts_us RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW) ORDER BY o_orderkey"),
+    q("q41_corr_stats", Relational.q41CorrStats,
+      // decimal power sums cast to double once; every derived op (×, −, ÷,
+      // sqrt) is correctly-rounded IEEE on identical inputs ⇒ bit-exact
+      // cross-engine with NO rounding (see Relational.q41CorrStats scaladoc)
+      "WITH s AS (SELECT l_returnflag, count(*) AS n, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy, sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy, sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx, sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy FROM lineitem GROUP BY l_returnflag) SELECT l_returnflag, n, (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) / (sqrt(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) * sqrt(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) AS corr_qty_price, sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) / (CAST(n AS DOUBLE)*(CAST(n AS DOUBLE)-1.0))) AS stddev_qty, (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE)*(CAST(n AS DOUBLE)-1.0)) AS covar_qty_price FROM s ORDER BY l_returnflag"),
     q("q35_unpivot", Relational.q35Unpivot,
       "SELECT l_returnflag, metric, CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS total, count(*) AS n FROM (SELECT l_returnflag, 'l_quantity' AS metric, l_quantity AS v FROM lineitem UNION ALL SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem UNION ALL SELECT l_returnflag, 'l_discount', l_discount FROM lineitem UNION ALL SELECT l_returnflag, 'l_tax', l_tax FROM lineitem) t GROUP BY l_returnflag, metric ORDER BY l_returnflag, metric"),
     q("q26_pivot", Relational.q26Pivot,
@@ -154,7 +161,16 @@ object Registry {
     q("pp4_pack_sequences", (s, d) => Pipeline.packSequences(s, d),
       "SELECT doc_id, doc_id % 8 AS shard, CAST(floor(coalesce(sum(CAST(len(string_split(text,' ')) AS BIGINT)) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 256) AS BIGINT) AS bin, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens FROM documents ORDER BY doc_id"),
 
+    q("pp8_repetition_filter", (s, d) => Pipeline.repetitionFilter(s, d),
+      "WITH t AS (SELECT doc_id, string_split(text,' ') AS a FROM documents WHERE len(string_split(text,' ')) >= 2), base AS (SELECT doc_id, CAST(len(a) AS BIGINT) AS n_tokens, 1.0 - len(list_distinct(a)) / CAST(len(a) AS DOUBLE) AS dup_word_frac FROM t), fg AS (SELECT doc_id, md5(array_to_string(a[i:i+4],' ')) AS g FROM t, UNNEST(generate_series(1, len(a)-4)) AS u(i) WHERE len(a) >= 5), fd AS (SELECT doc_id, 1.0 - count(DISTINCT g) / CAST(count(*) AS DOUBLE) AS dup5 FROM fg GROUP BY doc_id), bi AS (SELECT doc_id, a[i] || ' ' || a[i+1] AS bg FROM t, UNNEST(generate_series(1, len(a)-1)) AS u(i)), bc AS (SELECT doc_id, bg, count(*) AS c FROM bi GROUP BY doc_id, bg), tb AS (SELECT doc_id, max(c) / CAST(sum(c) AS DOUBLE) AS top_bigram_frac FROM bc GROUP BY doc_id) SELECT b.doc_id, b.n_tokens, round(b.dup_word_frac, 4) AS dup_word_frac, round(coalesce(fd.dup5, 0.0), 4) AS dup_5gram_frac, round(tb.top_bigram_frac, 4) AS top_bigram_frac FROM base b JOIN tb ON b.doc_id = tb.doc_id LEFT JOIN fd ON b.doc_id = fd.doc_id WHERE tb.top_bigram_frac <= 0.08 ORDER BY b.doc_id"),
+    q("pp9_redact_pii", Pipeline.redactEvents,
+      "WITH p AS (SELECT event_id, event_type || ' uid=' || CAST(user_id AS VARCHAR) || ' ' || props AS payload FROM events) SELECT event_id, regexp_replace(payload, '[0-9]+', '<NUM>', 'g') AS redacted, CAST(len(regexp_extract_all(payload, '[0-9]+')) AS BIGINT) AS n_redactions FROM p ORDER BY event_id"),
+
     // ---- text analysis ----
+    q("tx8_tfidf_topterms", (s, d) => TextAnalysis.tfidfTopTerms(s, d),
+      // tfidf rounded to 1e-6 BEFORE ranking on (tfidf, w) on both sides so
+      // rank order cannot depend on sub-ulp ln() library differences
+      "WITH tf AS (SELECT doc_id, w, count(*) AS tf FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents) t GROUP BY doc_id, w), dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY w), n AS (SELECT count(*) AS n FROM documents), sc AS (SELECT tf.doc_id, tf.w, tf.tf, dfq.df, round(tf.tf * ln(CAST(n.n AS DOUBLE) / dfq.df), 6) AS tfidf FROM tf JOIN dfq ON tf.w = dfq.w, n), r AS (SELECT sc.*, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, w) AS rk FROM sc) SELECT doc_id, CAST(rk AS BIGINT) AS rk, w, tf, df, tfidf FROM r WHERE rk <= 3 ORDER BY doc_id, rk"),
     q("tx1_token_stats", TextAnalysis.tokenStats,
       "SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens, CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_distinct FROM documents ORDER BY doc_id"),
     q("tx2_quality_score", TextAnalysis.qualityScore,

@@ -195,6 +195,85 @@ object Pipeline {
       .orderBy("train_id")
   }
 
+  /** Gopher-style repetition filtering (Rae et al. 2021 §A1.1): documents
+    * dominated by repeated fragments are boilerplate/spam, measured here as
+    *  - `dup_word_frac`: 1 − distinct/total tokens,
+    *  - `dup_5gram_frac`: 1 − distinct/total word 5-grams,
+    *  - `top_bigram_frac`: share of the most frequent bigram.
+    * Keeps documents whose top-bigram share is ≤ `maxTopBigramFrac`.
+    *
+    * Scale shape: the word/5-gram fractions are narrow array ops inside the
+    * scan projection (no shuffle); the top-bigram share needs a per-(doc,
+    * bigram) count — a doc_id-&-bigram-keyed aggregation with map-side
+    * partial combine, then a doc-keyed max/sum. All ratios are integer
+    * divisions ⇒ cross-engine exact; rounding is display-only. */
+  def repetitionFilter(
+      s: SparkSession, d: String, maxTopBigramFrac: Double = 0.08): DataFrame = {
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), toks.as("a"))
+      .filter(size(col("a")) >= 2)
+    val base = docs.select(
+      col("doc_id"),
+      size(col("a")).cast("long").as("n_tokens"),
+      (lit(1.0) - size(array_distinct(col("a"))).cast("double") / size(col("a")))
+        .as("dup_word_frac"),
+      when(size(col("a")) >= 5,
+        lit(1.0) - size(array_distinct(transform(
+          sequence(lit(0), size(col("a")) - 5),
+          i => md5(array_join(slice(col("a"), i + 1, lit(5)), " ").cast("binary")))))
+          .cast("double") / (size(col("a")) - 4))
+        .otherwise(lit(0.0)).as("dup_5gram_frac"))
+    val topBigram = docs
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("a")) - 2),
+        i => concat(element_at(col("a"), i + 1), lit(" "), element_at(col("a"), i + 2))))
+        .as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg((max("c").cast("double") / sum("c")).as("top_bigram_frac"))
+    base.join(topBigram, "doc_id")
+      .filter(col("top_bigram_frac") <= maxTopBigramFrac)
+      .select(
+        col("doc_id"), col("n_tokens"),
+        round(col("dup_word_frac"), 4).as("dup_word_frac"),
+        round(col("dup_5gram_frac"), 4).as("dup_5gram_frac"),
+        round(col("top_bigram_frac"), 4).as("top_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** Identifier redaction — the strip-PII-before-training pass. Each
+    * (pattern → replacement) pair is applied in order with a codegen'd
+    * `regexp_replace`, and the redaction count is audited per record so the
+    * pipeline can alert on unexpectedly identifier-dense sources. A pure
+    * narrow map: no shuffle, streams unchanged under Structured Streaming.
+    * Patterns stay in the portable regex subset (character classes,
+    * quantifiers) that Java and RE2-family engines read identically. */
+  def redact(df: DataFrame, column: String,
+      patterns: Seq[(String, String)]): DataFrame = {
+    val redacted = patterns.foldLeft(col(column)) { case (c, (pat, rep)) =>
+      regexp_replace(c, pat, rep)
+    }
+    val nRedactions = patterns.map { case (pat, _) =>
+      regexp_count(col(column), lit(pat))
+    }.reduce(_ + _)
+    df.withColumn("redacted", redacted)
+      .withColumn("n_redactions", nRedactions.cast("long"))
+  }
+
+  /** Registered redaction query: event payloads (type + user id + JSON
+    * props) with every digit run — ids, counters, numeric values — masked
+    * as `<NUM>`. Real pipelines add email/phone/SSN patterns to the same
+    * `redact` call; digit runs are what this synthetic corpus contains. */
+  def redactEvents(s: SparkSession, d: String): DataFrame = {
+    val payload = t(s, d, "events").select(
+      col("event_id"),
+      concat(col("event_type"), lit(" uid="), col("user_id").cast("string"),
+        lit(" "), col("props")).as("payload"))
+    redact(payload, "payload", Seq("[0-9]+" -> "<NUM>"))
+      .select("event_id", "redacted", "n_redactions")
+      .orderBy("event_id")
+  }
+
   /** Contiguous sequence packing: per shard (doc_id mod `shards`, so the
     * operation is embarrassingly parallel), documents are laid out in
     * doc_id order and a document belongs to bin ⌊tokens-before-it /

@@ -505,6 +505,56 @@ object Relational {
     * key maps 1:1 to a source column and every measure is non-null), but
     * the expand operator then runs over group-count rows instead of
     * 4×|lineitem| — measured 6× at the 10× stress scale. */
+  /** Value-based (RANGE) window frames: trailing-30-day spend per customer
+    * at each order. RANGE frames bound the window by the ORDER BY value
+    * (here epoch-µs), not a row count — the time-decayed-metric shape ROWS
+    * frames cannot express when order timestamps are irregular. The frame
+    * sum accumulates in DECIMAL (exact ⇒ frame-evaluation-order
+    * independent); window shuffles once on o_custkey. */
+  def q40RangeFrame(s: SparkSession, d: String): DataFrame = {
+    val ThirtyDaysUs = 30L * 24 * 3600 * 1000000
+    val w = Window.partitionBy("o_custkey").orderBy("ts_us")
+      .rangeBetween(-ThirtyDaysUs, Window.currentRow)
+    t(s, d, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("ts_us"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+      .withColumn("trailing_spend", sum("p").over(w).cast("double"))
+      .withColumn("n_in_window", count(lit(1)).over(w))
+      .select("o_orderkey", "o_custkey", "trailing_spend", "n_in_window")
+      .orderBy("o_orderkey")
+  }
+
+  /** Bivariate statistics (corr / sample stddev / sample covariance) per
+    * group, built from DECIMAL power sums rather than the engines' native
+    * corr()/stddev(): float accumulation order varies per partitioning (and
+    * per engine), while decimal Σx, Σy, Σxy, Σx², Σy² are exact — cast to
+    * double once, the derived formulas below are pure IEEE arithmetic on
+    * identical inputs, so results are bit-stable with NO rounding at all.
+    * One aggregation pass, map-side combined; this is also the 100 TB
+    * answer for deterministic statistics at scale. */
+  def q41CorrStats(s: SparkSession, d: String): DataFrame = {
+    val x = col("l_quantity").cast("decimal(18,2)")
+    val y = col("l_extendedprice").cast("decimal(18,2)")
+    val n = col("n").cast("double")
+    def d2(c: Column) = c.cast("double")
+    val (sx, sy, sxy, sxx, syy) =
+      (d2(col("sx")), d2(col("sy")), d2(col("sxy")), d2(col("sxx")), d2(col("syy")))
+    t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
+      .select(
+        col("l_returnflag"), col("n"),
+        ((n * sxy - sx * sy) /
+          (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))).as("corr_qty_price"),
+        sqrt((n * sxx - sx * sx) / (n * (n - lit(1.0)))).as("stddev_qty"),
+        ((n * sxy - sx * sy) / (n * (n - lit(1.0)))).as("covar_qty_price"))
+      .orderBy("l_returnflag")
+  }
+
   def q35Unpivot(s: SparkSession, d: String): DataFrame = {
     def dsum(c: String) = sum(col(c).cast("decimal(18,2)")).cast("double").as(c)
     t(s, d, "lineitem")

@@ -133,6 +133,38 @@ object TextAnalysis {
       .orderBy("token_id")
   }
 
+  /** TF-IDF keyword extraction: the top-`topK` terms per document by
+    * tf · ln(N/df) — the classic relevance weighting a corpus-analysis /
+    * retrieval stage computes.
+    *
+    * Scale shape: term frequencies are one (doc, term)-keyed aggregation
+    * over the exploded token stream (map-side combined); document
+    * frequencies are a term-keyed count over that SAME relation (vocabulary
+    * scale, ≪ corpus); the join back is term-keyed, where the df side is
+    * vocabulary-sized and broadcastable. The per-doc top-k window
+    * partitions by doc_id — no global sort anywhere. N comes from a
+    * parquet metadata count.
+    *
+    * Determinism: scores are rounded to 1e-6 BEFORE ranking on (score,
+    * term), so rank order cannot depend on sub-ulp ln() differences between
+    * engines. */
+  def tfidfTopTerms(s: SparkSession, d: String, topK: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nDocs = t(s, d, "documents").count() // metadata-only on parquet
+    val tf = t(s, d, "documents")
+      .select(col("doc_id"), explode(toks).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, "w")
+      .withColumn("tfidf", round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6))
+    val rankW = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("w"))
+    scored
+      .withColumn("rk", row_number().over(rankW).cast("long"))
+      .filter(col("rk") <= topK)
+      .select("doc_id", "rk", "w", "tf", "df", "tfidf")
+      .orderBy("doc_id", "rk")
+  }
+
   /** Corpus bigram profile: top-20 word bigrams. The per-document expansion
     * is a flat map (explode) feeding a partial-aggregated count — one
     * shuffle keyed by bigram. The token array is materialized in its own

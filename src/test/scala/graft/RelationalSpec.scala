@@ -115,6 +115,62 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("range frame: trailing window bounded by value, not row count") {
+    val out = Registry.queries("q40_range_frame")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_in_window") >= 1) // frame always includes self
+      assert(r.getAs[Double]("trailing_spend") > 0.0)
+    }
+  }
+
+  test("corr stats from decimal sums agree with Spark's native corr to float tolerance") {
+    Tables.registerAll(spark, sf)
+    val native = spark.sql(
+      """SELECT l_returnflag, corr(l_quantity, l_extendedprice) AS c,
+        |stddev_samp(l_quantity) AS sd FROM lineitem GROUP BY l_returnflag""".stripMargin)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    Registry.queries("q41_corr_stats")(spark, sf).collect().foreach { r =>
+      val (c, sd) = native(r.getString(0))
+      assert(math.abs(r.getAs[Double]("corr_qty_price") - c) < 1e-9)
+      assert(math.abs(r.getAs[Double]("stddev_qty") - sd) < 1e-9)
+    }
+  }
+
+  test("repetition filter: metrics in [0,1], filter binds on this corpus") {
+    val out = Registry.queries("pp8_repetition_filter")(spark, sf).collect()
+    val total = Tables(spark, sf, "documents").count()
+    assert(out.nonEmpty && out.length < total, s"kept ${out.length} of $total")
+    out.foreach { r =>
+      Seq("dup_word_frac", "dup_5gram_frac", "top_bigram_frac").foreach { c =>
+        val v = r.getAs[Double](c)
+        assert(v >= 0.0 && v <= 1.0, s"$c = $v")
+      }
+      assert(r.getAs[Double]("top_bigram_frac") <= 0.08)
+    }
+  }
+
+  test("redaction masks every digit run and audits the count") {
+    val out = Registry.queries("pp9_redact_pii")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(!r.getAs[String]("redacted").exists(_.isDigit))
+      // payload always carries uid=<digits> plus the props JSON int
+      assert(r.getAs[Long]("n_redactions") >= 2)
+    }
+  }
+
+  test("tfidf top terms: exactly k ranked terms per doc, df within corpus bounds") {
+    val out = Registry.queries("tx8_tfidf_topterms")(spark, sf).collect()
+    val n = Tables(spark, sf, "documents").count()
+    val perDoc = out.groupBy(_.getAs[Long]("doc_id"))
+    perDoc.values.foreach { rs =>
+      assert(rs.map(_.getAs[Long]("rk")).sorted.toSeq == (1L to rs.length).toSeq)
+      assert(rs.length <= 3)
+    }
+    out.foreach(r => assert(r.getAs[Long]("df") >= 1 && r.getAs[Long]("df") <= n))
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
