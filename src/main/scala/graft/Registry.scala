@@ -183,6 +183,10 @@ object Registry {
       "WITH h AS (SELECT doc_id, lang, CAST(((length(text)-length(replace(text,'the','')))/3 + (length(text)-length(replace(text,'and','')))/3 + (length(text)-length(replace(text,' of','')))/3) AS BIGINT) AS en_tri, CAST(((length(text)-length(replace(text,'der','')))/3 + (length(text)-length(replace(text,'sch','')))/3 + (length(text)-length(replace(text,'ein','')))/3) AS BIGINT) AS de_tri, CAST(((length(text)-length(replace(text,'los','')))/3 + (length(text)-length(replace(text,'ión','')))/3 + (length(text)-length(replace(text,'que','')))/3) AS BIGINT) AS es_tri, CAST(((length(text)-length(replace(text,'les','')))/3 + (length(text)-length(replace(text,'eau','')))/3 + (length(text)-length(replace(text,'oux','')))/3) AS BIGINT) AS fr_tri FROM documents) SELECT doc_id, lang, CASE WHEN en_tri = greatest(en_tri,de_tri,es_tri,fr_tri) AND en_tri > 0 THEN 'en' WHEN de_tri = greatest(en_tri,de_tri,es_tri,fr_tri) AND de_tri > 0 THEN 'de' WHEN es_tri = greatest(en_tri,de_tri,es_tri,fr_tri) AND es_tri > 0 THEN 'es' WHEN fr_tri = greatest(en_tri,de_tri,es_tri,fr_tri) AND fr_tri > 0 THEN 'fr' ELSE 'unknown' END AS pred_lang, en_tri FROM h ORDER BY doc_id"),
     q("tx6_vocabulary", (s, d) => TextAnalysis.vocabulary(s, d),
       "WITH c AS (SELECT unnest(string_split(text,' ')) AS w FROM documents), g AS (SELECT w, count(*) AS cnt FROM c GROUP BY w HAVING count(*) >= 5) SELECT CAST(row_number() OVER (ORDER BY cnt DESC, w) AS BIGINT) AS token_id, w, cnt FROM g ORDER BY token_id"),
+    q("tx9_token_surprisal", TextAnalysis.tokenSurprisal,
+      // per-(doc,term) surprisal contributions cast to DECIMAL(28,10) before
+      // the per-doc sum: exact, summation-order-independent accumulation
+      "WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents), tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w), vocab AS (SELECT w, sum(tf) AS cnt FROM tf GROUP BY w), tot AS (SELECT sum(cnt) AS t FROM vocab), terms AS (SELECT doc_id, tf, CAST(tf * ln(CAST(t AS DOUBLE) / cnt) AS DECIMAL(28,10)) AS term FROM tf JOIN vocab USING(w), tot) SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens, round(CAST(sum(term) AS DOUBLE) / sum(tf), 4) AS avg_surprisal FROM terms GROUP BY doc_id ORDER BY doc_id"),
     q("tx4_top_bigrams", TextAnalysis.topBigrams,
       "WITH toks AS (SELECT string_split(text,' ') AS a FROM documents WHERE len(string_split(text,' ')) >= 2), bi AS (SELECT a[i] || ' ' || a[i+1] AS bigram FROM toks, UNNEST(generate_series(1, len(a)-1)) AS t(i)) SELECT bigram, count(*) AS n FROM bi GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20"),
 
@@ -193,6 +197,12 @@ object Registry {
       "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events), f AS (SELECT user_id, event_id, ts_us, CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL OR ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) > 1800000000 THEN 1 ELSE 0 END AS new_s FROM e), s AS (SELECT user_id, ts_us, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM f), ps AS (SELECT user_id, session_id, count(*) AS n_events, (max(ts_us) - min(ts_us)) / 1000000 AS dur_s FROM s GROUP BY 1, 2) SELECT user_id, count(*) AS n_sessions, CAST(sum(n_events) AS BIGINT) AS n_events_total, avg(n_events) AS avg_events, max(dur_s) AS max_dur_s FROM ps GROUP BY user_id ORDER BY user_id"),
     q("ev3_sliding_window", Events.sliding,
       "WITH x AS (SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000 - CAST(k AS BIGINT) * 900000000) AS w_start FROM events, UNNEST([0, 1, 2, 3]) AS t(k)) SELECT w_start, count(*) AS n FROM x GROUP BY w_start ORDER BY w_start"),
+    q("ev7_gapfill", Events.gapFill,
+      "WITH actual AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w_start, event_type, count(*) AS cnt FROM events GROUP BY 1, 2), r AS (SELECT CAST(date_trunc('hour', min(ts)) AS TIMESTAMP) AS lo, CAST(date_trunc('hour', max(ts)) AS TIMESTAMP) AS hi FROM events), grid AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS w_start FROM r), g2 AS (SELECT w_start, event_type FROM grid, (SELECT DISTINCT event_type FROM events) t) SELECT g2.w_start, g2.event_type, coalesce(a.cnt, 0) AS n, a.cnt IS NULL AS is_gap FROM g2 LEFT JOIN actual a ON g2.w_start = a.w_start AND g2.event_type = a.event_type ORDER BY g2.w_start, g2.event_type"),
+    q("ev8_funnel", Events.funnel,
+      "WITH t AS (SELECT user_id, min(CASE WHEN event_type='view' THEN epoch_us(ts) END) AS v, min(CASE WHEN event_type='click' THEN epoch_us(ts) END) AS c, min(CASE WHEN event_type='purchase' THEN epoch_us(ts) END) AS p FROM events GROUP BY user_id), s AS (SELECT CAST(sum(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view, CAST(sum(CASE WHEN v IS NOT NULL AND c IS NOT NULL AND c > v THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click, CAST(sum(CASE WHEN v IS NOT NULL AND c IS NOT NULL AND c > v AND p IS NOT NULL AND p > c THEN 1 ELSE 0 END) AS BIGINT) AS n_full FROM t) SELECT * FROM (SELECT CAST(1 AS BIGINT) AS stage, 'view' AS name, n_view AS n_users FROM s UNION ALL SELECT 2, 'view>click', n_view_click FROM s UNION ALL SELECT 3, 'view>click>purchase', n_full FROM s) ORDER BY stage"),
+    q("ev9_latest_event", Events.latestEventPerUser,
+      "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value, row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rk FROM events) SELECT user_id, event_id, ts_us, event_type, value FROM e WHERE rk = 1 ORDER BY user_id"),
     q("ev4_top_spenders", Events.topSpenders,
       "SELECT user_id, count(*) AS n_purchases, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS spend FROM events WHERE event_type = 'purchase' GROUP BY user_id ORDER BY spend DESC, user_id LIMIT 10"),
 

@@ -62,6 +62,78 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** Time-series gap filling: the hourly count grid per event type with
+    * missing hours materialized as zero rows (and flagged) — the densify
+    * step before charting/forecasting, which a bare groupBy cannot produce
+    * (absent groups yield no row at all).
+    *
+    * Scale shape: the grid is (corpus time range in hours) × (event-type
+    * cardinality) — metadata scale, built once from a 1-row min/max
+    * aggregate and broadcast against the hour-keyed actuals. The
+    * corpus-sized work is the same single aggregation as [[tumbling]]. */
+  def gapFill(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "events")
+    val actual = e
+      .groupBy(date_trunc("hour", col("ts")).as("w_start"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val range = e.agg(
+      date_trunc("hour", min(col("ts"))).as("lo"),
+      date_trunc("hour", max(col("ts"))).as("hi"))
+    val grid = range
+      .select(explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR"))).as("w_start"))
+      .crossJoin(e.select("event_type").distinct())
+    grid.join(actual, Seq("w_start", "event_type"), "left")
+      .select(
+        col("w_start"), col("event_type"),
+        coalesce(col("cnt"), lit(0L)).as("n"),
+        col("cnt").isNull.as("is_gap"))
+      .orderBy("w_start", "event_type")
+  }
+
+  /** Conversion funnel view → click → purchase: per stage, how many users
+    * reached it IN ORDER (first view before first click before first
+    * purchase). One user-keyed conditional-min aggregation (first touch per
+    * stage) and a 3-row summary — the fan-in shape that scales as a single
+    * shuffle regardless of event volume. */
+  def funnel(s: SparkSession, d: String): DataFrame = {
+    def firstTouch(tpe: String) =
+      min(when(col("event_type") === tpe, unix_micros(col("ts")))).as(tpe)
+    val touches = t(s, d, "events")
+      .groupBy("user_id")
+      .agg(firstTouch("view"), firstTouch("click"), firstTouch("purchase"))
+    val viewed = col("view").isNotNull
+    val clicked = viewed && col("click").isNotNull && col("click") > col("view")
+    val purchased = clicked && col("purchase").isNotNull && col("purchase") > col("click")
+    touches.agg(
+      sum(viewed.cast("long")).as("n_view"),
+      sum(clicked.cast("long")).as("n_view_click"),
+      sum(purchased.cast("long")).as("n_full_funnel"))
+      .select(explode(array(
+        struct(lit(1L).as("stage"), lit("view").as("name"), col("n_view").as("n_users")),
+        struct(lit(2L).as("stage"), lit("view>click").as("name"), col("n_view_click").as("n_users")),
+        struct(lit(3L).as("stage"), lit("view>click>purchase").as("name"),
+          col("n_full_funnel").as("n_users")))).as("s"))
+      .select(col("s.stage").as("stage"), col("s.name").as("name"), col("s.n_users").as("n_users"))
+      .orderBy("stage")
+  }
+
+  /** Latest-event-per-key compaction (CDC/SCD1 snapshot): keep each user's
+    * most recent event, ties broken by event_id so the survivor is total-
+    * order deterministic — the recency twin of content dedup. One window
+    * over the user partition; at scale this is the standard log-compaction
+    * plan (shuffle on key, per-key top-1, no global sort). */
+  def latestEventPerUser(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    t(s, d, "events")
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        col("event_type"), col("value"))
+      .orderBy("user_id")
+  }
+
   /** Top spenders on purchase events — filter + agg + deterministic top-k. */
   def topSpenders(s: SparkSession, d: String): DataFrame =
     t(s, d, "events")

@@ -165,6 +165,36 @@ object TextAnalysis {
       .orderBy("doc_id", "rk")
   }
 
+  /** Unigram-LM surprisal — the perplexity-proxy quality signal (CCNet-
+    * style LM filtering, with the corpus's own unigram model standing in
+    * for the external LM): per document, the mean token surprisal
+    * Σ tf·ln(T/cnt(w)) / n_tokens. Unusually-improbable token mixes (spam,
+    * boilerplate, wrong-language residue) score high.
+    *
+    * Scale shape: term frequencies and the corpus vocabulary are the same
+    * two aggregations as [[tfidfTopTerms]]; the model side (vocab + 1-row
+    * total) is broadcast-scale. Determinism: each per-(doc,term) surprisal
+    * contribution is cast to DECIMAL(28,10) before the per-doc sum, so the
+    * accumulation is exact and summation-order-independent — a raw double
+    * sum would vary across partitionings, let alone engines. */
+  def tokenSurprisal(s: SparkSession, d: String): DataFrame = {
+    val tf = t(s, d, "documents")
+      .select(col("doc_id"), explode(toks).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy("w").agg(sum("tf").as("cnt"))
+    val total = vocab.agg(sum("cnt").as("t"))
+    tf.join(vocab, "w")
+      .crossJoin(broadcast(total))
+      .withColumn("term",
+        (col("tf") * log(col("t").cast("double") / col("cnt"))).cast("decimal(28,10)"))
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_tokens"), sum("term").as("sum_term"))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        round(col("sum_term").cast("double") / col("n_tokens"), 4).as("avg_surprisal"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus bigram profile: top-20 word bigrams. The per-document expansion
     * is a flat map (explode) feeding a partial-aggregated count — one
     * shuffle keyed by bigram. The token array is materialized in its own

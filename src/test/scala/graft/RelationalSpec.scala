@@ -171,6 +171,42 @@ class RelationalSpec extends AnyFunSuite {
     out.foreach(r => assert(r.getAs[Long]("df") >= 1 && r.getAs[Long]("df") <= n))
   }
 
+  test("gap fill: grid is dense, zero rows flagged, event total preserved") {
+    val out = Registry.queries("ev7_gapfill")(spark, sf).collect()
+    val types = out.map(_.getAs[String]("event_type")).distinct.length
+    val hours = out.map(_.getAs[java.sql.Timestamp]("w_start")).distinct.length
+    assert(out.length == types * hours) // every (hour, type) cell exists
+    assert(out.filter(_.getAs[Boolean]("is_gap")).forall(_.getAs[Long]("n") == 0))
+    val totalEvents = Tables(spark, sf, "events").count()
+    assert(out.map(_.getAs[Long]("n")).sum == totalEvents)
+  }
+
+  test("funnel stages are monotone non-increasing") {
+    val out = Registry.queries("ev8_funnel")(spark, sf).collect()
+      .sortBy(_.getAs[Long]("stage")).map(_.getAs[Long]("n_users"))
+    assert(out.length == 3)
+    assert(out(0) >= out(1) && out(1) >= out(2) && out(0) > 0)
+  }
+
+  test("latest-event compaction keeps exactly one most-recent row per user") {
+    val out = Registry.queries("ev9_latest_event")(spark, sf).collect()
+    val users = Tables(spark, sf, "events").select("user_id").distinct().count()
+    assert(out.length == users)
+    val maxTs = Tables(spark, sf, "events")
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.unix_micros(
+          org.apache.spark.sql.functions.col("ts"))).as("m"))
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("m")).toMap
+    out.foreach(r => assert(r.getAs[Long]("ts_us") == maxTs(r.getAs[Long]("user_id"))))
+  }
+
+  test("token surprisal covers every doc with positive mean surprisal") {
+    val out = Registry.queries("tx9_token_surprisal")(spark, sf).collect()
+    assert(out.length == Tables(spark, sf, "documents").count())
+    out.foreach(r => assert(r.getAs[Double]("avg_surprisal") > 0.0))
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
