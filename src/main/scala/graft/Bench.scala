@@ -39,18 +39,27 @@ object Bench {
       val sec = (System.nanoTime() - t0) / 1e9
       name -> (if (ok) sec else -sec)
     }
-    // Per-query values at centisecond precision: the driver captures only a
-    // bounded output tail, and ~80 full-precision doubles once pushed this
-    // line past the buffer (BENCH_r02 recorded parsed:null).
+    // The driver parses the LAST 2000 chars of sbt output, and the JSON line
+    // must fit there WHOLE (r01–r03 all recorded parsed:null; even 2-decimal
+    // full-name keys were ~3.7k chars for 80+ queries). Keys are therefore
+    // the unambiguous short codes (q01, dd4, …) — the prefix before the first
+    // underscore, unique across the registry — keeping the line under ~1.2k.
     def fmt(v: Double): String = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    def code(n: String): String = n.takeWhile(_ != '_')
+    require(results.map(r => code(r._1)).distinct.size == results.size,
+      "short query codes must stay unique for the bench JSON")
+    val qs = results.map { case (k, v) => "\"" + code(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val errJson =
       if (errors.isEmpty) ""
-      else errors.map { case (k, v) => "\"" + k + "\":\"" + v.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\"" }
+      else errors.map { case (k, v) => "\"" + code(k) + "\":\"" + v.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(40) + "\"" }
         .mkString(""","errors":{""", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}"""
+    // Last-resort guard: if the registry ever grows the line past the tail
+    // window, drop per-query detail rather than emit an unparseable line.
+    println(if (line.length <= 1800) line
+            else s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }
 }
