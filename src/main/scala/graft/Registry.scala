@@ -93,7 +93,7 @@ object Registry {
       // money math in DECIMAL at scale 4 end-to-end: 2dp×1.1 has ≤3
       // decimals, so scale 4 is exact and NOTHING rounds — a scale-2
       // re-cast (or double ×1.1) hits .xx5 cases where engines disagree
-      "WITH b AS (SELECT * REPLACE (CAST(o_totalprice AS DECIMAL(20,4)) AS o_totalprice) FROM orders), changes AS (SELECT * REPLACE (CAST(o_totalprice * CAST(1.1 AS DECIMAL(3,2)) AS DECIMAL(20,4)) AS o_totalprice) FROM b WHERE o_orderkey % 100 = 0), merged AS (SELECT * FROM changes UNION ALL SELECT o.* FROM b o WHERE NOT EXISTS (SELECT 1 FROM changes c WHERE c.o_orderkey = o.o_orderkey)) SELECT o_orderpriority, count(*) AS n, CAST(sum(o_totalprice) AS DOUBLE) AS total FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+      "WITH b AS (SELECT * REPLACE (CAST(o_totalprice AS DECIMAL(20,4)) AS o_totalprice) FROM orders), changes AS (SELECT * REPLACE (CAST(o_totalprice * CAST(1.1 AS DECIMAL(3,2)) AS DECIMAL(20,4)) AS o_totalprice) FROM b WHERE o_orderkey % 100 = 0), merged AS (SELECT * FROM changes UNION ALL SELECT o.* FROM b o WHERE NOT EXISTS (SELECT 1 FROM changes c WHERE c.o_orderkey = o.o_orderkey)) SELECT o_orderpriority, count(*) AS n, CAST(CAST(sum(o_totalprice) AS VARCHAR) AS DOUBLE) AS total FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority"),
     q("q36_window_dist", Relational.q36WindowDist,
       "SELECT o_orderkey, o_orderpriority, CAST(ntile(10) OVER w AS BIGINT) AS decile, percent_rank() OVER w AS pct_rank, cume_dist() OVER w AS cume FROM orders WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) ORDER BY o_orderkey"),
     q("q40_range_frame", Relational.q40RangeFrame,
@@ -101,8 +101,13 @@ object Registry {
     q("q41_corr_stats", Relational.q41CorrStats,
       // decimal power sums cast to double once; every derived op (×, −, ÷,
       // sqrt) is correctly-rounded IEEE on identical inputs ⇒ bit-exact
-      // cross-engine with NO rounding (see Relational.q41CorrStats scaladoc)
-      "WITH s AS (SELECT l_returnflag, count(*) AS n, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy, sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy, sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx, sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy FROM lineitem GROUP BY l_returnflag) SELECT l_returnflag, n, (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) / (sqrt(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) * sqrt(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) AS corr_qty_price, sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) / (CAST(n AS DOUBLE)*(CAST(n AS DOUBLE)-1.0))) AS stddev_qty, (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE)*(CAST(n AS DOUBLE)-1.0)) AS covar_qty_price FROM s ORDER BY l_returnflag"),
+      // cross-engine with NO rounding (see Relational.q41CorrStats scaladoc).
+      // The sums go double via VARCHAR: DuckDB's direct DECIMAL→DOUBLE cast
+      // double-rounds (int128→double, then ÷10^scale) and drifts 1 ulp from
+      // Java's correctly-rounded BigDecimal once the unscaled value passes
+      // 2^53 (observed on syy at sf0.001); string→double is strtod, single
+      // correctly-rounded step on both engines.
+      "WITH s AS (SELECT l_returnflag, count(*) AS n, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy, sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy, sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx, sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy FROM lineitem GROUP BY l_returnflag), sd AS (SELECT l_returnflag, CAST(n AS DOUBLE) AS n0, n, CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sx, CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS sy, CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS sxy, CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS sxx, CAST(CAST(syy AS VARCHAR) AS DOUBLE) AS syy FROM s) SELECT l_returnflag, n, (n0*sxy - sx*sy) / (sqrt(n0*sxx - sx*sx) * sqrt(n0*syy - sy*sy)) AS corr_qty_price, sqrt((n0*sxx - sx*sx) / (n0*(n0-1.0))) AS stddev_qty, (n0*sxy - sx*sy) / (n0*(n0-1.0)) AS covar_qty_price FROM sd ORDER BY l_returnflag"),
     q("q35_unpivot", Relational.q35Unpivot,
       "SELECT l_returnflag, metric, CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS total, count(*) AS n FROM (SELECT l_returnflag, 'l_quantity' AS metric, l_quantity AS v FROM lineitem UNION ALL SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem UNION ALL SELECT l_returnflag, 'l_discount', l_discount FROM lineitem UNION ALL SELECT l_returnflag, 'l_tax', l_tax FROM lineitem) t GROUP BY l_returnflag, metric ORDER BY l_returnflag, metric"),
     q("q26_pivot", Relational.q26Pivot,
@@ -122,6 +127,25 @@ object Registry {
       "SELECT c_custkey, (SELECT max(o_totalprice) FROM orders o WHERE o.o_custkey = c.c_custkey) AS max_order, (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders FROM customer c ORDER BY c_custkey"),
     q("q29_typed_dataset", Relational.q29TypedDataset,
       "SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    q("q42_recursive_streaks", Relational.q42RecursiveStreaks,
+      "WITH RECURSIVE o AS (SELECT o_orderkey AS k, o_custkey AS c, epoch_us(o_orderdate) AS t FROM orders), w AS (SELECT k, c, t, lead(k) OVER (PARTITION BY c ORDER BY t, k) AS nk, lead(t) OVER (PARTITION BY c ORDER BY t, k) AS nt, lag(t) OVER (PARTITION BY c ORDER BY t, k) AS pt FROM o), e AS (SELECT k, c, CASE WHEN nt - t <= 2592000000000 THEN nk END AS succ, (pt IS NULL OR t - pt > 2592000000000) AS is_seed FROM w), chain AS (SELECT c, k AS seed, k FROM e WHERE is_seed UNION ALL SELECT e.c, ch.seed, e.succ AS k FROM chain ch JOIN e ON e.k = ch.k WHERE e.succ IS NOT NULL) SELECT c AS o_custkey, seed, count(*) AS streak_len FROM chain GROUP BY c, seed ORDER BY o_custkey, seed"),
+    q("q43_selective_join", Relational.q43SelectiveJoin,
+      "SELECT l_returnflag, count(*) AS n_items, CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey WHERE o.o_orderpriority = '1-URGENT' AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00' GROUP BY l_returnflag ORDER BY l_returnflag"),
+
+    // ---- deterministic sampling ----
+    q("sm1_stratified_sample", Sampling.stratifiedSample,
+      "SELECT doc_id, lang, n_chars FROM documents WHERE CASE WHEN lang = 'en' THEN TRUE WHEN lang = 'de' THEN md5(CAST(doc_id AS VARCHAR)) < '80' WHEN lang = 'es' THEN md5(CAST(doc_id AS VARCHAR)) < '40' WHEN lang = 'fr' THEN md5(CAST(doc_id AS VARCHAR)) < '20' ELSE md5(CAST(doc_id AS VARCHAR)) < '1a' END ORDER BY doc_id"),
+    q("sm2_fixed_size_sample", (s, d) => Sampling.fixedSizePerStratum(s, d),
+      "WITH h AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents), r AS (SELECT lang, doc_id, h, row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk FROM h) SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id FROM r WHERE rk <= 25 ORDER BY lang, rk"),
+
+    // ---- data layout ----
+    q("ly1_zorder_layout", Layout.zOrderStats,
+      "WITH o AS (SELECT o_orderkey, CAST(o_custkey % 65536 AS BIGINT) AS x, least(CAST(floor(o_totalprice/16.0) AS BIGINT), 65535) AS y, CAST(o_custkey % 65536 AS BIGINT) AS vx, least(CAST(floor(o_totalprice/16.0) AS BIGINT), 65535) AS vy FROM orders), s2 AS (SELECT o_orderkey, x, y, (vx | (vx << 8)) & 16711935 AS vx, (vy | (vy << 8)) & 16711935 AS vy FROM o), s3 AS (SELECT o_orderkey, x, y, (vx | (vx << 4)) & 252645135 AS vx, (vy | (vy << 4)) & 252645135 AS vy FROM s2), s4 AS (SELECT o_orderkey, x, y, (vx | (vx << 2)) & 858993459 AS vx, (vy | (vy << 2)) & 858993459 AS vy FROM s3), s5 AS (SELECT o_orderkey, x, y, (vx | (vx << 1)) & 1431655765 AS vx, (vy | (vy << 1)) & 1431655765 AS vy FROM s4), zb AS (SELECT x, y, CAST((vx | (vy << 1)) >> 22 AS BIGINT) AS bucket FROM s5) SELECT bucket, count(*) AS n_rows, min(x) AS x_min, max(x) AS x_max, min(y) AS y_min, max(y) AS y_max FROM zb GROUP BY bucket ORDER BY bucket"),
+
+    // ---- bloom-prefiltered decontamination (same exact result as pp6) ----
+    q("bf1_bloom_decontaminate", (s, d) => Pipeline.bloomDecontaminate(s, d),
+      "WITH d AS (SELECT doc_id, string_split(text,' ') AS a, CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '1a' THEN 'holdout' ELSE 'train' END AS split FROM documents), s AS (SELECT doc_id, split, md5(array_to_string(a[i : i+4], ' ')) AS sh FROM d, UNNEST(generate_series(1, len(a)-4)) AS t(i) WHERE len(a) >= 5), tr AS (SELECT DISTINCT doc_id AS train_id, sh FROM s WHERE split='train'), ho AS (SELECT DISTINCT sh FROM s WHERE split='holdout') SELECT train_id, count(*) AS n_shared FROM tr JOIN ho ON tr.sh = ho.sh GROUP BY train_id ORDER BY train_id"),
+
     q("ev6_range_join", AsOf.eventPairsWithin60s,
       "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events) SELECT a.user_id AS user_id, count(*) AS n_pairs FROM e a JOIN e b ON a.user_id = b.user_id AND b.ts_us > a.ts_us AND b.ts_us <= a.ts_us + 60000000 GROUP BY a.user_id ORDER BY a.user_id"),
     q("ev5_asof_join", AsOf.eventsLatestOrder,

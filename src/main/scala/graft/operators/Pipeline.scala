@@ -169,19 +169,24 @@ object Pipeline {
     * fingerprint set is usually small enough to broadcast, and AQE picks
     * that up from its size). Output: contaminated train doc → number of
     * distinct shared shingles. */
-  def decontaminate(s: SparkSession, d: String, k: Int = 5): DataFrame = {
-    val withSplit = t(s, d, "documents")
+  /** (doc_id, split, sh): every k-token shingle of every document, tagged
+    * with the [[hashSplit]] train/holdout decision, shingle text emitted as
+    * md5. Shared derivation for [[decontaminate]] and [[bloomDecontaminate]]. */
+  private def shinglesWithSplit(s: SparkSession, d: String, k: Int): DataFrame =
+    t(s, d, "documents")
       .select(
         col("doc_id"), toks.as("a"),
         when(md5(col("doc_id").cast("string").cast("binary")) < "1a", lit("holdout"))
           .otherwise(lit("train")).as("split"))
       .filter(size(col("a")) >= k)
-    val shingles = withSplit
       .select(col("doc_id"), col("split"),
         explode(transform(
           sequence(lit(0), size(col("a")) - k),
           i => array_join(slice(col("a"), i + 1, lit(k)), " "))).as("sh"))
       .select(col("doc_id"), col("split"), md5(col("sh").cast("binary")).as("sh"))
+
+  def decontaminate(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    val shingles = shinglesWithSplit(s, d, k)
     val train = shingles.filter(col("split") === "train")
       .select(col("doc_id").as("train_id"), col("sh"))
     val holdout = shingles.filter(col("split") === "holdout")
@@ -191,6 +196,37 @@ object Pipeline {
     // (measured 12.7 → 10.5 s on the 10× corpus), and the probe side of
     // the index join stays deduped where it pays — the broadcast set
     train.join(holdout, "sh")
+      .groupBy("train_id").agg(countDistinct("sh").as("n_shared"))
+      .orderBy("train_id")
+  }
+
+  /** [[decontaminate]] with a broadcast Bloom-filter pre-pass — the shape
+    * that survives 100 TB. The exact shingle join shuffles the ENTIRE train
+    * shingle stream (tokens × docs rows) even though almost none of it
+    * overlaps the holdout; at scale that shuffle is the pipeline's biggest
+    * single cost. Here the holdout's ~10% shingle set is folded into a
+    * fixed-size Bloom sketch (built distributed via `stat.bloomFilter`'s
+    * tree aggregation, merged bitwise-OR on the driver — order-independent
+    * and deterministic), broadcast to every task, and train shingles that
+    * cannot be in the holdout are dropped BEFORE the shuffle. Bloom filters
+    * have no false negatives, so the surviving exact join returns exactly
+    * [[decontaminate]]'s rows — same oracle — while shuffling only the
+    * matches plus an `fpp` fraction of noise.
+    *
+    * The one driver-side action (`count` to size the sketch) is a cheap
+    * aggregate pre-pass; a production run would size from table stats
+    * instead. PipelineSpec asserts bloom ≡ exact on this corpus. */
+  def bloomDecontaminate(s: SparkSession, d: String, k: Int = 5, fpp: Double = 0.01): DataFrame = {
+    val shingles = shinglesWithSplit(s, d, k)
+    val holdout = shingles.filter(col("split") === "holdout")
+      .select("sh").distinct()
+    val expected = math.max(holdout.count(), 1L)
+    val bloom = s.sparkContext.broadcast(holdout.stat.bloomFilter("sh", expected, fpp))
+    val train = shingles.filter(col("split") === "train")
+      .select(col("doc_id").as("train_id"), col("sh"))
+    val surviving = train.filter((r: org.apache.spark.sql.Row) =>
+      bloom.value.mightContainString(r.getAs[String]("sh")))
+    surviving.join(holdout, "sh")
       .groupBy("train_id").agg(countDistinct("sh").as("n_shared"))
       .orderBy("train_id")
   }

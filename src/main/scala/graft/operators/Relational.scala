@@ -568,4 +568,70 @@ object Relational {
       .select("l_returnflag", "metric", "total", "n")
       .orderBy("l_returnflag", "metric")
   }
+
+  /** Recursive CTE (Spark 4's WITH RECURSIVE): per-customer order "streaks"
+    * — maximal chains of consecutive orders each placed within 30 days of
+    * the previous one. The successor relation is precomputed with ONE
+    * window pass (lead/lag over the per-customer order sequence), so each
+    * recursive step is a linear equi-join walk along disjoint chains: no
+    * fan-out, total work = Σ chain lengths, and the iteration count is the
+    * longest streak, not the row count. Seeds are streak heads (no
+    * predecessor within 30 days). Identical RECURSIVE text runs on the
+    * oracle; timestamps are compared in epoch-µs longs per the determinism
+    * contract. */
+  def q42RecursiveStreaks(s: SparkSession, d: String): DataFrame = {
+    Tables.registerAll(s, d)
+    // chains are bounded by a customer's order count (~tens); raise the
+    // engine's recursion ceiling so a replicated stress corpus can't trip it
+    try s.conf.set("spark.sql.cteRecursionLevelLimit", "1000")
+    catch { case _: Throwable => () }
+    s.sql(
+      """WITH RECURSIVE o AS (
+        |  SELECT o_orderkey AS k, o_custkey AS c,
+        |         unix_micros(CAST(o_orderdate AS TIMESTAMP)) AS t
+        |  FROM orders
+        |), w AS (
+        |  SELECT k, c, t,
+        |         lead(k) OVER (PARTITION BY c ORDER BY t, k) AS nk,
+        |         lead(t) OVER (PARTITION BY c ORDER BY t, k) AS nt,
+        |         lag(t)  OVER (PARTITION BY c ORDER BY t, k) AS pt
+        |  FROM o
+        |), e AS (
+        |  SELECT k, c,
+        |         CASE WHEN nt - t <= 2592000000000 THEN nk END AS succ,
+        |         (pt IS NULL OR t - pt > 2592000000000) AS is_seed
+        |  FROM w
+        |), chain AS (
+        |  SELECT c, k AS seed, k FROM e WHERE is_seed
+        |  UNION ALL
+        |  SELECT e.c, ch.seed, e.succ AS k
+        |  FROM chain ch JOIN e ON e.k = ch.k
+        |  WHERE e.succ IS NOT NULL
+        |)
+        |SELECT c AS o_custkey, seed, count(*) AS streak_len
+        |FROM chain GROUP BY c, seed
+        |ORDER BY o_custkey, seed""".stripMargin)
+  }
+
+  /** Selective-dimension join: revenue from lineitems of one priority class
+    * in one quarter. The orders filter survives ~2% of rows, so at scale
+    * the right plan pushes that selectivity ACROSS the join onto the fact
+    * scan before the shuffle — broadcast here (dimension fits), and when
+    * the filtered dimension outgrows broadcast, Spark's runtime Bloom
+    * filter does the same job on the shuffle path (ScaleSpec asserts the
+    * bloom plan under forced-shuffle thresholds). */
+  def q43SelectiveJoin(s: SparkSession, d: String): DataFrame = {
+    val o = t(s, d, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      .select("o_orderkey", "o_orderpriority")
+    val l = t(s, d, "lineitem")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n_items"),
+        sumRevenue.as("revenue"))
+      .orderBy("l_returnflag")
+  }
 }

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Deterministic sampling operators for corpus construction.
+  *
+  * A 100 TB training-data build cannot use RNG-based sampling
+  * (`df.sample`): the sample must be reproducible across reruns, engines,
+  * partition counts, and speculative task retries, or every downstream
+  * artifact (dedup decisions, mixture weights, eval splits) drifts.
+  * Both operators here decide membership from a content-independent hash
+  * of the row's key — the same trick as [[Pipeline.hashSplit]] — so the
+  * sample is a pure function of the data.
+  *
+  * Scale shape: [[stratifiedSample]] is a narrow map+filter (no shuffle at
+  * all — the decision is per-row); [[fixedSizePerStratum]] is one hash
+  * shuffle on the stratum key with a per-partition top-k under the window
+  * (Spark runs rank-filter windows with a partial sort; k rows per stratum
+  * survive). Neither collects anything to the driver.
+  */
+object Sampling {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
+
+  private def keyHash: Column = md5(col("doc_id").cast("string").cast("binary"))
+
+  /** Per-stratum acceptance thresholds on the first md5 byte, hex-string
+    * compared (like [[Pipeline.mixCorpus]]'s rates): en keeps all, de 1/2,
+    * es 1/4, fr 1/8, anything else ~10%. */
+  val Rates: Seq[(String, String)] =
+    Seq("en" -> "ff", "de" -> "80", "es" -> "40", "fr" -> "20")
+
+  /** Rate-based stratified sample: keep a deterministic, per-language
+    * fraction of documents. Materializes the sampled rows (unlike
+    * [[Pipeline.mixCorpus]], which only counts them) so downstream stages
+    * can consume the sample as a relation. */
+  def stratifiedSample(s: SparkSession, d: String): DataFrame = {
+    val keep = Rates.foldRight(keyHash < "1a") { case ((lang, thr), els) =>
+      when(col("lang") === lang, if (thr == "ff") lit(true) else keyHash < thr).otherwise(els)
+    }
+    t(s, d, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .filter(keep)
+      .orderBy("doc_id")
+  }
+
+  /** Fixed-size uniform sample per stratum: the `k` documents with the
+    * smallest key-hash in each language — a deterministic stand-in for
+    * per-class reservoir sampling (hash order is uniform and content
+    * independent, so this IS a uniform k-subset, just reproducible).
+    * doc_id tie-break keeps the rank total even if hashes ever collide. */
+  def fixedSizePerStratum(s: SparkSession, d: String, k: Int = 25): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"), col("lang"), keyHash.as("h"))
+      .withColumn("rk",
+        row_number().over(Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))).cast("long"))
+      .filter(col("rk") <= k)
+      .select("lang", "rk", "doc_id")
+      .orderBy("lang", "rk")
+}

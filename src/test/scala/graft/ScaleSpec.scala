@@ -122,4 +122,33 @@ class ScaleSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS lineitem_b")
     }
   }
+
+  test("q43: runtime Bloom filter pushes dimension selectivity onto the fact scan (shuffle-join regime)") {
+    // At this corpus size q43 correctly broadcasts; when the filtered
+    // dimension outgrows broadcast at real scale, Spark's InjectRuntimeFilter
+    // builds a bloom from the selective side and applies might_contain on the
+    // fact side BEFORE its shuffle. Force the shuffle regime and assert the
+    // bloom is injected — the 100 TB shape of this query.
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    try {
+      val p = Registry.queries("q43_selective_join")(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(p.toLowerCase.contains("might_contain"),
+        s"expected a runtime bloom filter on the fact side:\n${p.take(1200)}")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    }
+  }
+
+  test("q43 default regime broadcasts the selective dimension") {
+    val p = Registry.queries("q43_selective_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(o_orderpriority,1-URGENT)"))
+  }
 }
