@@ -227,6 +227,12 @@ object Registry {
       "WITH t AS (SELECT user_id, min(CASE WHEN event_type='view' THEN epoch_us(ts) END) AS v, min(CASE WHEN event_type='click' THEN epoch_us(ts) END) AS c, min(CASE WHEN event_type='purchase' THEN epoch_us(ts) END) AS p FROM events GROUP BY user_id), s AS (SELECT CAST(sum(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view, CAST(sum(CASE WHEN v IS NOT NULL AND c IS NOT NULL AND c > v THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click, CAST(sum(CASE WHEN v IS NOT NULL AND c IS NOT NULL AND c > v AND p IS NOT NULL AND p > c THEN 1 ELSE 0 END) AS BIGINT) AS n_full FROM t) SELECT * FROM (SELECT CAST(1 AS BIGINT) AS stage, 'view' AS name, n_view AS n_users FROM s UNION ALL SELECT 2, 'view>click', n_view_click FROM s UNION ALL SELECT 3, 'view>click>purchase', n_full FROM s) ORDER BY stage"),
     q("ev9_latest_event", Events.latestEventPerUser,
       "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value, row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rk FROM events) SELECT user_id, event_id, ts_us, event_type, value FROM e WHERE rk = 1 ORDER BY user_id"),
+    q("ev10_retention", Events.retention,
+      "WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events), c AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id) SELECT cohort_day, day - cohort_day AS day_offset, count(DISTINCT e.user_id) AS n_active FROM e JOIN c ON e.user_id = c.user_id GROUP BY cohort_day, day_offset ORDER BY cohort_day, day_offset"),
+
+    // ---- graph analytics (decimal-deterministic iterative rank) ----
+    noOracle("gr1_neardup_pagerank", Graph.neardupPageRank),
+
     q("ev4_top_spenders", Events.topSpenders,
       "SELECT user_id, count(*) AS n_purchases, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS spend FROM events WHERE event_type = 'purchase' GROUP BY user_id ORDER BY spend DESC, user_id LIMIT 10"),
 

@@ -135,6 +135,25 @@ object Events {
   }
 
   /** Top spenders on purchase events — filter + agg + deterministic top-k. */
+  /** Cohort retention matrix: users grouped by first-activity day, then
+    * for each later day-offset the count of cohort members active again.
+    * Day indexing is epoch-µs integer division (identical truncation in
+    * both engines). Two shuffles total — one to find each user's cohort
+    * (min over user), one on (cohort, offset) after a broadcast-back of
+    * the per-user cohort — and the matrix is bounded by days², not events.
+    * At 100 TB the per-user cohort relation is the big side; it joins back
+    * to events on user_id pre-partitioned by the same key, so AQE keeps it
+    * a local join of co-partitioned shuffles. */
+  def retention(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "events")
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+    val cohorts = e.groupBy("user_id").agg(min("day").as("cohort_day"))
+    e.join(cohorts, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct("user_id").as("n_active"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   def topSpenders(s: SparkSession, d: String): DataFrame =
     t(s, d, "events")
       .filter(col("event_type") === "purchase")

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed graph analytics over pair relations.
+  *
+  * Complements [[Dedup.connectedComponents]] (membership) with an
+  * importance measure: PageRank picks the best CANONICAL document inside a
+  * near-duplicate cluster (the variant most other variants resemble), where
+  * CC alone can only pick an arbitrary one.
+  *
+  * Scale shape per iteration: one shuffle — contributions grouped by
+  * destination — joined against the static degree relation; ranks and
+  * degrees are co-partitioned on the node key, so AQE keeps the join local.
+  * Lineage is truncated with an eager localCheckpoint per iteration
+  * (10 unrolled joins would otherwise stack into one exponential plan —
+  * same lesson as the CC loop).
+  *
+  * Determinism: ranks accumulate in DECIMAL(20,18). Decimal addition is
+  * exact and order-independent (unlike float sums, whose grouping varies
+  * with partitioning), and decimal division is deterministic HALF_UP, so
+  * every run — any partitioning, any executor count — yields bit-identical
+  * ranks. The driver's rows-only check plus GraphSpec's closed-form and
+  * determinism tests cover what a cross-engine oracle can't (DuckDB's
+  * decimal division scale rules differ, so the same SQL there would NOT be
+  * bit-identical — documented, not hidden).
+  */
+object Graph {
+
+  // Ranks live in [0, 1], so 2 integer digits suffice — and the headroom
+  // matters: at (38,18) a rank×damping product overflows precision 38 and
+  // Spark truncates the result scale to 6 (1e-6 drift per iteration,
+  // measured); at (20,18) products stay inside 38 digits with scale ≥ 33,
+  // so iteration error is ~1e-30 and the HALF_UP re-cast to (20,18) is the
+  // only rounding.
+  private val RankType = "decimal(20,18)"
+
+  /** Undirected PageRank on a pair relation (columns = two node ids).
+    * Returns (node, rank) with rank as DECIMAL(20,18) cast to double after
+    * a 1e-12 round (display only — iteration state never rounds). */
+  def pageRank(pairs: DataFrame, damping: Double = 0.85, iterations: Int = 10): DataFrame = {
+    val edges = pairs.toDF("a", "b")
+    val sym = edges.unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint()
+    val nodes = sym.select(col("a").as("node")).distinct().localCheckpoint()
+    val n = nodes.count()
+    require(n > 0, "pageRank needs at least one edge")
+
+    val deg = sym.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+    val d = lit(damping).cast(RankType)
+    val teleport = (lit(1.0).cast(RankType) - d) / n
+
+    var ranks = nodes.withColumn("rank", (lit(1.0).cast(RankType) / n).cast(RankType))
+      .localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val contribs = sym
+        .join(ranks.withColumnRenamed("node", "a"), "a")
+        .join(deg.withColumnRenamed("node", "a"), "a")
+        .select(col("b").as("node"), (col("rank") / col("deg")).cast(RankType).as("c"))
+        .groupBy("node").agg(sum("c").as("inflow"))
+      ranks = nodes
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (teleport + d * coalesce(col("inflow"), lit(0).cast(RankType))).cast(RankType).as("rank"))
+        .localCheckpoint()
+    }
+    ranks.select(col("node"), round(col("rank"), 12).cast("double").as("rank"))
+  }
+
+  /** PageRank over the sampled Jaccard near-dup graph: rank within each
+    * duplicate cluster = how central a variant is. Deterministic input
+    * (dd3's exact sampled pairs), deterministic iteration ⇒ stable row
+    * count AND values for the driver's rows-only check. */
+  def neardupPageRank(s: SparkSession, dir: String): DataFrame =
+    pageRank(Dedup.jaccardPairs(s, dir).select("id_a", "id_b"))
+      .orderBy("node")
+}

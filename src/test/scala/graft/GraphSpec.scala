@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Graph
+
+/** PageRank: structural ground truths on graphs with known answers, plus
+  * the determinism contract the driver's rows-only check relies on. */
+class GraphSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = SparkTestSession.sf
+
+  private def ranksOf(pairs: Seq[(Long, Long)]): Map[Long, Double] = {
+    import spark.implicits._
+    Graph.pageRank(pairs.toDF("a", "b")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+  }
+
+  test("star graph: center outranks leaves, leaves tie exactly, mass sums to 1") {
+    val r = ranksOf(Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)))
+    assert(r.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    val leaves = Seq(r(1L), r(2L), r(3L), r(4L))
+    assert(leaves.distinct.size == 1, "symmetric leaves must have identical rank")
+    assert(r(0L) > r(1L))
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+  }
+
+  test("path graph: middle node outranks the tied endpoints") {
+    val r = ranksOf(Seq((1L, 2L), (2L, 3L)))
+    assert(r(2L) > r(1L) && r(1L) == r(3L))
+  }
+
+  test("gr1 is deterministic across runs and partitioning") {
+    val a = Graph.neardupPageRank(spark, sf).collect().toSeq
+    val b = Graph.neardupPageRank(spark, sf).collect().toSeq
+    assert(a == b)
+    assert(a.nonEmpty)
+    // every ranked node is a sampled doc from the pair relation
+    val nodes = a.map(_.getLong(0)).toSet
+    val pairNodes = graft.operators.Dedup.jaccardPairs(spark, sf)
+      .select(explode(array(col("id_a"), col("id_b")))).collect().map(_.getLong(0)).toSet
+    assert(nodes == pairNodes)
+  }
+}

@@ -181,6 +181,22 @@ class RelationalSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("n")).sum == totalEvents)
   }
 
+  test("retention: offset-0 equals cohort size and bounds every later offset") {
+    val out = Registry.queries("ev10_retention")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty && out.forall(_._2 >= 0))
+    val byCohort = out.groupBy(_._1)
+    val cohortSizes = byCohort.map { case (c, rows) =>
+      c -> rows.find(_._2 == 0L).map(_._3).getOrElse(0L)
+    }
+    byCohort.foreach { case (c, rows) =>
+      assert(rows.forall(_._3 <= cohortSizes(c)), s"cohort $c exceeds its size")
+    }
+    // cohort sizes partition the user base
+    val users = Tables(spark, sf, "events").select("user_id").distinct().count()
+    assert(cohortSizes.values.sum == users)
+  }
+
   test("funnel stages are monotone non-increasing") {
     val out = Registry.queries("ev8_funnel")(spark, sf).collect()
       .sortBy(_.getAs[Long]("stage")).map(_.getAs[Long]("n_users"))

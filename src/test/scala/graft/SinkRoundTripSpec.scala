@@ -59,4 +59,22 @@ class SinkRoundTripSpec extends AnyFunSuite {
       assert(roundTrip(rows, "csv") == expect, s"csv seed=$seed")
     }
   }
+
+  test("compaction rewrites a many-small-file dir into few equal files, data intact") {
+    val dir = Files.createTempDirectory("graft-compact").resolve("docs").toString
+    val docs = Tables(spark, SparkTestSession.sf, "documents")
+    docs.repartition(16).write.parquet(dir)
+    def parts = Option(new java.io.File(dir).listFiles()).get
+      .filter(f => f.isFile && f.getName.startsWith("part-")).toSeq
+    assert(parts.size == 16)
+    val totalBytes = parts.map(_.length()).sum
+    val before = docs.orderBy("doc_id").collect().toSeq
+    // target ~quarter of the data per file => expect ceil(total/target) files
+    val target = math.max(totalBytes / 4, 1L)
+    val expectFiles = math.ceil(totalBytes.toDouble / target).toInt
+    val n = Sinks.compactDir(spark.read.parquet(dir), dir, target)
+    assert(n == expectFiles && parts.size == n, s"got $n files, disk ${parts.size}")
+    val after = spark.read.parquet(dir).orderBy("doc_id").collect().toSeq
+    assert(after == before)
+  }
 }
