@@ -34,19 +34,24 @@ object Sampling {
   val Rates: Seq[(String, String)] =
     Seq("en" -> "ff", "de" -> "80", "es" -> "40", "fr" -> "20")
 
+  /** The sampling decision as a reusable transform over any relation with
+    * (doc_id, lang): a pure stateless narrow map, so the SAME fragment runs
+    * under Structured Streaming with no watermark or state (ingest-time
+    * sampling — StreamingSpec proves stream ≡ batch). */
+  def stratifiedKeep(docs: DataFrame): DataFrame = {
+    val keep = Rates.foldRight(keyHash < "1a") { case ((lang, thr), els) =>
+      when(col("lang") === lang, if (thr == "ff") lit(true) else keyHash < thr).otherwise(els)
+    }
+    docs.filter(keep)
+  }
+
   /** Rate-based stratified sample: keep a deterministic, per-language
     * fraction of documents. Materializes the sampled rows (unlike
     * [[Pipeline.mixCorpus]], which only counts them) so downstream stages
     * can consume the sample as a relation. */
-  def stratifiedSample(s: SparkSession, d: String): DataFrame = {
-    val keep = Rates.foldRight(keyHash < "1a") { case ((lang, thr), els) =>
-      when(col("lang") === lang, if (thr == "ff") lit(true) else keyHash < thr).otherwise(els)
-    }
-    t(s, d, "documents")
-      .select(col("doc_id"), col("lang"), col("n_chars"))
-      .filter(keep)
+  def stratifiedSample(s: SparkSession, d: String): DataFrame =
+    stratifiedKeep(t(s, d, "documents").select(col("doc_id"), col("lang"), col("n_chars")))
       .orderBy("doc_id")
-  }
 
   /** Fixed-size uniform sample per stratum: the `k` documents with the
     * smallest key-hash in each language — a deterministic stand-in for

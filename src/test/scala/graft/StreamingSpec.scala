@@ -76,6 +76,22 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stratified sampling runs identically as an ingest-time stream filter") {
+    val sfDir = sf
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$sfDir/documents.*")
+    val q = StreamingOps.runToMemory(
+      graft.operators.Sampling.stratifiedKeep(stream).select("doc_id"),
+      "stream_sample", OutputMode.Append)
+    try {
+      val streamed = spark.table("stream_sample").collect()
+        .map(_.getLong(0)).sorted.toSeq
+      val batch = graft.operators.Sampling.stratifiedSample(spark, sfDir)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(batch.nonEmpty && streamed == batch)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     val stream = StreamingOps.eventStream(spark, sf)
     val q = StreamingOps.runToMemory(
