@@ -132,6 +132,11 @@ object Registry {
     q("q43_selective_join", Relational.q43SelectiveJoin,
       "SELECT l_returnflag, count(*) AS n_items, CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey WHERE o.o_orderpriority = '1-URGENT' AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00' GROUP BY l_returnflag ORDER BY l_returnflag"),
 
+    q("q44_full_outer", Relational.q44FullOuter,
+      "WITH c AS (SELECT c_nationkey AS ck, count(*) AS n_cust FROM customer WHERE c_nationkey % 3 <> 0 GROUP BY 1), s AS (SELECT s_nationkey AS sk, count(*) AS n_supp FROM supplier WHERE s_nationkey % 2 = 0 GROUP BY 1) SELECT coalesce(c.ck, s.sk) AS nationkey, n_cust, n_supp FROM c FULL OUTER JOIN s ON c.ck = s.sk ORDER BY nationkey"),
+    q("q45_lateral_topn", Relational.q45LateralTopN,
+      "SELECT c.c_custkey, o.o_orderkey, o.o_totalprice FROM customer c, LATERAL (SELECT o_orderkey, o_totalprice FROM orders o WHERE o.o_custkey = c.c_custkey ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o ORDER BY c_custkey, o_orderkey"),
+
     // ---- deterministic sampling ----
     q("sm1_stratified_sample", Sampling.stratifiedSample,
       "SELECT doc_id, lang, n_chars FROM documents WHERE CASE WHEN lang = 'en' THEN TRUE WHEN lang = 'de' THEN md5(CAST(doc_id AS VARCHAR)) < '80' WHEN lang = 'es' THEN md5(CAST(doc_id AS VARCHAR)) < '40' WHEN lang = 'fr' THEN md5(CAST(doc_id AS VARCHAR)) < '20' ELSE md5(CAST(doc_id AS VARCHAR)) < '1a' END ORDER BY doc_id"),

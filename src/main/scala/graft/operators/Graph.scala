@@ -48,16 +48,21 @@ object Graph {
     val n = nodes.count()
     require(n > 0, "pageRank needs at least one edge")
 
+    // Degree is static — fold it into the edge relation ONCE so each
+    // iteration is a single join (ranks ⋈ weighted edges) + one aggregation
+    // instead of two joins; over 10 iterations that drops 10 join stages
+    // from the run.
     val deg = sym.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+    val weightedEdges = sym.join(deg.withColumnRenamed("node", "a"), "a")
+      .select(col("a"), col("b"), col("deg")).localCheckpoint()
     val d = lit(damping).cast(RankType)
     val teleport = (lit(1.0).cast(RankType) - d) / n
 
     var ranks = nodes.withColumn("rank", (lit(1.0).cast(RankType) / n).cast(RankType))
       .localCheckpoint()
     for (_ <- 1 to iterations) {
-      val contribs = sym
+      val contribs = weightedEdges
         .join(ranks.withColumnRenamed("node", "a"), "a")
-        .join(deg.withColumnRenamed("node", "a"), "a")
         .select(col("b").as("node"), (col("rank") / col("deg")).cast(RankType).as("c"))
         .groupBy("node").agg(sum("c").as("inflow"))
       ranks = nodes

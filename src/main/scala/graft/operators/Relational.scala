@@ -618,6 +618,35 @@ object Relational {
         |ORDER BY o_custkey, seed""".stripMargin)
   }
 
+  /** Full outer join over deliberately partially-overlapping aggregates
+    * (each side restricted by a different key predicate so BOTH unmatched
+    * sides actually occur — the corpus's customer and supplier nation sets
+    * coincide, which would silently degrade a full outer into an inner). */
+  def q44FullOuter(s: SparkSession, d: String): DataFrame = {
+    val c = t(s, d, "customer").filter(col("c_nationkey") % 3 =!= 0)
+      .groupBy(col("c_nationkey").as("ck")).agg(count(lit(1)).as("n_cust"))
+    val sup = t(s, d, "supplier").filter(col("s_nationkey") % 2 === 0)
+      .groupBy(col("s_nationkey").as("sk")).agg(count(lit(1)).as("n_supp"))
+    c.join(sup, c("ck") === sup("sk"), "full_outer")
+      .select(coalesce(col("ck"), col("sk")).as("nationkey"), col("n_cust"), col("n_supp"))
+      .orderBy("nationkey")
+  }
+
+  /** Correlated LATERAL subquery with per-row ORDER BY + LIMIT: top-2
+    * orders per customer through the SQL front-end. Catalyst decorrelates
+    * the lateral into a ranked window join — per-group top-k without a
+    * driver loop; the same text runs on the oracle. */
+  def q45LateralTopN(s: SparkSession, d: String): DataFrame = {
+    Tables.registerAll(s, d)
+    s.sql(
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+        |         WHERE o.o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        |ORDER BY c_custkey, o_orderkey""".stripMargin)
+  }
+
   /** Selective-dimension join: revenue from lineitems of one priority class
     * in one quarter. The orders filter survives ~2% of rows, so at scale
     * the right plan pushes that selectivity ACROSS the join onto the fact

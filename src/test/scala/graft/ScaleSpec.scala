@@ -145,6 +145,15 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("q45: lateral top-n decorrelates to a ranked join — no per-row nested loop") {
+    val p = plan("q45_lateral_topn")
+    // Catalyst rewrites the correlated LIMIT subquery into a window/rank
+    // over a single join; a NestedLoop/Cartesian here would be a per-row
+    // re-execution and die at scale
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"lateral was not decorrelated:\n${p.take(1200)}")
+  }
+
   test("q43 default regime broadcasts the selective dimension") {
     val p = Registry.queries("q43_selective_join")(spark, sf)
       .queryExecution.executedPlan.toString
