@@ -50,4 +50,10 @@ object Engine {
       output: String, format: String, partitionBy: Seq[String] = Nil): Unit =
     Sinks.writeDir(query(spark, sourceUrl, sql), output,
       Sinks.fromPath("x." + format), partitionBy)
+
+  /** Table maintenance on a previously-exported parquet directory: rewrite
+    * its accumulated small part-files into `ceil(bytes/target)` files (see
+    * [[Sinks.compactDir]]). Returns the new file count. */
+  def compact(spark: SparkSession, dir: String, targetFileBytes: Long = 128L << 20): Int =
+    Sinks.compactDir(spark.read.parquet(dir), dir, targetFileBytes)
 }

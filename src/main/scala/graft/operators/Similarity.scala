@@ -169,6 +169,40 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
+  /** Build the IVF index as a PERSISTED cell-partitioned parquet layout —
+    * the build-once / probe-many serving shape. Each cell is a `cell=N`
+    * directory, norms precomputed at build time, so probes never touch
+    * other cells' bytes. At 100 TB the index build is one partitioned
+    * write; probes are metadata-pruned scans of ~nprobe/k of the data. */
+  def buildIvfIndex(embeddings: DataFrame, outDir: String): Unit =
+    embeddings
+      .select(col("vec_id"), col("embedding"),
+        normFast(col("embedding")).as("n"), col("label").cast("int").as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(outDir)
+
+  /** Probe the persisted index with a query relation. The probe joins the
+    * index on `cell` against the (small, broadcast) query set, which
+    * triggers DYNAMIC PARTITION PRUNING: Spark computes the query cells at
+    * runtime and prunes the index scan to those `cell=` directories before
+    * reading them (plan-asserted in SimilaritySpec) — no manual cell-list
+    * plumbing, and the same plan at any index size. */
+  def probeIvfIndex(s: SparkSession, indexDir: String, queries: DataFrame, k: Int = 5): DataFrame = {
+    val idx = s.read.parquet(indexDir)
+    val q = queries.select(
+      col("vec_id").as("q_id"), col("embedding").as("qv"),
+      col("label").cast("int").as("cell"), normFast(col("embedding")).as("qn"))
+    val scored = idx.join(broadcast(q), Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("cos",
+        round(dotFast(col("qv"), col("embedding")) / (col("qn") * col("n")), 6))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("cell").cast("long").as("cell"),
+        col("vec_id").as("c_id"), col("cos"), col("rk"))
+      .orderBy("q_id", "rk")
+  }
+
   /** IVF-style variant: coarse partitions from label (stand-in for k-means
     * cell ids at scale), search restricted to the query's cell. Demonstrates
     * the partition-pruned ANN shape: the corpus is clustered/bucketed once,

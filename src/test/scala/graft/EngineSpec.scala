@@ -149,6 +149,16 @@ class EngineSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == 6000)
   }
 
+  test("exportDir → compact → query round-trips through the engine surface") {
+    val dir = Files.createTempDirectory("graft-compact-e2e").resolve("out").toString
+    Engine.exportDir(spark, s"parquet://$sf",
+      "SELECT l_orderkey, l_quantity FROM lineitem", dir, "parquet")
+    val n = Engine.compact(spark, dir) // default 128 MiB target → 1 file here
+    assert(n == 1)
+    assert(Engine.query(spark, s"parquet://${new java.io.File(dir).getParent}",
+      "SELECT count(*) AS n FROM out").first().getLong(0) == 6000)
+  }
+
   test("orc and json source directories round-trip through the engine") {
     val dir = Files.createTempDirectory("graft-multi-src").toString
     Engine.export(spark, s"parquet://$sf", "SELECT * FROM region", s"$dir/region.orc")
