@@ -218,8 +218,13 @@ object Pipeline {
     * instead. PipelineSpec asserts bloom ≡ exact on this corpus. */
   def bloomDecontaminate(s: SparkSession, d: String, k: Int = 5, fpp: Double = 0.01): DataFrame = {
     val shingles = shinglesWithSplit(s, d, k)
+    // The distinct holdout set feeds THREE consumers (sizing count, sketch
+    // build, exact join) and is small (~10% of docs, deduped 16-byte-ish
+    // keys); materialize it once instead of re-deriving the full shingle
+    // stream per consumer. The train side stays lazy — it is consumed once
+    // and at scale recomputing a narrow map beats storing it.
     val holdout = shingles.filter(col("split") === "holdout")
-      .select("sh").distinct()
+      .select("sh").distinct().localCheckpoint()
     val expected = math.max(holdout.count(), 1L)
     val bloom = s.sparkContext.broadcast(holdout.stat.bloomFilter("sh", expected, fpp))
     val train = shingles.filter(col("split") === "train")

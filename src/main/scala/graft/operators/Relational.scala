@@ -590,27 +590,33 @@ object Relational {
     // guard at a value that still catches a genuine cycle.
     s.conf.set("spark.sql.cteRecursionLevelLimit", "1000")
     s.conf.set("spark.sql.cteRecursionRowLimit", "2000000000")
+    // The recursive step re-executes its source subplan on EVERY iteration;
+    // leaving the successor derivation inline re-ran the scan + window once
+    // per depth level (measured 6.2 s at sf0.1). Materialize the edge
+    // relation ONCE (eager localCheckpoint, GC-reclaimed with the plan) and
+    // let the recursion walk the stored rows — the oracle keeps the inline
+    // form, which DuckDB evaluates once by construction.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("c").orderBy("t", "k")
+    val gapUs = 2592000000000L
+    t(s, d, "orders")
+      .select(
+        col("o_orderkey").as("k"), col("o_custkey").as("c"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("t"))
+      .withColumn("nk", lead("k", 1).over(w))
+      .withColumn("nt", lead("t", 1).over(w))
+      .withColumn("pt", lag("t", 1).over(w))
+      .select(col("k"), col("c"),
+        when(col("nt") - col("t") <= gapUs, col("nk")).as("succ"),
+        (col("pt").isNull || col("t") - col("pt") > gapUs).as("is_seed"))
+      .localCheckpoint()
+      .createOrReplaceTempView("q42_edges")
     s.sql(
-      """WITH RECURSIVE o AS (
-        |  SELECT o_orderkey AS k, o_custkey AS c,
-        |         unix_micros(CAST(o_orderdate AS TIMESTAMP)) AS t
-        |  FROM orders
-        |), w AS (
-        |  SELECT k, c, t,
-        |         lead(k) OVER (PARTITION BY c ORDER BY t, k) AS nk,
-        |         lead(t) OVER (PARTITION BY c ORDER BY t, k) AS nt,
-        |         lag(t)  OVER (PARTITION BY c ORDER BY t, k) AS pt
-        |  FROM o
-        |), e AS (
-        |  SELECT k, c,
-        |         CASE WHEN nt - t <= 2592000000000 THEN nk END AS succ,
-        |         (pt IS NULL OR t - pt > 2592000000000) AS is_seed
-        |  FROM w
-        |), chain AS (
-        |  SELECT c, k AS seed, k FROM e WHERE is_seed
+      """WITH RECURSIVE chain AS (
+        |  SELECT c, k AS seed, k FROM q42_edges WHERE is_seed
         |  UNION ALL
         |  SELECT e.c, ch.seed, e.succ AS k
-        |  FROM chain ch JOIN e ON e.k = ch.k
+        |  FROM chain ch JOIN q42_edges e ON e.k = ch.k
         |  WHERE e.succ IS NOT NULL
         |)
         |SELECT c AS o_custkey, seed, count(*) AS streak_len
