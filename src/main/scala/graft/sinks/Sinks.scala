@@ -116,9 +116,18 @@ object Sinks {
     df.repartition(nOut).write.mode("overwrite").format("parquet").save(tmp)
     val staging = new File(tmp)
     val target = new File(dir)
-    deleteRecursively(target)
-    if (!staging.renameTo(target))
+    // Recoverable swap: the original data is never deleted before the new
+    // layout is in place — park it aside, move staging in, then drop it.
+    // A crash leaves either the original dir or the parked copy on disk.
+    val parked = new File(dir + ".tmp-old")
+    deleteRecursively(parked) // stale leftover from a previous crash
+    if (!target.renameTo(parked))
+      throw new IllegalStateException(s"compaction could not park $dir")
+    if (!staging.renameTo(target)) {
+      parked.renameTo(target) // roll back
       throw new IllegalStateException(s"compaction swap failed for $dir")
+    }
+    deleteRecursively(parked)
     nOut
   }
 }
