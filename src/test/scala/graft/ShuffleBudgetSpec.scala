@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shuffle budgets: every Exchange is cluster-wide data movement, and a
+  * refactor that silently adds one (a lost broadcast, a mis-keyed window,
+  * an accidental repartition) is invisible to correctness tests but can
+  * double a 100 TB job's cost. Pin an upper bound per representative query
+  * so the plan contract is CI-enforced. Bounds are the CURRENT counts —
+  * tighten or loosen only with a plan review. */
+class ShuffleBudgetSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = SparkTestSession.sf
+
+  private def exchanges(name: String): Int = {
+    val p = Registry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+    "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
+      .findAllIn(p).length
+  }
+
+  private val budgets = Seq(
+    "q01_pricing_summary" -> 2,   // agg + output sort
+    "q03_top_revenue_orders" -> 1, // broadcast joins; agg only (top-k needs no sort exchange)
+    "q25_big_join_agg" -> 2,      // fact-fact join keyed once + agg reuse
+    "q43_selective_join" -> 2,
+    "ev5_asof_join" -> 2,         // ONE shuffle for the union+window, + sort
+    "ev1_tumbling_window" -> 2,
+    "dd2_fingerprint_dedup" -> 2, // shuffle carries the 16-byte fp, once
+    "pp1_clean_corpus" -> 2,      // entire cleaning pipeline: one fp shuffle + sort
+    "sm2_fixed_size_sample" -> 2, // stratum window + sort
+    "ly1_zorder_layout" -> 2,     // bucket agg + sort
+    "sm1_stratified_sample" -> 1) // narrow filter; sort only
+
+  budgets.foreach { case (name, budget) =>
+    test(s"$name stays within its shuffle budget ($budget)") {
+      val n = exchanges(name)
+      assert(n <= budget, s"$name now plans $n exchanges (budget $budget) — " +
+        "a new shuffle appeared; review the plan before raising the budget")
+    }
+  }
+}
