@@ -138,12 +138,12 @@ object Events {
   /** Cohort retention matrix: users grouped by first-activity day, then
     * for each later day-offset the count of cohort members active again.
     * Day indexing is epoch-µs integer division (identical truncation in
-    * both engines). Two shuffles total — one to find each user's cohort
-    * (min over user), one on (cohort, offset) after a broadcast-back of
-    * the per-user cohort — and the matrix is bounded by days², not events.
-    * At 100 TB the per-user cohort relation is the big side; it joins back
-    * to events on user_id pre-partitioned by the same key, so AQE keeps it
-    * a local join of co-partitioned shuffles. */
+    * both engines). The per-user cohort aggregation and the join back to
+    * events both key on user_id, so the join consumes the aggregation's
+    * partitioning (no extra shuffle of the aggregate side); the final
+    * (cohort, offset) matrix is bounded by days², not events. At local
+    * scale AQE turns the join broadcast; at 100 TB both sides shuffle
+    * co-partitioned on user_id — still one pass over events per side. */
   def retention(s: SparkSession, d: String): DataFrame = {
     val e = t(s, d, "events")
       .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
