@@ -45,4 +45,34 @@ class RewriteVectorDotSpec extends AnyFunSuite {
         spark.experimental.extraOptimizations.filterNot(_ == RewriteVectorDot)
     }
   }
+
+  test("GraftExtensions entry point wires rule + SQL function into a fresh session") {
+    import org.apache.spark.sql.SparkSession
+    val base = spark // force shared-session init before detaching defaults
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // same deployment path as --conf spark.sql.extensions=graft.plans.GraftExtensions
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new graft.plans.GraftExtensions)
+        .getOrCreate()
+      // injected SQL function resolves and computes
+      val d = s2.sql(
+        """SELECT float_vector_dot(
+          |  array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+          |  array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d""".stripMargin)
+        .head().getDouble(0)
+      assert(d == 11.0)
+      // injected optimizer rule fires without any experimental registration
+      val e = Tables(s2, sf, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      val df = e.crossJoin(q)
+        .select(VectorFunctions.dot(col("embedding"), col("qv")).as("dp"))
+      assert(df.queryExecution.optimizedPlan.toString.contains("float_vector_dot"))
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
 }
