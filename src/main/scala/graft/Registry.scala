@@ -252,6 +252,10 @@ object Registry {
     noOracle("ss2_lsh_topk", Similarity.lshTopK),
     noOracle("ss4_ivf_kmeans", (s, d) => Similarity.ivfKMeansTopK(s, d)),
     q("ss3_ivf_topk", Similarity.ivfTopK,
+      "WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv, label FROM embeddings WHERE vec_id < 10), s AS (SELECT q_id, CAST(q.label AS BIGINT) AS cell, e.vec_id AS c_id, round(list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[])), 6) AS cos FROM q JOIN embeddings e ON e.label = q.label AND e.vec_id <> q.q_id), r AS (SELECT q_id, cell, c_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk FROM s) SELECT q_id, cell, c_id, cos, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 5 ORDER BY q_id, rk"),
+    // persisted-index probe: builds the cell-partitioned index in a temp
+    // dir, probes via the DPP join — result ≡ ss3, so it shares ss3's oracle
+    q("ss5_ivf_persisted", Similarity.persistedIvfTopK,
       "WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv, label FROM embeddings WHERE vec_id < 10), s AS (SELECT q_id, CAST(q.label AS BIGINT) AS cell, e.vec_id AS c_id, round(list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[])), 6) AS cos FROM q JOIN embeddings e ON e.label = q.label AND e.vec_id <> q.q_id), r AS (SELECT q_id, cell, c_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk FROM s) SELECT q_id, cell, c_id, cos, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 5 ORDER BY q_id, rk"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

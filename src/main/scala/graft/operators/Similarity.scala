@@ -203,6 +203,20 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
+  /** Registry query (ss5): the full persisted-index lifecycle in one
+    * relation — build the cell-partitioned index into a fresh temp
+    * directory, then probe it. Cells equal `label` and scoring matches
+    * [[ivfTopK]] exactly, so the probe result is byte-identical to ss3's
+    * and shares its DuckDB oracle: the dynamic-partition-pruned path gets
+    * a hash-checked CORRECTNESS row, not just a plan test. */
+  def persistedIvfTopK(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-ss5")
+      .resolve("idx").toString
+    val e = t(s, d, "embeddings")
+    buildIvfIndex(e, dir)
+    probeIvfIndex(s, dir, e.filter(col("vec_id") < 10))
+  }
+
   /** IVF-style variant: coarse partitions from label (stand-in for k-means
     * cell ids at scale), search restricted to the query's cell. Demonstrates
     * the partition-pruned ANN shape: the corpus is clustered/bucketed once,
