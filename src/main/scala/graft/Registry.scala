@@ -218,6 +218,13 @@ object Registry {
       "WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents), tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w), vocab AS (SELECT w, sum(tf) AS cnt FROM tf GROUP BY w), tot AS (SELECT sum(cnt) AS t FROM vocab), terms AS (SELECT doc_id, tf, CAST(tf * ln(CAST(t AS DOUBLE) / cnt) AS DECIMAL(28,10)) AS term FROM tf JOIN vocab USING(w), tot) SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens, round(CAST(sum(term) AS DOUBLE) / sum(tf), 4) AS avg_surprisal FROM terms GROUP BY doc_id ORDER BY doc_id"),
     q("tx4_top_bigrams", TextAnalysis.topBigrams,
       "WITH toks AS (SELECT string_split(text,' ') AS a FROM documents WHERE len(string_split(text,' ')) >= 2), bi AS (SELECT a[i] || ' ' || a[i+1] AS bigram FROM toks, UNNEST(generate_series(1, len(a)-1)) AS t(i)) SELECT bigram, count(*) AS n FROM bi GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20"),
+    // CMS prefilter has no false negatives, so the sketch-accelerated form
+    // returns exactly the direct group-by-and-filter's rows — exact oracle
+    q("hh1_heavy_hitters", (s, d) => TextAnalysis.heavyHitterBigrams(s, d),
+      "WITH toks AS (SELECT string_split(text,' ') AS a FROM documents WHERE len(string_split(text,' ')) >= 2), bi AS (SELECT a[i] || ' ' || a[i+1] AS bigram FROM toks, UNNEST(generate_series(1, len(a)-1)) AS t(i)), tot AS (SELECT count(*) AS total FROM bi) SELECT bigram, count(*) AS n FROM bi, tot GROUP BY bigram, total HAVING count(*) >= greatest(1, total // 800) ORDER BY bigram"),
+    // iterative engine-defined learner => rows-only; BpeSpec holds the
+    // sequential-reference ground truth
+    noOracle("bp1_bpe_merges", (s, d) => Bpe.learnMerges(s, d)),
 
     // ---- event streams (batch form; streaming twin in graft.streaming) ----
     q("ev1_tumbling_window", Events.tumbling,

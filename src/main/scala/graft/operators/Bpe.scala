@@ -1,0 +1,100 @@
+package graft.operators
+
+import java.util.regex.{Matcher, Pattern}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Distributed byte-pair-encoding merge learning — the vocabulary-training
+  * step of a tokenizer pipeline (tx5 is its pre-tokenizer; tx6 the word
+  * vocabulary). Classic BPE (Sennrich et al., "Neural Machine Translation
+  * of Rare Words with Subword Units"): start from characters, repeatedly
+  * merge the most frequent adjacent symbol pair.
+  *
+  * Scale shape: BPE learns over the DISTINCT-word frequency table, not the
+  * token stream — at 100 TB the stream is trillions of rows but the word
+  * table is tens of millions, and it is built with the engine's ordinary
+  * partial-aggregated count. Each merge round is then (a) one narrow map
+  * re-splitting the current symbol encoding, (b) one pair-keyed
+  * partial-aggregated sum(freq), (c) a TakeOrdered(1) for the argmax — the
+  * only driver-side data is the single winning pair per round. The
+  * re-encoded corpus is localCheckpoint'ed every round so round k applies
+  * merge k once to stored rows instead of replaying merges 1..k−1 through
+  * lineage (the same iterative-lineage rule as `Dedup.connectedComponents`).
+  *
+  * Determinism: pair counts are exact long sums; the argmax tie-breaks
+  * lexicographically on (left, right); the merge application is Java
+  * regex's left-to-right non-overlapping replacement, which is exactly
+  * greedy BPE ("a a a" under merge (a,a) → "aa a"). BpeSpec proves the
+  * distributed learner identical to a sequential reference implementation.
+  */
+object Bpe {
+
+  /** End-of-word marker appended as a separate initial symbol, so merges
+    * never cross word boundaries and word-final units stay distinct. */
+  val EndOfWord = "</w>"
+
+  /** Registry query (bp1): learn `numMerges` merges over the `documents`
+    * word-frequency table. Output: one row per learned merge,
+    * `(rank, left, right, merged, cnt)` in learning order. Iterative
+    * engine-defined algorithm ⇒ rows-only driver check; BpeSpec holds the
+    * ground truth. */
+  def learnMerges(s: SparkSession, d: String, numMerges: Int = 12): DataFrame = {
+    val words = Tables(s, d, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    learnMergesFrom(words, numMerges)
+  }
+
+  /** Core learner over any `(w: string, freq: long)` word-frequency
+    * relation. */
+  def learnMergesFrom(words: DataFrame, numMerges: Int): DataFrame = {
+    val s = words.sparkSession
+    // initial encoding: space-separated characters plus the EOW symbol
+    var cur = words
+      .select(
+        col("freq"),
+        concat(
+          array_join(filter(split(col("w"), ""), c => length(c) > 0), " "),
+          lit(" " + EndOfWord)).as("sym"))
+      .localCheckpoint()
+
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    var rank = 1L
+    var exhausted = false
+    while (rank <= numMerges && !exhausted) {
+      // pair stream: materialize the symbol array in its own projection
+      // first (the O(len²) re-split trap — see TextAnalysis.bigramStream)
+      val best = cur
+        .select(col("freq"), split(col("sym"), " ").as("a"))
+        .filter(size(col("a")) >= 2)
+        .select(col("freq"), explode(transform(
+          sequence(lit(0), size(col("a")) - 2),
+          i => struct(
+            element_at(col("a"), i + 1).as("left"),
+            element_at(col("a"), i + 2).as("right")))).as("p"))
+        .groupBy(col("p.left").as("left"), col("p.right").as("right"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("left"), col("right"))
+        .limit(1)
+        .collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((rank, l, r, l + r, c))
+        // left-to-right non-overlapping whole-symbol replacement ≡ greedy BPE
+        val pat = "(?<=^| )" + Pattern.quote(l + " " + r) + "(?= |$)"
+        cur = cur
+          .select(col("freq"),
+            regexp_replace(col("sym"), pat, Matcher.quoteReplacement(l + r)).as("sym"))
+          .localCheckpoint()
+        rank += 1
+      }
+    }
+    import s.implicits._
+    merges.result().toDF("rank", "left", "right", "merged", "cnt")
+  }
+}

@@ -195,21 +195,60 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  /** Corpus bigram profile: top-20 word bigrams. The per-document expansion
-    * is a flat map (explode) feeding a partial-aggregated count — one
-    * shuffle keyed by bigram. The token array is materialized in its own
+  /** One row per word-bigram occurrence across the corpus — the shared
+    * expansion under [[topBigrams]] and [[heavyHitterBigrams]]. A flat map
+    * (explode) with no shuffle. The token array is materialized in its own
     * projection first: referencing `split(...)` directly inside the
     * transform lambda re-splits the text per element (O(len²)/doc — 22 s
     * vs 2 s at 50 k docs). */
-  def topBigrams(s: SparkSession, d: String): DataFrame =
+  private def bigramStream(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
       .select(toks.as("a"))
       .filter(size(col("a")) >= 2)
       .select(explode(transform(
         sequence(lit(0), size(col("a")) - 2),
         i => concat(element_at(col("a"), i + 1), lit(" "), element_at(col("a"), i + 2)))).as("bigram"))
+
+  /** Corpus bigram profile: top-20 word bigrams — one partial-aggregated
+    * count shuffle keyed by bigram over [[bigramStream]]. */
+  def topBigrams(s: SparkSession, d: String): DataFrame =
+    bigramStream(s, d)
       .groupBy("bigram")
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram"))
       .limit(20)
+
+  /** Heavy-hitter n-grams with a Count-Min-Sketch pre-pass — the frequency
+    * sibling of the Bloom pattern in `Pipeline.bloomDecontaminate`: find
+    * every bigram occurring at least `totalCount / denom` times WITHOUT
+    * shuffling the full bigram stream.
+    *
+    * Pass 1 folds the stream into a fixed-size CMS (`stat.countMinSketch`
+    * — built distributed, merged cell-wise on the driver; merge is integer
+    * addition, so the sketch is order-independent and deterministic), whose
+    * `totalCount` also supplies the threshold with no extra action. Pass 2
+    * re-streams the bigrams, keeps only those the broadcast sketch says MAY
+    * reach the threshold, and exact-counts the survivors. A CMS only ever
+    * OVER-estimates, so no true heavy hitter can be dropped — the final
+    * exact filter returns exactly the rows of a direct group-by-and-filter,
+    * and the query shares that direct form's DuckDB oracle.
+    *
+    * At 100 TB the tail vocabulary (trillions of near-unique n-grams) never
+    * reaches the shuffle: only candidates — true hitters plus the sketch's
+    * bounded eps·N overcount band — are hash-partitioned. TextSpec asserts
+    * sketch-prefiltered ≡ exact on this corpus. */
+  def heavyHitterBigrams(
+      s: SparkSession, d: String, denom: Long = 800, eps: Double = 0.0001): DataFrame = {
+    val bi = bigramStream(s, d)
+    val cms = bi.stat.countMinSketch("bigram", eps, 0.99, seed = 42)
+    val threshold = math.max(1L, cms.totalCount() / denom)
+    val sketch = s.sparkContext.broadcast(cms)
+    bi
+      .filter((r: org.apache.spark.sql.Row) =>
+        sketch.value.estimateCount(r.getAs[String]("bigram")) >= threshold)
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= threshold)
+      .orderBy("bigram")
+  }
 }

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Bpe, TextAnalysis}
+
+/** Ground truth for the distributed BPE merge learner (bp1) — compared
+  * against an independent sequential reference implementation — and the
+  * sketch-prefiltered heavy-hitter query (hh1) against its direct exact
+  * form. */
+class BpeSketchSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = SparkTestSession.sf
+
+  // ---- sequential reference BPE (greedy left-to-right merge application) ----
+
+  private def applyMerge(syms: Vector[String], l: String, r: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  private def refBpe(words: Seq[(String, Long)], n: Int): Seq[(Long, String, String, Long)] = {
+    var corpus = words.map { case (w, f) =>
+      (w.map(_.toString).toVector :+ Bpe.EndOfWord, f)
+    }
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    var rank = 1L
+    var done = false
+    while (rank <= n && !done) {
+      val counts = collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, f) <- corpus; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) = counts.getOrElse((syms(i), syms(i + 1)), 0L) + f
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, r), c) = counts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+        merges += ((rank, l, r, c))
+        corpus = corpus.map { case (syms, f) => (applyMerge(syms, l, r), f) }
+        rank += 1
+      }
+    }
+    merges.result()
+  }
+
+  private def learned(words: Seq[(String, Long)], n: Int): Seq[(Long, String, String, Long)] = {
+    import spark.implicits._
+    Bpe.learnMergesFrom(words.toDF("w", "freq"), n)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(4)))
+      .toSeq
+  }
+
+  test("bp1 matches the sequential reference on the classic Sennrich corpus") {
+    val words = Seq("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    assert(learned(words, 8) == refBpe(words, 8))
+  }
+
+  test("bp1 merge application is greedy left-to-right on runs (aaa under (a,a) -> [aa, a])") {
+    val words = Seq("aaa" -> 7L, "aa" -> 2L)
+    val got = learned(words, 3)
+    assert(got == refBpe(words, 3))
+    // merge 1: (a,a) seen twice in "aaa" (×7) and once in "aa" (×2) = 16.
+    // Greedy application makes "aaa" [aa, a, </w>] — so round 2 counts
+    // (aa,a):7 and (a,</w>):7, and the lexicographic tie-break picks
+    // (a,</w>); round 3 merges (aa, a</w>) from the ×7 word only.
+    assert(got == Seq(
+      (1L, "a", "a", 16L),
+      (2L, "a", Bpe.EndOfWord, 7L),
+      (3L, "aa", "a" + Bpe.EndOfWord, 7L)))
+  }
+
+  test("bp1 stops when every word is a single symbol") {
+    val words = Seq("ab" -> 3L)
+    // a+b, ab+</w>: two merges exhaust the corpus; asking for 10 yields 2
+    assert(learned(words, 10).size == 2)
+  }
+
+  test("bp1 is deterministic across runs") {
+    val a = Bpe.learnMerges(spark, sf, 6).collect().toSeq
+    val b = Bpe.learnMerges(spark, sf, 6).collect().toSeq
+    assert(a == b)
+    assert(a.size == 6)
+  }
+
+  test("hh1 sketch-prefiltered heavy hitters equals the direct exact form") {
+    val got = TextAnalysis.heavyHitterBigrams(spark, sf).collect().toSeq
+    // direct form: exact group-by-count, relative threshold, no sketch
+    val docs = Tables(spark, sf, "documents")
+    val bi = docs
+      .select(split(col("text"), " ").as("a"))
+      .filter(size(col("a")) >= 2)
+      .select(explode(transform(
+        sequence(lit(0), size(col("a")) - 2),
+        i => concat(element_at(col("a"), i + 1), lit(" "), element_at(col("a"), i + 2))))
+        .as("bigram"))
+    val total = bi.count()
+    val threshold = math.max(1L, total / 800)
+    val want = bi.groupBy("bigram").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= threshold)
+      .orderBy("bigram")
+      .collect().toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+}

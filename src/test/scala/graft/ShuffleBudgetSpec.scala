@@ -29,7 +29,8 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "pp1_clean_corpus" -> 2,      // entire cleaning pipeline: one fp shuffle + sort
     "sm2_fixed_size_sample" -> 2, // stratum window + sort
     "ly1_zorder_layout" -> 2,     // bucket agg + sort
-    "sm1_stratified_sample" -> 1) // narrow filter; sort only
+    "sm1_stratified_sample" -> 1, // narrow filter; sort only
+    "hh1_heavy_hitters" -> 2)     // candidate-count agg + sort (tail never shuffles)
 
   budgets.foreach { case (name, budget) =>
     test(s"$name stays within its shuffle budget ($budget)") {
