@@ -225,6 +225,7 @@ object Registry {
     // iterative engine-defined learner => rows-only; BpeSpec holds the
     // sequential-reference ground truth
     noOracle("bp1_bpe_merges", (s, d) => Bpe.learnMerges(s, d)),
+    noOracle("bp2_bpe_encode", (s, d) => Bpe.encodeCorpus(s, d)),
 
     // ---- event streams (batch form; streaming twin in graft.streaming) ----
     q("ev1_tumbling_window", Events.tumbling,

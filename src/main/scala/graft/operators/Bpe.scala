@@ -49,6 +49,44 @@ object Bpe {
     learnMergesFrom(words, numMerges)
   }
 
+  /** Registry query (bp2): the encode path — learn `numMerges` merges,
+    * then apply them to every document and emit per-doc subword stats plus
+    * a fingerprint of the encoded symbol stream. Application is the same
+    * anchored-regex greedy replacement the learner uses, chained once per
+    * merge inside ONE narrow projection: at 100 TB the merge table is tiny
+    * and driver-broadcast (it rides into the task closure), the corpus
+    * never shuffles, and the whole encode stays in codegen.
+    *
+    * Deterministic given the corpus (learner determinism + deterministic
+    * replacement), so the rows-only driver check is stable; BpeSketchSpec
+    * proves the encoded stream identical to sequentially applying the
+    * reference merges word by word. */
+  def encodeCorpus(s: SparkSession, d: String, numMerges: Int = 12): DataFrame = {
+    // bounded driver action: numMerges rows of (left, right) pairs
+    val merges = learnMerges(s, d, numMerges)
+      .orderBy("rank")
+      .collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val docs = Tables(s, d, "documents")
+      // materialize the token array before the per-word lambda (O(len²) trap)
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), w => length(w) > 0).as("ws"))
+      .select(col("doc_id"), array_join(
+        transform(col("ws"), w =>
+          concat(array_join(filter(split(w, ""), c => length(c) > 0), " "),
+            lit(" " + EndOfWord))), " ").as("sym"))
+    val encoded = merges.foldLeft(docs) { case (df, (l, r)) =>
+      val pat = "(?<=^| )" + Pattern.quote(l + " " + r) + "(?= |$)"
+      df.withColumn("sym", regexp_replace(col("sym"), pat, Matcher.quoteReplacement(l + r)))
+    }
+    encoded
+      .select(
+        col("doc_id"),
+        size(split(col("sym"), " ")).cast("long").as("n_subwords"),
+        md5(col("sym").cast("binary")).as("encoded_fp"))
+      .orderBy("doc_id")
+  }
+
   /** Core learner over any `(w: string, freq: long)` word-frequency
     * relation. */
   def learnMergesFrom(words: DataFrame, numMerges: Int): DataFrame = {

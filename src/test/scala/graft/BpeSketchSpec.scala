@@ -88,6 +88,29 @@ class BpeSketchSpec extends AnyFunSuite {
     assert(a.size == 6)
   }
 
+  test("bp2 encode matches sequentially applying the reference merges word by word") {
+    import spark.implicits._
+    // reference: learn merges sequentially from the real corpus's word
+    // frequencies, then encode each document word by word
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+    val freqs = docs.flatMap(_._2.split(" ").filter(_.nonEmpty))
+      .groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }.toSeq
+    val merges = refBpe(freqs.sortBy(_._1), 12).map { case (_, l, r, _) => (l, r) }
+    val want = docs.map { case (id, text) =>
+      val syms = text.split(" ").filter(_.nonEmpty).toVector.flatMap { w =>
+        w.map(_.toString).toVector :+ Bpe.EndOfWord
+      }
+      // word boundaries: </w> never merges rightward unless learned as a
+      // pair, and applyMerge over the concatenated stream is equivalent to
+      // per-word application because every learned pair stays within a word
+      id -> merges.foldLeft(syms)((acc, p) => applyMerge(acc, p._1, p._2)).size.toLong
+    }.toMap
+    val got = Bpe.encodeCorpus(spark, sf, 12).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
   test("hh1 sketch-prefiltered heavy hitters equals the direct exact form") {
     val got = TextAnalysis.heavyHitterBigrams(spark, sf).collect().toSeq
     // direct form: exact group-by-count, relative threshold, no sketch
