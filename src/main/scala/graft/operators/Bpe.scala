@@ -51,22 +51,38 @@ object Bpe {
 
   /** Registry query (bp2): the encode path — learn `numMerges` merges,
     * then apply them to every document and emit per-doc subword stats plus
-    * a fingerprint of the encoded symbol stream. Application is the same
-    * anchored-regex greedy replacement the learner uses, chained once per
-    * merge inside ONE narrow projection: at 100 TB the merge table is tiny
-    * and driver-broadcast (it rides into the task closure), the corpus
-    * never shuffles, and the whole encode stays in codegen.
+    * a fingerprint of the encoded symbol stream. The encode is ONE narrow
+    * projection (the merge table is a per-query constant riding in the
+    * plan; the corpus never shuffles) through the single-pass
+    * [[graft.functions.BpeEncodeKernel]] — the chained-regex formulation
+    * ([[encodeCorpusBuiltins]]) re-traverses every document once per merge
+    * and measured 6.3× slower at the 10× corpus (49.7 s → 7.9 s, with the
+    * residual dominated by the shared learn phase), bit-identical output.
     *
     * Deterministic given the corpus (learner determinism + deterministic
     * replacement), so the rows-only driver check is stable; BpeSketchSpec
-    * proves the encoded stream identical to sequentially applying the
-    * reference merges word by word. */
+    * proves kernel ≡ regex chain ≡ sequentially applying the reference
+    * merges word by word. */
   def encodeCorpus(s: SparkSession, d: String, numMerges: Int = 12): DataFrame = {
-    // bounded driver action: numMerges rows of (left, right) pairs
-    val merges = learnMerges(s, d, numMerges)
-      .orderBy("rank")
-      .collect()
-      .map(r => (r.getString(1), r.getString(2)))
+    import org.apache.spark.sql.GraftShim
+    val merges = learnedMergePairs(s, d, numMerges)
+    Tables(s, d, "documents")
+      .select(col("doc_id"),
+        GraftShim.column(graft.functions.BpeEncode(
+          GraftShim.expression(col("text")), merges)).as("sym"))
+      .select(
+        col("doc_id"),
+        size(split(col("sym"), " ")).cast("long").as("n_subwords"),
+        md5(col("sym").cast("binary")).as("encoded_fp"))
+      .orderBy("doc_id")
+  }
+
+  /** [[encodeCorpus]] in pure built-ins: the anchored-regex greedy
+    * replacement chained once per merge. Correct and shuffle-free but
+    * O(merges) passes over every document — kept as the kernel's oracle
+    * (BpeSketchSpec asserts bit-identical output). */
+  def encodeCorpusBuiltins(s: SparkSession, d: String, numMerges: Int = 12): DataFrame = {
+    val merges = learnedMergePairs(s, d, numMerges)
     val docs = Tables(s, d, "documents")
       // materialize the token array before the per-word lambda (O(len²) trap)
       .select(col("doc_id"),
@@ -86,6 +102,16 @@ object Bpe {
         md5(col("sym").cast("binary")).as("encoded_fp"))
       .orderBy("doc_id")
   }
+
+  /** Learn and collect the merge table in rank order — the bounded driver
+    * action both encode forms share (numMerges rows of (left, right)). */
+  private def learnedMergePairs(
+      s: SparkSession, d: String, numMerges: Int): Seq[(String, String)] =
+    learnMerges(s, d, numMerges)
+      .orderBy("rank")
+      .collect()
+      .map(r => (r.getString(1), r.getString(2)))
+      .toSeq
 
   /** Core learner over any `(w: string, freq: long)` word-frequency
     * relation. */

@@ -111,6 +111,13 @@ class BpeSketchSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("bp2 codegen kernel is bit-identical to the chained-regex formulation") {
+    val kernel = Bpe.encodeCorpus(spark, sf, 12).collect().map(_.toString).toSeq
+    val regex = Bpe.encodeCorpusBuiltins(spark, sf, 12).collect().map(_.toString).toSeq
+    assert(kernel == regex)
+    assert(kernel.nonEmpty)
+  }
+
   test("hh1 sketch-prefiltered heavy hitters equals the direct exact form") {
     val got = TextAnalysis.heavyHitterBigrams(spark, sf).collect().toSeq
     // direct form: exact group-by-count, relative threshold, no sketch
