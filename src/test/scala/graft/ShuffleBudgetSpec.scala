@@ -30,7 +30,8 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "sm2_fixed_size_sample" -> 2, // stratum window + sort
     "ly1_zorder_layout" -> 2,     // bucket agg + sort
     "sm1_stratified_sample" -> 1, // narrow filter; sort only
-    "hh1_heavy_hitters" -> 2)     // candidate-count agg + sort (tail never shuffles)
+    "hh1_heavy_hitters" -> 2,     // candidate-count agg + sort (tail never shuffles)
+    "bp2_bpe_encode" -> 1)        // kernel encode is a pure narrow map; sort only
 
   budgets.foreach { case (name, budget) =>
     test(s"$name stays within its shuffle budget ($budget)") {
