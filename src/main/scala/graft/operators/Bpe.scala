@@ -63,10 +63,19 @@ object Bpe {
     * replacement), so the rows-only driver check is stable; BpeSketchSpec
     * proves kernel ≡ regex chain ≡ sequentially applying the reference
     * merges word by word. */
-  def encodeCorpus(s: SparkSession, d: String, numMerges: Int = 12): DataFrame = {
+  def encodeCorpus(s: SparkSession, d: String, numMerges: Int = 12): DataFrame =
+    encodeWith(Tables(s, d, "documents"), learnedMergePairs(s, d, numMerges))
+      .orderBy("doc_id")
+
+  /** The kernel encode as a reusable transform over any `(doc_id, text)`
+    * relation, given an already-learned merge table. A pure stateless
+    * narrow map, so the SAME plan fragment runs under Structured Streaming
+    * with no watermark or state — tokenize-at-ingest, the deployment shape
+    * where the vocabulary is trained once and applied to every arriving
+    * batch (StreamingSpec proves stream ≡ batch). */
+  def encodeWith(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
     import org.apache.spark.sql.GraftShim
-    val merges = learnedMergePairs(s, d, numMerges)
-    Tables(s, d, "documents")
+    docs
       .select(col("doc_id"),
         GraftShim.column(graft.functions.BpeEncode(
           GraftShim.expression(col("text")), merges)).as("sym"))
@@ -74,7 +83,6 @@ object Bpe {
         col("doc_id"),
         size(split(col("sym"), " ")).cast("long").as("n_subwords"),
         md5(col("sym").cast("binary")).as("encoded_fp"))
-      .orderBy("doc_id")
   }
 
   /** [[encodeCorpus]] in pure built-ins: the anchored-regex greedy

@@ -92,6 +92,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("BPE encoding runs identically as an ingest-time stream transform") {
+    val sfDir = sf
+    // vocabulary trained once in batch; the encode then applies it to the
+    // arriving stream as a stateless narrow map
+    val merges = graft.operators.Bpe.learnMerges(spark, sfDir, 8)
+      .orderBy("rank").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$sfDir/documents.*")
+    val q = StreamingOps.runToMemory(
+      graft.operators.Bpe.encodeWith(stream, merges),
+      "stream_bpe", OutputMode.Append)
+    try {
+      val streamed = spark.table("stream_bpe").collect()
+        .map(_.toString).sorted.toSeq
+      val batch = graft.operators.Bpe
+        .encodeWith(Tables(spark, sfDir, "documents"), merges)
+        .collect().map(_.toString).sorted.toSeq
+      assert(batch.nonEmpty && streamed == batch)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     val stream = StreamingOps.eventStream(spark, sf)
     val q = StreamingOps.runToMemory(
