@@ -243,6 +243,11 @@ object Registry {
     q("ev10_retention", Events.retention,
       "WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events), c AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id) SELECT cohort_day, day - cohort_day AS day_offset, count(DISTINCT e.user_id) AS n_active FROM e JOIN c ON e.user_id = c.user_id GROUP BY cohort_day, day_offset ORDER BY cohort_day, day_offset"),
 
+    q("ev11_ohlc_bars", Events.ohlcBars,
+      "WITH e AS (SELECT date_trunc('hour', ts) AS w_start, event_type, value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || lpad(CAST(event_id AS VARCHAR), 12, '0') AS k FROM events) SELECT w_start, event_type, arg_min(value, k) AS open, max(value) AS high, min(value) AS low, arg_max(value, k) AS close, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume FROM e GROUP BY w_start, event_type ORDER BY w_start, event_type"),
+    q("ev12_counter_rates", Events.counterRates,
+      "WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events), w AS (SELECT event_id, user_id, ts_us, value, value - lag(value) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS delta, ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS dt_us FROM e) SELECT event_id, user_id, ts_us, value, delta, dt_us, CASE WHEN delta >= 0 AND dt_us > 0 THEN delta * 1000000 / dt_us END AS rate_per_s FROM w ORDER BY user_id, ts_us, event_id"),
+
     // ---- graph analytics (decimal-deterministic iterative rank) ----
     noOracle("gr1_neardup_pagerank", Graph.neardupPageRank),
 

@@ -154,6 +154,52 @@ object Events {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** OHLC bar downsampling: hourly open/high/low/close/volume per event
+    * type — the classic time-series compaction. One shuffle keyed by
+    * (hour, type), partial-aggregated; open/close are `min_by`/`max_by` on
+    * a FIXED-WIDTH zero-padded (ts, event_id) string key, so the selected
+    * row is total-order deterministic and identical to DuckDB's
+    * `arg_min/arg_max` on the same key (its arg_min has no struct
+    * ordering; lexicographic on the padded key ≡ numeric order). high/low/
+    * open/close are raw row doubles (exact); volume accumulates in
+    * decimal. */
+  def ohlcBars(s: SparkSession, d: String): DataFrame = {
+    val key = concat(
+      lpad(expr("unix_micros(ts)").cast("string"), 20, "0"),
+      lpad(col("event_id").cast("string"), 12, "0"))
+    t(s, d, "events")
+      .groupBy(timeWindow(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        min_by(col("value"), key).as("open"),
+        max("value").as("high"),
+        min("value").as("low"),
+        max_by(col("value"), key).as("close"),
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("volume"))
+      .select(col("w.start").as("w_start"), col("event_type"),
+        col("open"), col("high"), col("low"), col("close"), col("n"), col("volume"))
+      .orderBy("w_start", "event_type")
+  }
+
+  /** Counter rate / derivative with reset detection: per-user value deltas
+    * over time deltas, NULL rate across counter resets (value decrease) —
+    * the monitoring-pipeline downsampling primitive. One shuffle for the
+    * per-user window; every arithmetic step is IEEE-exact on identically
+    * derived inputs (µs longs, double subtraction/division in the same
+    * order both engines). */
+  def counterRates(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    t(s, d, "events")
+      .select(col("event_id"), col("user_id"),
+        expr("unix_micros(ts)").as("ts_us"), col("value"))
+      .withColumn("delta", col("value") - lag("value", 1).over(w))
+      .withColumn("dt_us", col("ts_us") - lag("ts_us", 1).over(w))
+      .withColumn("rate_per_s",
+        when(col("delta") >= 0 && col("dt_us") > 0,
+          col("delta") * lit(1000000L) / col("dt_us")))
+      .orderBy("user_id", "ts_us", "event_id")
+  }
+
   def topSpenders(s: SparkSession, d: String): DataFrame =
     t(s, d, "events")
       .filter(col("event_type") === "purchase")

@@ -31,7 +31,8 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "ly1_zorder_layout" -> 2,     // bucket agg + sort
     "sm1_stratified_sample" -> 1, // narrow filter; sort only
     "hh1_heavy_hitters" -> 2,     // candidate-count agg + sort (tail never shuffles)
-    "bp2_bpe_encode" -> 1)        // kernel encode is a pure narrow map; sort only
+    "bp2_bpe_encode" -> 1,        // kernel encode is a pure narrow map; sort only
+    "ev11_ohlc_bars" -> 2)        // one (hour,type)-keyed agg + sort
 
   budgets.foreach { case (name, budget) =>
     test(s"$name stays within its shuffle budget ($budget)") {
