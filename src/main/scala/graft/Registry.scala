@@ -125,6 +125,8 @@ object Registry {
     noOracle("q32_approx_percentiles", Relational.q32ApproxPercentiles),
     q("q30_correlated_subquery", Relational.q30CorrelatedSubquery,
       "SELECT c_custkey, (SELECT max(o_totalprice) FROM orders o WHERE o.o_custkey = c.c_custkey) AS max_order, (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders FROM customer c ORDER BY c_custkey"),
+    q("q46_avgqty_subquery", Relational.q46AvgQtySubquery,
+      "SELECT l_returnflag, count(*) AS n_small, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_revenue FROM lineitem l WHERE l.l_quantity < 0.5 * (SELECT CAST(sum(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey) GROUP BY l_returnflag ORDER BY l_returnflag"),
     q("q29_typed_dataset", Relational.q29TypedDataset,
       "SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     q("q42_recursive_streaks", Relational.q42RecursiveStreaks,

@@ -363,6 +363,29 @@ object Relational {
         |ORDER BY c_custkey""".stripMargin)
   }
 
+  /** Correlated AGGREGATE subquery (the TPC-H Q17 shape): lineitems below
+    * half their part's average quantity. Catalyst decorrelates the per-row
+    * scalar aggregate into one partkey-keyed aggregation joined back to
+    * the fact — not a per-row re-execution (plan-asserted in ScaleSpec).
+    *
+    * Oracle determinism: `avg(decimal)` is DECIMAL(22,6) (exact, HALF_UP)
+    * in Spark but DOUBLE in DuckDB, so the threshold is written as
+    * `CAST(sum(decimal) AS DOUBLE) / count(*)` — exact decimal sum, then
+    * one IEEE division computed identically by both engines; a plain
+    * double `avg()` would also be partition-order-dependent. */
+  def q46AvgQtySubquery(s: SparkSession, d: String): DataFrame = {
+    Tables.registerAll(s, d)
+    s.sql(
+      """SELECT l_returnflag, count(*) AS n_small,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_revenue
+        |FROM lineitem l
+        |WHERE l.l_quantity < 0.5 * (
+        |  SELECT CAST(sum(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |  FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)
+  }
+
   /** Typed UDAF (Aggregator[IN,BUF,OUT]) in a grouped aggregation. */
   def q27TypedUdaf(s: SparkSession, d: String): DataFrame = {
     val sumsq = udaf(graft.functions.Aggregators.SumOfSquares)

@@ -154,6 +154,14 @@ class ScaleSpec extends AnyFunSuite {
       s"lateral was not decorrelated:\n${p.take(1200)}")
   }
 
+  test("q46: correlated aggregate subquery decorrelates — no per-row nested loop") {
+    val p = plan("q46_avgqty_subquery")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"aggregate subquery was not decorrelated:\n${p.take(1200)}")
+    // the rewrite is one partkey-keyed aggregation joined back to the fact
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"))
+  }
+
   test("q43 default regime broadcasts the selective dimension") {
     val p = Registry.queries("q43_selective_join")(spark, sf)
       .queryExecution.executedPlan.toString
