@@ -32,7 +32,8 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "sm1_stratified_sample" -> 1, // narrow filter; sort only
     "hh1_heavy_hitters" -> 2,     // candidate-count agg + sort (tail never shuffles)
     "bp2_bpe_encode" -> 1,        // kernel encode is a pure narrow map; sort only
-    "ev11_ohlc_bars" -> 2)        // one (hour,type)-keyed agg + sort
+    "ev11_ohlc_bars" -> 2,        // one (hour,type)-keyed agg + sort
+    "q46_avgqty_subquery" -> 3)   // partkey agg (threshold broadcast back) + final agg + sort
 
   budgets.foreach { case (name, budget) =>
     test(s"$name stays within its shuffle budget ($budget)") {
