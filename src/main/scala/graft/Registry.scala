@@ -171,6 +171,8 @@ object Registry {
     noOracle("dd8_dup_clusters", Dedup.dupClusters),
     q("dd9_edit_distance", (s, d) => Dedup.editDistancePairs(s, d),
       "WITH m AS (SELECT greatest(1, count(*) // 500) AS mod FROM documents), d AS (SELECT doc_id, substr(text, 1, 40) AS p FROM documents, m WHERE doc_id % m.mod = 0) SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(levenshtein(a.p, b.p) AS BIGINT) AS dist FROM d a JOIN d b ON a.doc_id < b.doc_id WHERE levenshtein(a.p, b.p) <= 10 ORDER BY id_a, id_b"),
+    q("dd10_tfidf_cosine", (s, d) => Dedup.tfidfCosinePairs(s, d),
+      "WITH all_d AS (SELECT doc_id, text FROM documents), m AS (SELECT greatest(1, count(*) // 500) AS mod FROM all_d), d AS (SELECT doc_id, text FROM all_d, m WHERE doc_id % m.mod = 0), tf AS (SELECT doc_id, w, count(*) AS tf FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM d) t WHERE len(w) > 0 GROUP BY doc_id, w), n AS (SELECT count(DISTINCT doc_id) AS n FROM tf), dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY w), wt AS (SELECT tf.doc_id, tf.w, tf.tf * ln(CAST(n.n AS DOUBLE) / dfq.df) AS wt FROM tf JOIN dfq USING (w), n), nrm AS (SELECT doc_id, sqrt(CAST(CAST(sum(CAST(wt*wt AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)) AS nrm FROM wt GROUP BY doc_id), dot AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(CAST(sum(CAST(a.wt*b.wt AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS dot FROM wt a JOIN wt b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2), c AS (SELECT id_a, id_b, dot / (na.nrm * nb.nrm) AS cos FROM dot JOIN nrm na ON id_a = na.doc_id JOIN nrm nb ON id_b = nb.doc_id) SELECT id_a, id_b, round(cos, 4) AS cos FROM c WHERE cos >= 0.8 ORDER BY id_a, id_b"),
     q("dd6_embedding_neardup", Dedup.embeddingNearDup,
       "WITH m AS (SELECT greatest(1, count(*) // 2000) AS mod FROM embeddings), e AS (SELECT vec_id, embedding FROM embeddings, m WHERE vec_id % m.mod = 0) SELECT a.vec_id AS id_a, b.vec_id AS id_b, round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cos FROM e a JOIN e b ON a.vec_id < b.vec_id WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4 ORDER BY id_a, id_b"),
 

@@ -75,6 +75,50 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Sparse TF-IDF cosine near-dup pairs — the sparse-vector sibling of
+    * [[embeddingNearDup]] (dense) and [[jaccardPairs]] (set-based): weigh
+    * tokens by tf·ln(N/df), pair documents through an inverted-index token
+    * equi-join (one shuffle keyed by token — never all-pairs), and keep
+    * cosine ≥ 0.8. Same adaptive deterministic sample as dd3: the join is
+    * Σ_w df(w)² and this exact form is the oracle for LSH-style scale-out.
+    *
+    * Cross-engine exactness (the tx9 + q41 rules combined): every product
+    * is cast to DECIMAL(28,10) BEFORE summing, so dot products and squared
+    * norms accumulate exactly and order-independently; the oracle routes
+    * the decimal sums to double via VARCHAR (their unscaled values pass
+    * 2^53, where DuckDB's direct decimal→double cast double-rounds); the
+    * remaining ops (sqrt, ×, ÷, ≥) are correctly-rounded IEEE on identical
+    * inputs. */
+  def tfidfCosinePairs(s: SparkSession, d: String, threshold: Double = 0.8): DataFrame = {
+    val all = t(s, d, "documents")
+    val m = math.max(1L, all.count() / 500)
+    val docs = all.filter(col("doc_id") % m === 0)
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // feeds df-counts, n, and both sides of the pair join
+    val n = tf.select("doc_id").distinct().count()
+    val dfq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val wt = tf.join(dfq, "w")
+      .select(col("doc_id"), col("w"),
+        (col("tf") * log(lit(n.toDouble) / col("df"))).as("wt"))
+      .localCheckpoint() // consumed by norms and twice by the pair join
+    val nrm = wt.groupBy("doc_id")
+      .agg(sqrt(sum((col("wt") * col("wt")).cast("decimal(28,10)")).cast("double")).as("nrm"))
+    val dot = wt.as("a")
+      .join(wt.as("b"), col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(sum((col("a.wt") * col("b.wt")).cast("decimal(28,10)")).cast("double").as("dot"))
+    dot
+      .join(nrm.select(col("doc_id").as("id_a"), col("nrm").as("na")), "id_a")
+      .join(nrm.select(col("doc_id").as("id_b"), col("nrm").as("nb")), "id_b")
+      .withColumn("cos", col("dot") / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+      .orderBy("id_a", "id_b")
+  }
+
   private val NumHashes = 16
   private val BandSize = 4
   private val NumBands = NumHashes / BandSize
