@@ -112,6 +112,75 @@ object StreamingOps {
       .select(col("user_id"), col("id_a"), col("id_b"))
   }
 
+  /** Incremental rollup maintenance via `foreachBatch` — the streaming
+    * SINK side: a per-user (count, spend) rollup kept in a plain parquet
+    * state directory, updated per micro-batch without any lakehouse
+    * format. Each batch's partial aggregate merges with the stored state
+    * and the result swaps in with `Sinks.compactDir`'s recoverable
+    * park-swap; a `_committed_<batchId>` marker travels INSIDE the staged
+    * directory, so data and commit record swap atomically and a replayed
+    * micro-batch (foreachBatch is at-least-once on retry) is detected and
+    * skipped — exactly-once state, idempotent under retries.
+    *
+    * Spend accumulates in DECIMAL pinned at (38,2): merge order across
+    * micro-batches is irrelevant, so N batches ≡ one batch aggregation
+    * exactly (StreamingSpec proves it with one-file-per-trigger batches).
+    * At scale the merge is one shuffle of (existing state ∪ batch
+    * partials) keyed by user — state size, not stream-lifetime size. */
+  def incrementalRollup(events: DataFrame, stateDir: String): StreamingQuery = {
+    val q = events.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        mergeRollup(batch, stateDir, batchId)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
+  /** Highest batch id already merged into `dir` (−1 if none). */
+  def committedBatchId(dir: String): Long =
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .collect { case f if f.getName.startsWith("_committed_") =>
+        f.getName.stripPrefix("_committed_").toLong }
+      .foldLeft(-1L)(math.max)
+
+  private def mergeRollup(batch: DataFrame, stateDir: String, batchId: Long): Unit = {
+    if (batchId <= committedBatchId(stateDir)) return // replayed batch: already merged
+    val s = batch.sparkSession
+    val part = batch.groupBy("user_id").agg(
+      count(lit(1)).as("n_events"),
+      sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("spend"))
+    val target = new java.io.File(stateDir)
+    val merged =
+      if (target.exists())
+        s.read.parquet(stateDir).unionByName(part)
+          .groupBy("user_id").agg(
+            sum("n_events").as("n_events"),
+            sum("spend").cast("decimal(38,2)").as("spend"))
+      else part
+    val tmp = stateDir + ".tmp-merge"
+    // the staging write forces the full read of the CURRENT state before
+    // anything is touched; then data + commit marker swap in atomically
+    merged.write.mode("overwrite").parquet(tmp)
+    new java.io.File(tmp, s"_committed_$batchId").createNewFile()
+    val parked = new java.io.File(stateDir + ".tmp-old")
+    deleteRecursively(parked)
+    if (target.exists() && !target.renameTo(parked))
+      throw new IllegalStateException(s"rollup merge could not park $stateDir")
+    if (!new java.io.File(tmp).renameTo(target)) {
+      parked.renameTo(target) // roll back
+      throw new IllegalStateException(s"rollup merge swap failed for $stateDir")
+    }
+    deleteRecursively(parked)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
+  }
+
   /** Run any of the above to a named in-memory table and process all
     * currently-available input (the local smoke harness; production would
     * use a real sink + trigger). The output mode is caller-supplied because

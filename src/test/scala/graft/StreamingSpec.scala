@@ -134,6 +134,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("foreachBatch incremental rollup across micro-batches equals one batch aggregation") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft-rollup").toString
+    val inDir = s"$base/in"
+    val stateDir = s"$base/state"
+    // four input files => four one-file micro-batches under AvailableNow
+    Tables(spark, sf, "events")
+      .select("user_id", "value").repartition(4).write.parquet(inDir)
+    val schema = spark.read.parquet(inDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val q = StreamingOps.incrementalRollup(stream, stateDir)
+    try {
+      // genuinely incremental: four commits merged one at a time
+      assert(StreamingOps.committedBatchId(stateDir) == 3)
+      val streamed = spark.read.parquet(stateDir).collect().map(_.toString).sorted.toSeq
+      val batch = spark.read.parquet(inDir).groupBy("user_id").agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("spend"))
+        .collect().map(_.toString).sorted.toSeq
+      assert(batch.nonEmpty && streamed == batch)
+      // replay safety: a fresh run re-reads the same files as batch ids
+      // 0..3, all at-or-below the committed marker => every merge skipped
+      val q2 = StreamingOps.incrementalRollup(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(inDir),
+        stateDir)
+      q2.stop()
+      val after = spark.read.parquet(stateDir).collect().map(_.toString).sorted.toSeq
+      assert(after == streamed, "replayed batch ids must not double-count")
+    } finally q.stop()
+  }
+
   test("stateful per-user totals equal batch groupBy") {
     val q = StreamingOps.runToMemory(
       StreamingOps.statefulUserTotals(StreamingOps.eventStream(spark, sf)).toDF(),
