@@ -33,7 +33,8 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "hh1_heavy_hitters" -> 2,     // candidate-count agg + sort (tail never shuffles)
     "bp2_bpe_encode" -> 1,        // kernel encode is a pure narrow map; sort only
     "ev11_ohlc_bars" -> 2,        // one (hour,type)-keyed agg + sort
-    "q46_avgqty_subquery" -> 3)   // partkey agg (threshold broadcast back) + final agg + sort
+    "q46_avgqty_subquery" -> 3,   // partkey agg (threshold broadcast back) + final agg + sort
+    "dd10_tfidf_cosine" -> 4)     // df agg + weight/norm agg + pair agg + sort; dims broadcast
 
   budgets.foreach { case (name, budget) =>
     test(s"$name stays within its shuffle budget ($budget)") {
