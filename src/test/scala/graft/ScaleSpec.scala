@@ -96,15 +96,21 @@ class ScaleSpec extends AnyFunSuite {
   test("bucketed co-located join eliminates the shuffle entirely") {
     val wh = java.nio.file.Files.createTempDirectory("graft-warehouse").toString
     val n = 8
-    Tables(spark, sf, "orders").write
+    // repartition on the bucket key BEFORE bucketBy: one file per bucket,
+    // which is the condition under which the scan also reports the sortBy
+    // ordering and the join needs no Sort either (asserted below)
+    Tables(spark, sf, "orders").repartition(n, col("o_orderkey")).write
       .bucketBy(n, "o_orderkey").sortBy("o_orderkey")
       .option("path", s"$wh/orders_b").mode("overwrite").saveAsTable("orders_b")
-    Tables(spark, sf, "lineitem").write
+    Tables(spark, sf, "lineitem").repartition(n, col("l_orderkey")).write
       .bucketBy(n, "l_orderkey").sortBy("l_orderkey")
       .option("path", s"$wh/lineitem_b").mode("overwrite").saveAsTable("lineitem_b")
     try {
       val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // scan-reported sortBy ordering is opt-in since Spark 3 (unsafe when a
+      // bucket holds several files; the repartition above guarantees one)
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       try {
         val joined = spark.table("lineitem_b")
           .join(spark.table("orders_b"),
@@ -115,8 +121,16 @@ class ScaleSpec extends AnyFunSuite {
         assert(p.contains("SortMergeJoin"))
         assert(!p.contains("ShuffleExchange") && !p.contains("Exchange hashpartitioning"),
           s"unexpected shuffle in bucketed join:\n${p.take(800)}")
+        // one file per bucket + sortBy => the scan itself is ordered on the
+        // join key: the merge join runs with NO Sort operator either — the
+        // full shuffle-free AND sort-free co-located fact-fact join
+        assert(!p.contains("Sort "),
+          s"bucketed sortBy ordering was not used, join re-sorts:\n${p.take(800)}")
         assert(joined.count() > 0)
-      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
+      }
     } finally {
       spark.sql("DROP TABLE IF EXISTS orders_b")
       spark.sql("DROP TABLE IF EXISTS lineitem_b")
