@@ -137,6 +137,47 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("cost-based join reorder: with column stats, the selective dimension joins before the fact") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-cbo-wh").toString
+    for (t <- Seq("lineitem", "orders", "customer")) {
+      Tables(spark, sf, t).write.mode("overwrite")
+        .option("path", s"$wh/${t}_s").saveAsTable(s"${t}_s")
+      spark.sql(s"ANALYZE TABLE ${t}_s COMPUTE STATISTICS FOR ALL COLUMNS")
+    }
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    def innermostJoinTables(cbo: Boolean): Seq[String] = {
+      spark.conf.set("spark.sql.cbo.enabled", cbo.toString)
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", cbo.toString)
+      val q = spark.sql(
+        """SELECT c.c_mktsegment, count(*) AS n
+          |FROM lineitem_s l
+          |JOIN orders_s o ON l.l_orderkey = o.o_orderkey
+          |JOIN customer_s c ON o.o_custkey = c.c_custkey
+          |WHERE c.c_mktsegment = 'BUILDING'
+          |GROUP BY c.c_mktsegment""".stripMargin)
+      val joins = q.queryExecution.optimizedPlan.collect { case j: Join => j }
+      joins.last.collectLeaves().map(_.toString.split('[').head.trim)
+    }
+    try {
+      // syntactic left-deep order without statistics-based planning:
+      // the fact-fact (lineitem ⋈ orders) join runs first
+      val off = innermostJoinTables(cbo = false)
+      assert(off.exists(_.contains("lineitem_s")), s"unexpected baseline order: $off")
+      // with ANALYZE'd column stats + CBO, the reorderer joins the
+      // filter-reduced customer dimension against orders FIRST, so the
+      // expensive fact join consumes an already-reduced input — the
+      // stats-driven decision that matters most at 100 TB
+      val on = innermostJoinTables(cbo = true)
+      assert(on.exists(_.contains("customer_s")) && on.exists(_.contains("orders_s")),
+        s"CBO did not reorder the selective dimension first: $on")
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+      for (t <- Seq("lineitem", "orders", "customer"))
+        spark.sql(s"DROP TABLE IF EXISTS ${t}_s")
+    }
+  }
+
   test("q43: runtime Bloom filter pushes dimension selectivity onto the fact scan (shuffle-join regime)") {
     // At this corpus size q43 correctly broadcasts; when the filtered
     // dimension outgrows broadcast at real scale, Spark's InjectRuntimeFilter
