@@ -65,4 +65,26 @@ class MultimodalSpec extends AnyFunSuite {
     val resized = Multimodal.resize(media.toDF(), targetBytes = 40)
     assert(resized.filter(octet_length(col("payload")) > 40).count() == 0)
   }
+
+  test("metadata-only queries never read the payload column from the stored table") {
+    // the core multimodal scale claim, plan-asserted: with media persisted
+    // columnar, a metadata aggregate's parquet scan must not include the
+    // (dominant) binary payload in its ReadSchema — at 100 TB this is the
+    // difference between scanning kilobytes of metadata and the whole lake
+    val dir = java.nio.file.Files.createTempDirectory("graft-media").resolve("t").toString
+    media.write.parquet(dir)
+    val stats = spark.read.parquet(dir)
+      .filter(col("width") >= 32)
+      .groupBy("format")
+      .agg(count(lit(1)).as("n"), sum(col("width").cast("long")).as("total_width"))
+    val p = stats.queryExecution.executedPlan.toString
+    val readSchema = "ReadSchema: [^,]+".r.findFirstIn(p).getOrElse("")
+    assert(readSchema.nonEmpty && !readSchema.contains("payload"),
+      s"payload column was not pruned from the scan: $readSchema")
+    // the width predicate reaches the scan as a pushed filter too
+    assert(p.contains("PushedFilters: [IsNotNull(width), GreaterThanOrEqual(width,32)]")
+      || p.contains("GreaterThanOrEqual(width,32)"),
+      s"width filter not pushed:\n${p.take(600)}")
+    assert(stats.count() > 0)
+  }
 }
