@@ -139,6 +139,19 @@ object Registry {
     q("q45_lateral_topn", Relational.q45LateralTopN,
       "SELECT c.c_custkey, o.o_orderkey, o.o_totalprice FROM customer c, LATERAL (SELECT o_orderkey, o_totalprice FROM orders o WHERE o.o_custkey = c.c_custkey ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o ORDER BY c_custkey, o_orderkey"),
 
+    q("q47_exists_chain", Relational.q47ExistsChain,
+      "SELECT s.s_suppkey, s.s_name, count(*) AS n_lone_r FROM lineitem l1 JOIN supplier s ON s.s_suppkey = l1.l_suppkey WHERE l1.l_returnflag = 'R' AND EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey) AND NOT EXISTS (SELECT 1 FROM lineitem l3 WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R') GROUP BY s.s_suppkey, s.s_name ORDER BY n_lone_r DESC, s_suppkey LIMIT 20"),
+    q("q48_equidepth_hist", Relational.q48EquiDepthHist,
+      "WITH v AS (SELECT o_totalprice AS price, count(*) AS c FROM orders GROUP BY 1), cum AS (SELECT price, c, coalesce(sum(c) OVER (ORDER BY price ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM v), tot AS (SELECT sum(c) AS n FROM v) SELECT CAST(cb * 16 // n AS BIGINT) AS bucket, count(*) AS n_values, CAST(sum(c) AS BIGINT) AS n_rows, min(price) AS lo, max(price) AS hi FROM cum, tot GROUP BY 1 ORDER BY bucket"),
+    q("ev13_scd2_history", Events.scd2History,
+      "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events), c AS (SELECT user_id, event_id, ts_us, event_type, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev FROM e), ch AS (SELECT user_id, event_id, ts_us, event_type FROM c WHERE prev IS NULL OR prev <> event_type), v AS (SELECT user_id, CAST(row_number() OVER w AS BIGINT) AS version, event_type, ts_us AS valid_from_us, lead(ts_us) OVER w AS valid_to_us FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)) SELECT user_id, version, event_type, valid_from_us, valid_to_us, valid_to_us IS NULL AS is_current FROM v ORDER BY user_id, version"),
+    q("ev14_session_overlap", Events.sessionOverlap,
+      "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events), f AS (SELECT user_id, event_id, ts_us, CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL OR ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) > 1800000000 THEN 1 ELSE 0 END AS new_s FROM e), s AS (SELECT user_id, ts_us, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM f), b AS (SELECT user_id, session_id, min(ts_us) AS start_us, max(ts_us) AS end_us FROM s GROUP BY 1, 2), h AS (SELECT unnest(generate_series(start_us // 3600000000, end_us // 3600000000)) AS hour_idx FROM b) SELECT make_timestamp(hour_idx * 3600000000) AS w_start, hour_idx, count(*) AS n_sessions FROM h GROUP BY hour_idx ORDER BY hour_idx"),
+    q("mm3_binary_dedup", Multimodal.binaryDedupQuery,
+      "SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies, CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes FROM documents GROUP BY fp ORDER BY keep_id"),
+    q("gr2_triangles", Graph.neardupTriangles,
+      "WITH m AS (SELECT greatest(1, count(*) // 500) AS mod FROM documents), d AS (SELECT doc_id, text FROM documents, m WHERE doc_id % m.mod = 0), toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM d), sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id), inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c FROM toks a JOIN toks b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2), e AS (SELECT id_a AS a, id_b AS b FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id WHERE c / (sa.n + sb.n - c) >= 0.85), tri AS (SELECT e1.a, e1.b, e2.b AS c FROM e e1 JOIN e e2 ON e1.b = e2.a JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b) SELECT node, count(*) AS n_triangles FROM (SELECT unnest([a, b, c]) AS node FROM tri) GROUP BY node ORDER BY node"),
+
     // ---- deterministic sampling ----
     q("sm1_stratified_sample", Sampling.stratifiedSample,
       "SELECT doc_id, lang, n_chars FROM documents WHERE CASE WHEN lang = 'en' THEN TRUE WHEN lang = 'de' THEN md5(CAST(doc_id AS VARCHAR)) < '80' WHEN lang = 'es' THEN md5(CAST(doc_id AS VARCHAR)) < '40' WHEN lang = 'fr' THEN md5(CAST(doc_id AS VARCHAR)) < '20' ELSE md5(CAST(doc_id AS VARCHAR)) < '1a' END ORDER BY doc_id"),
@@ -268,6 +281,7 @@ object Registry {
       "WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10), s AS (SELECT q_id, e.vec_id AS c_id, round(list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[])), 6) AS cos FROM q JOIN embeddings e ON e.vec_id <> q.q_id), r AS (SELECT q_id, c_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk FROM s) SELECT q_id, c_id, cos, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 5 ORDER BY q_id, rk"),
     noOracle("ss2_lsh_topk", Similarity.lshTopK),
     noOracle("ss4_ivf_kmeans", (s, d) => Similarity.ivfKMeansTopK(s, d)),
+    noOracle("ss6_pq_topk", (s, d) => Similarity.pqTopK(s, d)),
     q("ss3_ivf_topk", Similarity.ivfTopK,
       "WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv, label FROM embeddings WHERE vec_id < 10), s AS (SELECT q_id, CAST(q.label AS BIGINT) AS cell, e.vec_id AS c_id, round(list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[])), 6) AS cos FROM q JOIN embeddings e ON e.label = q.label AND e.vec_id <> q.q_id), r AS (SELECT q_id, cell, c_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk FROM s) SELECT q_id, cell, c_id, cos, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 5 ORDER BY q_id, rk"),
     // persisted-index probe: builds the cell-partitioned index in a temp

@@ -111,6 +111,24 @@ object Multimodal {
       .select(col("media_id"), col("frame_no").cast("long").as("frame_no"))
       .orderBy("media_id", "frame_no")
 
+  /** Registry query (mm3): exact media dedup by payload digest — the first
+    * pass every multimodal ingest runs (identical images/audio re-crawled
+    * under different ids). The aggregation hashes payload bytes INSIDE the
+    * scan's partial aggregate, so only the 32-hex digest + id + length ever
+    * reach the shuffle: at 100 TB the multi-KB payload column never moves,
+    * which is the entire point of fingerprint dedup on binary columns.
+    * Spark's md5 runs on the binary payload; the oracle hashes the text the
+    * fixture encodes — identical UTF-8 bytes, identical digest. */
+  def binaryDedupQuery(spark: SparkSession, dir: String): DataFrame =
+    fixtureFromDocuments(spark, dir).toDF()
+      .groupBy(md5(col("payload")).as("fp"))
+      .agg(
+        min("media_id").as("keep_id"),
+        count(lit(1)).as("n_copies"),
+        sum(octet_length(col("payload")).cast("long")).as("total_bytes"))
+      .select("fp", "keep_id", "n_copies", "total_bytes")
+      .orderBy("keep_id")
+
   /** Deterministic fixture: media rows synthesized from the documents
     * table's text bytes (UTF-8), so multimodal plumbing is testable against
     * the standard corpus. */

@@ -200,6 +200,59 @@ object Events {
       .orderBy("user_id", "ts_us", "event_id")
   }
 
+  /** SCD Type-2 history build: per user, one VERSION row per run of equal
+    * event_type values, with [valid_from, valid_to) bounds and a current
+    * flag — the slowly-changing-dimension primitive that turns a change log
+    * into a queryable history. Change rows are lag-detected, then version
+    * numbers and interval ends come from windows over the (much smaller)
+    * change relation. All three windows share the user_id partitioning, so
+    * the whole build is ONE shuffle of the event log regardless of scale. */
+  def scd2History(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    t(s, d, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      .withColumn("prev", lag("event_type", 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_to_us", lead("ts_us", 1).over(w))
+      .select(col("user_id"), col("version"), col("event_type"),
+        col("ts_us").as("valid_from_us"), col("valid_to_us"),
+        col("valid_to_us").isNull.as("is_current"))
+      .orderBy("user_id", "version")
+  }
+
+  /** Interval-overlap counting: how many user sessions (ev2's 30-minute-gap
+    * sessions) overlap each hour — the sweep primitive behind concurrency
+    * dashboards and capacity planning. Sessions reduce to [start, end]
+    * bounds in the same single user-keyed shuffle as ev2, then each session
+    * explodes to the hour indexes it covers; the fan-out is bounded by
+    * session duration (gap-bounded by construction), so the hour-keyed
+    * count never sees more than duration/hour rows per session — a banded
+    * interval join against the hour grid, not an all-pairs sweep. */
+  def sessionOverlap(s: SparkSession, d: String): DataFrame = {
+    val gapUs = 30L * 60 * 1000000
+    val hourUs = 3600L * 1000000
+    val e = t(s, d, "events").withColumn("ts_us", unix_micros(col("ts")))
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val sess = e.withColumn("new_s",
+      when(lag("ts_us", 1).over(w).isNull ||
+        col("ts_us") - lag("ts_us", 1).over(w) > gapUs, 1).otherwise(0))
+      .withColumn("session_id",
+        sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(min("ts_us").as("start_us"), max("ts_us").as("end_us"))
+    sess
+      .select(explode(sequence(
+        expr(s"start_us div $hourUs"),
+        expr(s"end_us div $hourUs"))).as("hour_idx"))
+      .groupBy("hour_idx")
+      .agg(count(lit(1)).as("n_sessions"))
+      .select(timestamp_micros(col("hour_idx") * hourUs).as("w_start"),
+        col("hour_idx"), col("n_sessions"))
+      .orderBy("hour_idx")
+  }
+
   def topSpenders(s: SparkSession, d: String): DataFrame =
     t(s, d, "events")
       .filter(col("event_type") === "purchase")

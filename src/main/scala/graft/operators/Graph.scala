@@ -81,4 +81,33 @@ object Graph {
   def neardupPageRank(s: SparkSession, dir: String): DataFrame =
     pageRank(Dedup.jaccardPairs(s, dir).select("id_a", "id_b"))
       .orderBy("node")
+
+  /** Per-node triangle counts on an ordered pair relation (a < b on every
+    * edge, as dedup pair outputs guarantee). Wedge enumeration: join edges
+    * on the shared middle endpoint — the a<b<c orientation means each
+    * triangle is generated exactly once — then a semi-join closes the
+    * (a, c) side. Two equi-join shuffles on node keys, never all-pairs;
+    * wedge volume is Σ deg², which upstream LSH bucket caps already bound
+    * (the same skew that would blow up here would have blown up the
+    * candidate join that produced the edges). The edge relation is
+    * materialized once and reused by all three join branches. */
+  def triangleCounts(pairs: DataFrame): DataFrame = {
+    val e = pairs.toDF("a", "b").localCheckpoint()
+    val wedge = e.join(
+      e.select(col("a").as("b"), col("b").as("c")), "b")
+    val tri = wedge.join(
+      e.select(col("a").as("a3"), col("b").as("c3")),
+      col("a") === col("a3") && col("c") === col("c3"), "left_semi")
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node")
+      .agg(count(lit(1)).as("n_triangles"))
+      .orderBy("node")
+  }
+
+  /** Triangle counts over the near-dup graph: triangles are the
+    * transitivity evidence that a candidate pair group really is ONE
+    * duplicate cluster (A≈B, B≈C, A≈C) rather than a chain of borderline
+    * matches. Exact sampled input (dd3) ⇒ full DuckDB oracle. */
+  def neardupTriangles(s: SparkSession, dir: String): DataFrame =
+    triangleCounts(Dedup.jaccardPairs(s, dir).select("id_a", "id_b"))
 }

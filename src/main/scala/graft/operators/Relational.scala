@@ -697,4 +697,58 @@ object Relational {
         sumRevenue.as("revenue"))
       .orderBy("l_returnflag")
   }
+
+  /** TPC-H Q21 shape: per supplier, count 'R'-flag lineitems on
+    * multi-supplier orders where that supplier is the ONLY one whose item
+    * came back flagged — EXISTS plus NOT EXISTS, both correlated on the
+    * same fact table with a non-equi suppkey condition attached.
+    *
+    * Spark plans the pair as a left-semi then left-anti join; all three
+    * lineitem branches shuffle on l_orderkey, so the two joins run
+    * co-partitioned back to back with no re-exchange between them, and the
+    * supplier dimension broadcasts. At 100 TB this stays one fact-keyed
+    * exchange per branch — the decorrelation Q21 is designed to test. */
+  def q47ExistsChain(s: SparkSession, d: String): DataFrame = {
+    val l = t(s, d, "lineitem")
+    val l1 = l.filter(col("l_returnflag") === "R").select("l_orderkey", "l_suppkey")
+    val other = l.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
+    val otherR = l.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"))
+    val sup = t(s, d, "supplier")
+    l1.join(other, col("l_orderkey") === col("k2") && col("s2") =!= col("l_suppkey"), "left_semi")
+      .join(otherR, col("l_orderkey") === col("k3") && col("s3") =!= col("l_suppkey"), "left_anti")
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_suppkey", "s_name")
+      .agg(count(lit(1)).as("n_lone_r"))
+      .orderBy(col("n_lone_r").desc, col("s_suppkey"))
+      .limit(20)
+  }
+
+  /** Equi-depth (equi-height) histogram of o_totalprice — the statistic a
+    * cost-based optimizer stores per column. Built at VALUE granularity:
+    * the corpus first collapses to the (value, count) distribution in one
+    * partial-aggregated shuffle, and only that compressed distribution —
+    * bounded by the value domain, not the row count — flows through the
+    * global prefix-sum window that assigns each value its bucket
+    * (bucket = 16 · rows_before / n, so buckets hold equal ROW mass while
+    * every value lands in exactly one bucket). The single-partition window
+    * is over |distinct prices| rows by construction; at 100 TB that is the
+    * standard stats-collection plan (histograms are defined over the value
+    * distribution), not a global sort of the fact table. */
+  def q48EquiDepthHist(s: SparkSession, d: String): DataFrame = {
+    val v = t(s, d, "orders")
+      .groupBy(col("o_totalprice").as("price")).agg(count(lit(1)).as("c"))
+    val before = Window.orderBy("price").rowsBetween(Window.unboundedPreceding, -1)
+    val tot = v.agg(sum("c").as("n"))
+    v.withColumn("cb", coalesce(sum("c").over(before), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("bucket", expr("CAST(cb * 16 DIV n AS BIGINT)"))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n_values"),
+        sum("c").as("n_rows"),
+        min("price").as("lo"),
+        max("price").as("hi"))
+      .orderBy("bucket")
+  }
 }

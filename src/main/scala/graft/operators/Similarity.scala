@@ -217,6 +217,111 @@ object Similarity {
     probeIvfIndex(s, dir, e.filter(col("vec_id") < 10))
   }
 
+  /** Product-quantization ANN (ss6): the compressed-domain scale path.
+    * The 64-dim float vector (256 B) is quantized to `m` = 8 sub-codes of
+    * 4 bits (one byte-array column, 32× smaller), and candidate generation
+    * scans ONLY the code table with per-query lookup tables — at 100 TB
+    * the raw embedding column is touched just twice (codebook training and
+    * the final shortlist rescore of |Q|·shortlist rows), while the
+    * brute-force part of the search runs over a relation 32× narrower
+    * than the corpus.
+    *
+    * Training is one distributed pass per Lloyd iteration for ALL
+    * subspaces at once: posexplode puts every (dim, value) on its own row,
+    * `pos div sub` recovers the subspace, and the (subspace, cell, dim)
+    * means come back at metadata scale (m·ksub·sub = 1024 rows). The same
+    * determinism contract as [[ivfKMeansTopK]]: lowest-vec_id seeds, exact
+    * decimal means rounded to 1e-6, argmin ties on cell id — so codes,
+    * shortlists, and results are bit-stable across runs and partitionings.
+    *
+    * Search: asymmetric distance (ADC). Each query precomputes, per
+    * subspace, the dot of its sub-vector with every centroid (plus the
+    * centroid norm table, a query-independent literal), so approximate
+    * cosine is 8 array lookups per candidate — no vector math on the
+    * corpus side. The ADC shortlist (top `shortlist` per query) is then
+    * rescored EXACTLY against the raw embeddings and the top k of that is
+    * returned. No SQL oracle (k-means is iterative); recall and
+    * determinism in SimilaritySpec. */
+  def pqTopK(
+      s: SparkSession, d: String,
+      m: Int = 8, ksub: Int = 16, iters: Int = 2, shortlist: Int = 40): DataFrame = {
+    val sub = Dim / m
+    val e = t(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .localCheckpoint() // reused: training passes, encode, rescore
+    def subvec(v: Column, j: Int): Column = slice(v, j * sub + 1, sub)
+    def centLit(c: Array[Double]): Column = array(c.map(x => lit(x.toFloat)): _*)
+    // argmin over the subspace's centroids, ties to the lower cell id
+    def cellOf(books: Array[Array[Array[Double]]], j: Int, v: Column): Column =
+      array_min(array(books(j).zipWithIndex.map { case (c, i) =>
+        struct(
+          (lit(c.map(x => x * x).sum) - lit(2.0) * dotFast(subvec(v, j), centLit(c))).as("dd"),
+          lit(i).as("cell"))
+      }: _*)).getField("cell")
+
+    // seeds: sub-vectors of the ksub lowest vec_ids, per subspace
+    val seedRows = e.orderBy("vec_id").limit(ksub)
+      .collect().map(_.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray)
+    var books: Array[Array[Array[Double]]] =
+      Array.tabulate(m, ksub)((j, i) => seedRows(i).slice(j * sub, (j + 1) * sub))
+    for (_ <- 0 until iters) {
+      val cells = array((0 until m).map(j => cellOf(books, j, col("embedding"))): _*)
+      val means = e
+        .select(cells.as("cells"), posexplode(col("embedding")))
+        .toDF("cells", "pos", "x")
+        .withColumn("j", expr(s"pos div $sub"))
+        .select(col("j"), col("pos"),
+          element_at(col("cells"), col("j").cast("int") + 1).as("cell"), col("x"))
+        .groupBy("j", "cell", "pos")
+        .agg((sum(col("x").cast("decimal(20,10)")) / count(lit(1)))
+          .cast("double").as("mval"))
+        .collect() // m·ksub·sub rows — metadata scale
+      val next = books.map(_.map(_.clone()))
+      means.foreach { r =>
+        // `div` yields LONG regardless of operand width
+        next(r.getAs[Long]("j").toInt)(r.getAs[Int]("cell"))(r.getAs[Int]("pos") % sub) =
+          math.rint(r.getAs[Double]("mval") * 1e6) / 1e6
+      }
+      books = next
+    }
+
+    // encode the corpus: the only per-row state the candidate scan reads
+    val codes = e.select(col("vec_id").as("c_id"),
+      array((0 until m).map(j => cellOf(books, j, col("embedding"))): _*).as("codes"))
+    // centroid squared-norm tables (query-independent literals)
+    val normLut: Seq[Column] =
+      (0 until m).map(j => array(books(j).map(c => lit(c.map(x => x * x).sum)): _*))
+    val q = (0 until m).foldLeft(
+      e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+          normFast(col("embedding")).as("qn"))) { (df, j) =>
+      df.withColumn(s"lut$j",
+        array(books(j).map(c => dotFast(subvec(col("qv"), j), centLit(c))): _*))
+    }
+    val adc = (0 until m).map(j =>
+      element_at(col(s"lut$j"), element_at(col("codes"), j + 1) + 1)).reduce(_ + _)
+    // reconstructed candidate norm, also a pure code lookup
+    val approx = adc / (col("qn") * sqrt((0 until m).map(j =>
+      element_at(normLut(j), element_at(col("codes"), j + 1) + 1)).reduce(_ + _)))
+    val wA = Window.partitionBy("q_id").orderBy(col("approx").desc, col("c_id"))
+    val short = broadcast(q).join(codes, col("q_id") =!= col("c_id"))
+      .withColumn("approx", approx)
+      .withColumn("ark", row_number().over(wA))
+      .filter(col("ark") <= shortlist)
+      .select("q_id", "qv", "qn", "c_id")
+    // exact rescore of the shortlist only
+    val raw = e.select(col("vec_id").as("c_id"), col("embedding").as("cv"),
+      normFast(col("embedding")).as("cn"))
+    val wE = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
+    short.join(raw, "c_id")
+      .withColumn("cos",
+        round(dotFast(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+      .withColumn("rk", row_number().over(wE).cast("long"))
+      .filter(col("rk") <= 5)
+      .select("q_id", "c_id", "cos", "rk")
+      .orderBy("q_id", "rk")
+  }
+
   /** IVF-style variant: coarse partitions from label (stand-in for k-means
     * cell ids at scale), search restricted to the query's cell. Demonstrates
     * the partition-pruned ANN shape: the corpus is clustered/bucketed once,

@@ -31,6 +31,25 @@ class GraphSpec extends AnyFunSuite {
     assert(r(2L) > r(1L) && r(1L) == r(3L))
   }
 
+  test("triangle counts: closed-form on K4-minus-an-edge; chains have none") {
+    import spark.implicits._
+    // K4 minus edge (2,3): exactly the triangles (0,1,2) and (0,1,3)
+    val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L)).toDF("a", "b")
+    val r = Graph.triangleCounts(pairs).collect()
+      .map(row => row.getLong(0) -> row.getLong(1)).toMap
+    assert(r == Map(0L -> 2L, 1L -> 2L, 2L -> 1L, 3L -> 1L))
+    val chain = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("a", "b")
+    assert(Graph.triangleCounts(chain).collect().isEmpty)
+  }
+
+  test("gr2 is deterministic and every triangle node is a pair node") {
+    val a = Graph.neardupTriangles(spark, sf).collect().toSeq
+    assert(a == Graph.neardupTriangles(spark, sf).collect().toSeq)
+    val pairNodes = graft.operators.Dedup.jaccardPairs(spark, sf)
+      .select(explode(array(col("id_a"), col("id_b")))).collect().map(_.getLong(0)).toSet
+    assert(a.map(_.getLong(0)).toSet.subsetOf(pairNodes))
+  }
+
   test("gr1 is deterministic across runs and partitioning") {
     val a = Graph.neardupPageRank(spark, sf).collect().toSeq
     val b = Graph.neardupPageRank(spark, sf).collect().toSeq

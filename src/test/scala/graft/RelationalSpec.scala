@@ -223,6 +223,40 @@ class RelationalSpec extends AnyFunSuite {
     out.foreach(r => assert(r.getAs[Double]("avg_surprisal") > 0.0))
   }
 
+  test("equi-depth histogram: buckets partition all rows into ordered, bounded ranges") {
+    val h = Registry.queries("q48_equidepth_hist")(spark, sf).collect()
+    assert(h.nonEmpty && h.length <= 16)
+    assert(h.map(_.getAs[Long]("n_rows")).sum == Tables(spark, sf, "orders").count())
+    // bucket ids ascend and value ranges are disjoint and ordered
+    val ids = h.map(_.getAs[Long]("bucket")).toSeq
+    assert(ids == ids.sorted && ids.distinct == ids)
+    h.sliding(2).foreach {
+      case Array(lo, hi) =>
+        assert(lo.getAs[Double]("hi") < hi.getAs[Double]("lo"))
+      case _ => ()
+    }
+    h.foreach(r => assert(r.getAs[Double]("lo") <= r.getAs[Double]("hi")))
+  }
+
+  test("scd2 history: versions are contiguous half-open intervals per user") {
+    val rows = Registry.queries("ev13_scd2_history")(spark, sf).collect()
+      .groupBy(_.getAs[Long]("user_id"))
+    assert(rows.nonEmpty)
+    rows.values.foreach { vs =>
+      val sorted = vs.sortBy(_.getAs[Long]("version"))
+      assert(sorted.map(_.getAs[Long]("version")).toSeq == (1L to sorted.length))
+      // each version ends exactly where the next begins; only the last is open
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("valid_to_us") == b.getAs[Long]("valid_from_us"))
+          assert(!a.getAs[Boolean]("is_current"))
+        case _ => ()
+      }
+      assert(sorted.last.isNullAt(sorted.last.fieldIndex("valid_to_us")))
+      assert(sorted.last.getAs[Boolean]("is_current"))
+    }
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

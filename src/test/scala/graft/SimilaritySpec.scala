@@ -108,6 +108,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall > 0.1)
   }
 
+  test("PQ topk: well-formed, deterministic, exact shortlist rescore, real recall") {
+    val out1 = Similarity.pqTopK(spark, sf)
+    val rows = out1.collect()
+    assert(rows.length == 50)
+    rows.groupBy(_.getAs[Long]("q_id")).values.foreach { rs =>
+      assert(rs.map(_.getAs[Long]("rk")).sorted.toSeq == (1L to 5L))
+    }
+    // deterministic end-to-end (seeded init, decimal means, tie-broken argmins)
+    val again = Similarity.pqTopK(spark, sf).collect().map(_.toString).sorted.toSeq
+    assert(rows.map(_.toString).sorted.toSeq == again)
+    // reported cosine is the EXACT cosine (shortlist rescore), not the ADC
+    // approximation — recompute directly from raw embeddings
+    val e = Tables(spark, sf, "embeddings")
+    val recomputed = out1.select("q_id", "c_id", "cos")
+      .join(e.select(col("vec_id").as("q_id"), col("embedding").as("qe")), "q_id")
+      .join(e.select(col("vec_id").as("c_id"), col("embedding").as("ce")), "c_id")
+      .withColumn("expect", round(
+        VectorFunctions.dotFast(col("qe"), col("ce")) /
+          (VectorFunctions.normFast(col("qe")) * VectorFunctions.normFast(col("ce"))), 6))
+    assert(recomputed.filter(col("cos") =!= col("expect")).count() == 0)
+    // the 40-candidate ADC shortlist must recover a solid share of true top-5
+    val truth = Similarity.bruteForceTopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))).toSet
+    val got = rows.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))).toSet
+    val recall = (got & truth).size.toDouble / truth.size
+    info(f"PQ (m=8, 16 codes, shortlist=40) top-5 recall: $recall%.2f")
+    assert(recall > 0.2)
+  }
+
   test("IVF topk searches only the query's cell") {
     val out = Similarity.ivfTopK(spark, sf)
     val e = Tables(spark, sf, "embeddings")
