@@ -233,6 +233,11 @@ object Registry {
       // per-(doc,term) surprisal contributions cast to DECIMAL(28,10) before
       // the per-doc sum: exact, summation-order-independent accumulation
       "WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents), tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w), vocab AS (SELECT w, sum(tf) AS cnt FROM tf GROUP BY w), tot AS (SELECT sum(cnt) AS t FROM vocab), terms AS (SELECT doc_id, tf, CAST(tf * ln(CAST(t AS DOUBLE) / cnt) AS DECIMAL(28,10)) AS term FROM tf JOIN vocab USING(w), tot) SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens, round(CAST(sum(term) AS DOUBLE) / sum(tf), 4) AS avg_surprisal FROM terms GROUP BY doc_id ORDER BY doc_id"),
+    q("tx10_bigram_crossent", (s, d) => TextAnalysis.bigramCrossEntropy(s, d),
+      // same decimal-before-sum contract as tx9; α=0.5 add-k smoothing
+      "WITH t AS (SELECT doc_id, string_split(text,' ') AS a FROM documents WHERE len(string_split(text,' ')) >= 2), bi AS (SELECT doc_id, a[i] AS u, a[i+1] AS v FROM t, UNNEST(generate_series(1, len(a)-1)) AS s(i)), tf AS (SELECT doc_id, u, v, count(*) AS tf FROM bi GROUP BY 1, 2, 3), big AS (SELECT u, v, CAST(sum(tf) AS BIGINT) AS cuv FROM tf GROUP BY 1, 2), ctx AS (SELECT u, CAST(sum(cuv) AS BIGINT) AS cu FROM big GROUP BY 1), vs AS (SELECT count(DISTINCT w) AS vsz FROM (SELECT unnest(string_split(text,' ')) AS w FROM documents) q), terms AS (SELECT tf.doc_id, tf.tf, CAST(tf.tf * -ln((big.cuv + 0.5) / (ctx.cu + 0.5 * vs.vsz)) AS DECIMAL(28,10)) AS nll FROM tf JOIN big USING (u, v) JOIN ctx USING (u), vs) SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams, round(CAST(sum(nll) AS DOUBLE) / sum(tf), 4) AS avg_nll FROM terms GROUP BY doc_id ORDER BY doc_id"),
+    q("ev15_hourly_anomaly", Events.hourlyAnomalies,
+      "WITH h AS (SELECT date_trunc('hour', ts) AS w_start, event_type, count(*) AS n FROM events GROUP BY 1, 2), st AS (SELECT event_type, count(*) AS nh, CAST(sum(n) AS BIGINT) AS sx, CAST(sum(n*n) AS BIGINT) AS sxx FROM h GROUP BY 1), z AS (SELECT h.w_start, h.event_type, h.n, CASE WHEN nh > 1 AND (CAST(nh AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx) > 0 THEN (n - CAST(sx AS DOUBLE)/nh) / sqrt((CAST(nh AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx) / (CAST(nh AS DOUBLE)*(nh-1))) END AS zraw FROM h JOIN st USING (event_type)) SELECT event_type, w_start, n, round(zraw, 4) AS z, coalesce(abs(round(zraw, 4)) > 2.0, FALSE) AS is_anomaly FROM z ORDER BY event_type, w_start"),
     q("tx4_top_bigrams", TextAnalysis.topBigrams,
       "WITH toks AS (SELECT string_split(text,' ') AS a FROM documents WHERE len(string_split(text,' ')) >= 2), bi AS (SELECT a[i] || ' ' || a[i+1] AS bigram FROM toks, UNNEST(generate_series(1, len(a)-1)) AS t(i)) SELECT bigram, count(*) AS n FROM bi GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20"),
     // CMS prefilter has no false negatives, so the sketch-accelerated form

@@ -253,6 +253,36 @@ object Events {
       .orderBy("hour_idx")
   }
 
+  /** Hourly anomaly flags (ev15): z-score of each (hour, event_type) count
+    * against that type's own hourly distribution — the monitoring-pipeline
+    * outlier pass. The distribution moments are EXACT integer power sums
+    * (counts are longs; the sums stay far under 2^53, so the one cast to
+    * double is lossless) and the z expression is evaluated in the same
+    * operation order on both engines, so even unrounded z would be
+    * bit-identical — rounding to 1e-4 is belt-and-braces. Two aggregations
+    * (hourly counts, per-type moments) + one broadcast join back; every row
+    * keeps its z and a flag rather than filtering, so the output is a
+    * stable full matrix. */
+  def hourlyAnomalies(s: SparkSession, d: String): DataFrame = {
+    val hourly = t(s, d, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("w_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val stats = hourly.groupBy("event_type").agg(
+      count(lit(1)).as("nh"),
+      sum("n").as("sx"),
+      sum(col("n") * col("n")).as("sxx"))
+    val nh = col("nh").cast("double")
+    val num = nh * col("sxx") - col("sx").cast("double") * col("sx")
+    val zraw = when(col("nh") > 1 && num > 0,
+      (col("n") - col("sx").cast("double") / col("nh")) /
+        sqrt(num / (nh * (col("nh") - 1))))
+    hourly.join(broadcast(stats), "event_type")
+      .select(col("event_type"), col("w_start"), col("n"),
+        round(zraw, 4).as("z"),
+        coalesce(abs(round(zraw, 4)) > 2.0, lit(false)).as("is_anomaly"))
+      .orderBy("event_type", "w_start")
+  }
+
   def topSpenders(s: SparkSession, d: String): DataFrame =
     t(s, d, "events")
       .filter(col("event_type") === "purchase")

@@ -195,6 +195,48 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Bigram-LM cross-entropy scoring (tx10) — the CCNet/C4-style
+    * "perplexity filter": train an add-α-smoothed bigram language model on
+    * the corpus itself, then score every document by its average negative
+    * log-likelihood under that model (perplexity = exp of this; the exp is
+    * left to the consumer because ln is cross-engine exact on this data
+    * and exp is not). High avg_nll = text the corpus-level model finds
+    * improbable — boilerplate, garbled or off-distribution documents.
+    *
+    * Three aggregations, all partial-map-side: per-doc bigram term
+    * frequencies (so the model join touches distinct (doc, bigram) pairs,
+    * not occurrences), corpus bigram counts, and context counts — then one
+    * model join keyed by bigram. Per-term NLL contributions are cast to
+    * DECIMAL(28,10) before the per-doc sum (exact, summation-order-
+    * independent — the tx9 contract), so the score is bit-stable under any
+    * partitioning and matches the oracle exactly after the final round. */
+  def bigramCrossEntropy(s: SparkSession, d: String, alpha: Double = 0.5): DataFrame = {
+    val tf = t(s, d, "documents")
+      .select(col("doc_id"), toks.as("a"))
+      .filter(size(col("a")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("a")) - 2),
+        i => struct(
+          element_at(col("a"), i + 1).as("u"),
+          element_at(col("a"), i + 2).as("v")))).as("b"))
+      .select(col("doc_id"), col("b.u").as("u"), col("b.v").as("v"))
+      .groupBy("doc_id", "u", "v").agg(count(lit(1)).as("tf"))
+    val big = tf.groupBy("u", "v").agg(sum("tf").as("cuv"))
+    val ctx = big.groupBy("u").agg(sum("cuv").as("cu"))
+    val vocab = t(s, d, "documents")
+      .select(explode(toks).as("w")).agg(countDistinct("w").as("vsz"))
+    tf.join(big, Seq("u", "v")).join(ctx, Seq("u"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("nll",
+        (col("tf") * -log((col("cuv") + lit(alpha)) /
+          (col("cu") + lit(alpha) * col("vsz")))).cast("decimal(28,10)"))
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_bigrams"), sum("nll").as("snll"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("snll").cast("double") / col("n_bigrams"), 4).as("avg_nll"))
+      .orderBy("doc_id")
+  }
+
   /** One row per word-bigram occurrence across the corpus — the shared
     * expansion under [[topBigrams]] and [[heavyHitterBigrams]]. A flat map
     * (explode) with no shuffle. The token array is materialized in its own
