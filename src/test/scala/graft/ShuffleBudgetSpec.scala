@@ -34,7 +34,14 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "bp2_bpe_encode" -> 1,        // kernel encode is a pure narrow map; sort only
     "ev11_ohlc_bars" -> 2,        // one (hour,type)-keyed agg + sort
     "q46_avgqty_subquery" -> 3,   // partkey agg (threshold broadcast back) + final agg + sort
-    "dd10_tfidf_cosine" -> 4)     // df agg + weight/norm agg + pair agg + sort; dims broadcast
+    "dd10_tfidf_cosine" -> 4,     // df agg + weight/norm agg + pair agg + sort; dims broadcast
+    "q47_exists_chain" -> 3,      // semi/anti branches broadcast at test SF; agg (+2 headroom for the shuffle regime)
+    "q48_equidepth_hist" -> 4,    // value agg + distribution window + bucket agg + sort
+    "ev13_scd2_history" -> 2,     // ONE user-keyed exchange feeds all three windows + sort
+    "ev14_session_overlap" -> 3,  // session window + hour agg + sort
+    "ev15_hourly_anomaly" -> 4,   // hourly agg + moment agg + join align + sort
+    "mm3_binary_dedup" -> 2,      // digest-only agg shuffle + sort; payload never moves
+    "gr2_triangles" -> 6)         // dd3 pair derivation (4) + node agg + sort; wedge joins reuse
 
   budgets.foreach { case (name, budget) =>
     test(s"$name stays within its shuffle budget ($budget)") {
