@@ -155,6 +155,8 @@ object Registry {
     // ---- deterministic sampling ----
     q("sm1_stratified_sample", Sampling.stratifiedSample,
       "SELECT doc_id, lang, n_chars FROM documents WHERE CASE WHEN lang = 'en' THEN TRUE WHEN lang = 'de' THEN md5(CAST(doc_id AS VARCHAR)) < '80' WHEN lang = 'es' THEN md5(CAST(doc_id AS VARCHAR)) < '40' WHEN lang = 'fr' THEN md5(CAST(doc_id AS VARCHAR)) < '20' ELSE md5(CAST(doc_id AS VARCHAR)) < '1a' END ORDER BY doc_id"),
+    q("sm3_temperature_resample", (s, d) => Sampling.temperatureResample(s, d),
+      "WITH c AS (SELECT lang, count(*) AS nl FROM documents GROUP BY lang), t AS (SELECT CAST(sum(nl) AS BIGINT) AS n, sum(CAST(sqrt(CAST(nl AS DOUBLE)) AS DECIMAL(20,12))) AS z FROM c), tg AS (SELECT lang, nl, CAST(round(CAST(n AS DOUBLE) * (CAST(CAST(sqrt(CAST(nl AS DOUBLE)) AS DECIMAL(20,12)) AS DOUBLE) / CAST(z AS DOUBLE)), 0) AS BIGINT) AS ml FROM c, t), r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk FROM documents), k AS (SELECT r.doc_id, r.lang, (tg.ml // tg.nl) + CASE WHEN r.rk <= tg.ml % tg.nl THEN 1 ELSE 0 END AS n_copies FROM r JOIN tg ON r.lang = tg.lang) SELECT doc_id, lang, CAST(n_copies AS BIGINT) AS n_copies FROM k WHERE n_copies > 0 ORDER BY doc_id"),
     q("sm2_fixed_size_sample", (s, d) => Sampling.fixedSizePerStratum(s, d),
       "WITH h AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents), r AS (SELECT lang, doc_id, h, row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk FROM h) SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id FROM r WHERE rk <= 25 ORDER BY lang, rk"),
 

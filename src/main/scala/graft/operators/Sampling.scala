@@ -53,6 +53,45 @@ object Sampling {
     stratifiedKeep(t(s, d, "documents").select(col("doc_id"), col("lang"), col("n_chars")))
       .orderBy("doc_id")
 
+  /** Temperature resampling (sm3): reshape the language mixture toward
+    * √p (temperature α = 0.5, the multilingual-LM data-mixing default) —
+    * upsample low-resource languages, damp the head — with EXACT
+    * deterministic target counts rather than RNG draws.
+    *
+    * Targets: m_l = round(N·q_l) with q_l = √n_l / Σ√n. Each √n_l is
+    * rounded into DECIMAL(20,12) BEFORE the Σ, so the normalizer is
+    * summation-order independent (sqrt itself is IEEE-correctly-rounded,
+    * unlike pow — hence √p specifically); q then evaluates in double with
+    * the identical operation order on any engine. Each document is kept
+    * `m_l div n_l` times, plus once more for the `m_l mod n_l` documents
+    * with the smallest key-hash — the output hits every m_l exactly,
+    * per-document multiplicity within a language differs by at most 1,
+    * and the whole resample is a pure function of the corpus (rerun-,
+    * partitioning- and retry-stable, like everything in this module).
+    * One stratum-keyed window shuffle; language stats travel broadcast. */
+  def temperatureResample(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select(col("doc_id"), col("lang"))
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("nl"))
+    val tot = counts.agg(
+      sum("nl").as("n"),
+      sum(sqrt(col("nl").cast("double")).cast("decimal(20,12)")).as("z"))
+    val targets = counts.crossJoin(broadcast(tot))
+      .withColumn("ql",
+        sqrt(col("nl").cast("double")).cast("decimal(20,12)").cast("double") /
+          col("z").cast("double"))
+      .withColumn("ml", round(col("n").cast("double") * col("ql"), 0).cast("long"))
+      .select("lang", "nl", "ml")
+    docs
+      .withColumn("rk",
+        row_number().over(Window.partitionBy("lang").orderBy(keyHash, col("doc_id"))).cast("long"))
+      .join(broadcast(targets), "lang")
+      .withColumn("n_copies",
+        (expr("ml div nl") + when(col("rk") <= col("ml") % col("nl"), 1L).otherwise(0L)).cast("long"))
+      .filter(col("n_copies") > 0)
+      .select("doc_id", "lang", "n_copies")
+      .orderBy("doc_id")
+  }
+
   /** Fixed-size uniform sample per stratum: the `k` documents with the
     * smallest key-hash in each language — a deterministic stand-in for
     * per-class reservoir sampling (hash order is uniform and content

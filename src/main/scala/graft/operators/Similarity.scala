@@ -259,15 +259,29 @@ object Similarity {
           lit(i).as("cell"))
       }: _*)).getField("cell")
 
+    // Codebooks train on a deterministic hash-style sample (~4k vectors,
+    // all of a small corpus) — the standard PQ recipe: codebook quality
+    // needs a representative subset, not the corpus, and at 100 TB a
+    // full-corpus Lloyd pass per iteration would dominate the build.
+    val sampleMod = math.max(1L, e.count() / 4096)
+    val train = e.filter(col("vec_id") % sampleMod === 0).localCheckpoint()
+
     // seeds: sub-vectors of the ksub lowest vec_ids, per subspace
-    val seedRows = e.orderBy("vec_id").limit(ksub)
+    val seedRows = train.orderBy("vec_id").limit(ksub)
       .collect().map(_.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray)
     var books: Array[Array[Array[Double]]] =
       Array.tabulate(m, ksub)((j, i) => seedRows(i).slice(j * sub, (j + 1) * sub))
     for (_ <- 0 until iters) {
       val cells = array((0 until m).map(j => cellOf(books, j, col("embedding"))): _*)
-      val means = e
-        .select(cells.as("cells"), posexplode(col("embedding")))
+      // assignments MATERIALIZE before the dimension explode: left inline,
+      // CollapseProject folds the 128-dot `cells` expression into the
+      // post-explode projection and re-evaluates it per exploded dimension
+      // (64× per vector — measured 31 s vs 1.4 s per pass at sf0.1; the
+      // same re-evaluation trap as TextAnalysis.bigramStream's re-split)
+      val assigned = train
+        .select(col("embedding"), cells.as("cells")).localCheckpoint()
+      val means = assigned
+        .select(col("cells"), posexplode(col("embedding")))
         .toDF("cells", "pos", "x")
         .withColumn("j", expr(s"pos div $sub"))
         .select(col("j"), col("pos"),
@@ -285,9 +299,13 @@ object Similarity {
       books = next
     }
 
-    // encode the corpus: the only per-row state the candidate scan reads
+    // encode the corpus ONCE into the compact code table (8 small ints per
+    // vector — the 32×-compressed relation everything downstream scans);
+    // materialized so the candidate join starts from stored codes, not a
+    // re-encode under the join
     val codes = e.select(col("vec_id").as("c_id"),
       array((0 until m).map(j => cellOf(books, j, col("embedding"))): _*).as("codes"))
+      .localCheckpoint()
     // centroid squared-norm tables (query-independent literals)
     val normLut: Seq[Column] =
       (0 until m).map(j => array(books(j).map(c => lit(c.map(x => x * x).sum)): _*))

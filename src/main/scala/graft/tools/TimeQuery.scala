@@ -1,0 +1,33 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Times individual registered queries with the bench's noop-write action
+  * (after one warm-up query) — the single-query iteration loop for perf
+  * work. Usage: SPARK_GRAFT_SF_DIR=… runMain graft.tools.TimeQuery name…
+  */
+object TimeQuery {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def run(name: String): Double = {
+      val t0 = System.nanoTime()
+      graft.Registry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    try {
+      spark.range(1000000).selectExpr("sum(id)").collect()
+      run("q01_pricing_summary")
+    } catch { case _: Throwable => () }
+    args.foreach(n => println(f"TIMEQ $n ${run(n)}%.2f s"))
+    spark.stop()
+  }
+}

@@ -26,6 +26,36 @@ class SamplingLayoutSpec extends AnyFunSuite {
     assert(sample.orderBy("lang", "rk").collect().toSeq == again)
   }
 
+  test("sm3: per-language output mass hits round(N*sqrt-weight) exactly, multiplicity spread <= 1") {
+    val docs = Tables(spark, sf, "documents")
+    val strata = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = strata.values.sum
+    val z = strata.values.map(v => BigDecimal(math.sqrt(v.toDouble))
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP)).sum
+    val out = Sampling.temperatureResample(spark, sf)
+    val mass = out.groupBy("lang").agg(org.apache.spark.sql.functions.sum("n_copies").as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    strata.foreach { case (lang, nl) =>
+      // same operation order as the operator: decimal→double, THEN divide
+      val q = BigDecimal(math.sqrt(nl.toDouble))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble / z.toDouble
+      val ml = math.round(n.toDouble * q)
+      assert(mass.getOrElse(lang, 0L) == ml, s"$lang mass ${mass.get(lang)} != target $ml")
+    }
+    // within a language every doc's multiplicity is floor or floor+1
+    val spread = out.groupBy("lang")
+      .agg((org.apache.spark.sql.functions.max("n_copies") -
+        org.apache.spark.sql.functions.min("n_copies")).as("d"))
+      .collect().map(_.getAs[Long]("d"))
+    assert(spread.forall(_ <= 1))
+    // low-resource languages are upsampled relative to the head
+    val ratios = strata.keys.map(l => l -> mass(l).toDouble / strata(l)).toMap
+    val minLang = strata.minBy(_._2)._1
+    val maxLang = strata.maxBy(_._2)._1
+    assert(ratios(minLang) > ratios(maxLang))
+  }
+
   test("sm1: stratified rates keep all English and a strict subset elsewhere") {
     val docs = Tables(spark, sf, "documents")
     val byLang = docs.groupBy("lang").count().collect()
