@@ -238,6 +238,12 @@ object Registry {
     q("tx10_bigram_crossent", (s, d) => TextAnalysis.bigramCrossEntropy(s, d),
       // same decimal-before-sum contract as tx9; α=0.5 add-k smoothing
       "WITH t AS (SELECT doc_id, string_split(text,' ') AS a FROM documents WHERE len(string_split(text,' ')) >= 2), bi AS (SELECT doc_id, a[i] AS u, a[i+1] AS v FROM t, UNNEST(generate_series(1, len(a)-1)) AS s(i)), tf AS (SELECT doc_id, u, v, count(*) AS tf FROM bi GROUP BY 1, 2, 3), big AS (SELECT u, v, CAST(sum(tf) AS BIGINT) AS cuv FROM tf GROUP BY 1, 2), ctx AS (SELECT u, CAST(sum(cuv) AS BIGINT) AS cu FROM big GROUP BY 1), vs AS (SELECT count(DISTINCT w) AS vsz FROM (SELECT unnest(string_split(text,' ')) AS w FROM documents) q), terms AS (SELECT tf.doc_id, tf.tf, CAST(tf.tf * -ln((big.cuv + 0.5) / (ctx.cu + 0.5 * vs.vsz)) AS DECIMAL(28,10)) AS nll FROM tf JOIN big USING (u, v) JOIN ctx USING (u), vs) SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams, round(CAST(sum(nll) AS DOUBLE) / sum(tf), 4) AS avg_nll FROM terms GROUP BY doc_id ORDER BY doc_id"),
+    q("ev16_ewma", (s, d) => Events.ewma(s, d),
+      // α=0.25 is an exact binary fraction; list_reduce's left fold seeded
+      // from the first element ≡ Spark aggregate(slice(...,2,...), first, f)
+      "WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value FROM events), l AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, list(CAST(value AS DOUBLE) ORDER BY ts_us, event_id) AS vs FROM e GROUP BY user_id) SELECT user_id, n_events, round(list_reduce(vs, (acc, x) -> 0.25*x + 0.75*acc), 6) AS ewma FROM l ORDER BY user_id"),
+    q("q49_running_distinct", Events.runningDistinctUsers,
+      "WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events), f AS (SELECT user_id, min(day) AS day FROM e GROUP BY user_id), d AS (SELECT day, count(*) AS new_users FROM f GROUP BY day), ad AS (SELECT DISTINCT day FROM e) SELECT ad.day, coalesce(d.new_users, 0) AS new_users, CAST(sum(coalesce(d.new_users, 0)) OVER (ORDER BY ad.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_distinct_users FROM ad LEFT JOIN d ON ad.day = d.day ORDER BY ad.day"),
     q("ev15_hourly_anomaly", Events.hourlyAnomalies,
       "WITH h AS (SELECT date_trunc('hour', ts) AS w_start, event_type, count(*) AS n FROM events GROUP BY 1, 2), st AS (SELECT event_type, count(*) AS nh, CAST(sum(n) AS BIGINT) AS sx, CAST(sum(n*n) AS BIGINT) AS sxx FROM h GROUP BY 1), z AS (SELECT h.w_start, h.event_type, h.n, CASE WHEN nh > 1 AND (CAST(nh AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx) > 0 THEN (n - CAST(sx AS DOUBLE)/nh) / sqrt((CAST(nh AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx) / (CAST(nh AS DOUBLE)*(nh-1))) END AS zraw FROM h JOIN st USING (event_type)) SELECT event_type, w_start, n, round(zraw, 4) AS z, coalesce(abs(round(zraw, 4)) > 2.0, FALSE) AS is_anomaly FROM z ORDER BY event_type, w_start"),
     q("tx4_top_bigrams", TextAnalysis.topBigrams,

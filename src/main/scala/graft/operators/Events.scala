@@ -283,6 +283,57 @@ object Events {
       .orderBy("event_type", "w_start")
   }
 
+  /** Per-user EWMA (ev16): exponentially-weighted moving average of event
+    * values in time order — the classic smoothing recurrence
+    * `s_i = α·v_i + (1−α)·s_{i−1}`, a ORDER-DEPENDENT fold no window
+    * aggregate expresses. Each user's sequence is collected and sorted by
+    * the total (ts, event_id) order, then folded with the `aggregate` HOF
+    * seeded from the first value — byte-compatible with DuckDB's
+    * `list_reduce` left fold, and α = 0.25 is an exact binary fraction, so
+    * every multiply-add is the same IEEE op on both engines: bit-exact
+    * before the display rounding.
+    *
+    * Scale shape: one user-keyed shuffle; per-user state is that user's
+    * event list (bounded by per-entity activity, the same bound
+    * sessionization carries). The streaming twin of this fold is
+    * flatMapGroupsWithState with a single running double. */
+  def ewma(s: SparkSession, d: String, alpha: Double = 0.25): DataFrame = {
+    val folded = t(s, d, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("value"))
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("ts_us"), col("event_id"), col("value"))))
+        .as("seq"))
+      .select(col("user_id"),
+        size(col("seq")).cast("long").as("n_events"),
+        aggregate(
+          slice(col("seq"), lit(2), greatest(size(col("seq")) - 1, lit(0))),
+          element_at(col("seq"), 1).getField("value"),
+          (acc, x) => lit(alpha) * x.getField("value") + lit(1 - alpha) * acc).as("raw"))
+    folded
+      .select(col("user_id"), col("n_events"), round(col("raw"), 6).as("ewma"))
+      .orderBy("user_id")
+  }
+
+  /** Running distinct-user counts per day (q49's engine side): cumulative
+    * COUNT(DISTINCT) over an ordered window, which no engine supports
+    * directly — the standard rewrite counts each user once at its FIRST
+    * day (one user-keyed aggregation) and prefix-sums the per-day new-user
+    * counts. The window runs over the day domain (metadata scale); the
+    * corpus-sized work is the first-touch aggregation. */
+  def runningDistinctUsers(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "events")
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+    val newPerDay = e.groupBy("user_id").agg(min("day").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("new_users"))
+    val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.select("day").distinct()
+      .join(newPerDay, Seq("day"), "left")
+      .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
+      .withColumn("cum_distinct_users", sum("new_users").over(w))
+      .orderBy("day")
+  }
+
   def topSpenders(s: SparkSession, d: String): DataFrame =
     t(s, d, "events")
       .filter(col("event_type") === "purchase")

@@ -41,7 +41,9 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "ev14_session_overlap" -> 3,  // session window + hour agg + sort
     "ev15_hourly_anomaly" -> 4,   // hourly agg + moment agg + join align + sort
     "mm3_binary_dedup" -> 2,      // digest-only agg shuffle + sort; payload never moves
-    "gr2_triangles" -> 6)         // dd3 pair derivation (4) + node agg + sort; wedge joins reuse
+    "gr2_triangles" -> 6,         // dd3 pair derivation (4) + node agg + sort; wedge joins reuse
+    "ev16_ewma" -> 2,             // ONE user-keyed collect fold + sort
+    "q49_running_distinct" -> 4)  // first-touch agg + day agg + day-domain window + sort
 
   budgets.foreach { case (name, budget) =>
     test(s"$name stays within its shuffle budget ($budget)") {
