@@ -82,6 +82,42 @@ object StreamingOps {
       }
   }
 
+  /** State for the streaming EWMA fold: count + running average. */
+  final case class EwmaState(n: Long, ewma: Double)
+  final case class EwmaUpdate(user_id: Long, n_events: Long, ewma: Double)
+
+  /** Streaming twin of Events.ewma: the order-dependent smoothing fold as
+    * ONE running double per user in the state store. Rows are sorted by
+    * (ts_us, event_id) WITHIN each micro-batch before folding (a batch
+    * iterator carries no order guarantee); across batches the fold
+    * continues from stored state, so when the source delivers time-ordered
+    * batches (file sequence, per-key Kafka ordering) the N-batch result is
+    * bit-identical to the one-shot batch fold — same seeding rule (first
+    * value), same α, same IEEE op order. Emits the user's current EWMA
+    * each batch; state is O(users), not O(events). */
+  def ewmaUpdates(events: DataFrame, alpha: Double = 0.25)(
+      implicit spark: SparkSession): Dataset[EwmaUpdate] = {
+    import spark.implicits._
+    val typed = events
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("value"))
+      .as[(Long, Long, Long, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[EwmaState, EwmaUpdate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, Long, Double)], state: GroupState[EwmaState]) =>
+          val ordered = rows.toSeq.sortBy(r => (r._2, r._3))
+          var st = state.getOption.getOrElse(EwmaState(0L, 0.0))
+          ordered.foreach { r =>
+            st =
+              if (st.n == 0L) EwmaState(1L, r._4)
+              else EwmaState(st.n + 1, alpha * r._4 + (1 - alpha) * st.ewma)
+          }
+          state.update(st)
+          Iterator.single(EwmaUpdate(uid, st.n, st.ewma))
+      }
+  }
+
   /** Streaming dedup twin (of Dedup.exact/fingerprint): drop duplicate keys
     * with watermark-BOUNDED state — `dropDuplicatesWithinWatermark` evicts
     * state older than the watermark delay, so a continuously-running dedup

@@ -166,6 +166,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming EWMA across time-ordered micro-batches equals the batch fold exactly") {
+    import org.apache.spark.sql.expressions.Window
+    val dir = java.nio.file.Files.createTempDirectory("graft-ewma").toString
+    val ev = Tables(spark, sf, "events")
+      .select("user_id", "ts", "event_id", "value")
+    // four GLOBAL time quartiles written in order => each micro-batch is a
+    // time range; per-user event order across batches matches batch order
+    val chunked = ev.withColumn("chunk",
+      ntile(4).over(Window.orderBy(unix_micros(col("ts")), col("event_id"))))
+    (1 to 4).foreach { i =>
+      chunked.filter(col("chunk") === i).drop("chunk")
+        .coalesce(1).write.parquet(s"$dir/c$i.parquet")
+    }
+    val schema = spark.read.parquet(s"$dir/c1.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*.parquet/*.parquet")
+    val q = StreamingOps.runToMemory(
+      StreamingOps.ewmaUpdates(stream).toDF(), "stream_ewma", OutputMode.Append)
+    try {
+      // the user's LAST update (max n_events) is the final fold state
+      val streamed = spark.table("stream_ewma")
+        .groupBy("user_id")
+        .agg(max(struct(col("n_events"), col("ewma"))).as("s"))
+        .select(col("user_id"), col("s.n_events").as("n_events"),
+          round(col("s.ewma"), 6).as("ewma"))
+        .collect().map(_.toString).sorted.toSeq
+      val batch = Events.ewma(spark, sf)
+        .collect().map(_.toString).sorted.toSeq
+      assert(batch.nonEmpty && streamed == batch)
+    } finally q.stop()
+  }
+
   test("stateful per-user totals equal batch groupBy") {
     val q = StreamingOps.runToMemory(
       StreamingOps.statefulUserTotals(StreamingOps.eventStream(spark, sf)).toDF(),
