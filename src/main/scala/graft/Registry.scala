@@ -209,6 +209,8 @@ object Registry {
     q("pp4_pack_sequences", (s, d) => Pipeline.packSequences(s, d),
       "SELECT doc_id, doc_id % 8 AS shard, CAST(floor(coalesce(sum(CAST(len(string_split(text,' ')) AS BIGINT)) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 256) AS BIGINT) AS bin, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens FROM documents ORDER BY doc_id"),
 
+    q("pp10_curriculum_shards", (s, d) => Pipeline.curriculumShards(s, d),
+      "WITH q AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens, round((1.0 - len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and','to','in'))) / CAST(len(string_split(text,' ')) AS DOUBLE)) * least(CAST(len(string_split(text,' ')) AS DOUBLE), 100.0) / 100.0, 4) AS quality FROM documents), v AS (SELECT quality, CAST(sum(n_tokens) AS BIGINT) AS vt FROM q GROUP BY quality), c AS (SELECT quality, CAST(coalesce(sum(vt) OVER (ORDER BY quality DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb FROM v), tt AS (SELECT CAST(sum(vt) AS BIGINT) AS t FROM v), sh AS (SELECT quality, CAST(cb * 8 // t AS BIGINT) AS shard FROM c, tt) SELECT q.doc_id, q.quality, q.n_tokens, sh.shard FROM q JOIN sh ON q.quality = sh.quality ORDER BY doc_id"),
     q("pp8_repetition_filter", (s, d) => Pipeline.repetitionFilter(s, d),
       "WITH t AS (SELECT doc_id, string_split(text,' ') AS a FROM documents WHERE len(string_split(text,' ')) >= 2), base AS (SELECT doc_id, CAST(len(a) AS BIGINT) AS n_tokens, 1.0 - len(list_distinct(a)) / CAST(len(a) AS DOUBLE) AS dup_word_frac FROM t), fg AS (SELECT doc_id, md5(array_to_string(a[i:i+4],' ')) AS g FROM t, UNNEST(generate_series(1, len(a)-4)) AS u(i) WHERE len(a) >= 5), fd AS (SELECT doc_id, 1.0 - count(DISTINCT g) / CAST(count(*) AS DOUBLE) AS dup5 FROM fg GROUP BY doc_id), bi AS (SELECT doc_id, a[i] || ' ' || a[i+1] AS bg FROM t, UNNEST(generate_series(1, len(a)-1)) AS u(i)), bc AS (SELECT doc_id, bg, count(*) AS c FROM bi GROUP BY doc_id, bg), tb AS (SELECT doc_id, max(c) / CAST(sum(c) AS DOUBLE) AS top_bigram_frac FROM bc GROUP BY doc_id) SELECT b.doc_id, b.n_tokens, round(b.dup_word_frac, 4) AS dup_word_frac, round(coalesce(fd.dup5, 0.0), 4) AS dup_5gram_frac, round(tb.top_bigram_frac, 4) AS top_bigram_frac FROM base b JOIN tb ON b.doc_id = tb.doc_id LEFT JOIN fd ON b.doc_id = fd.doc_id WHERE tb.top_bigram_frac <= 0.08 ORDER BY b.doc_id"),
     q("pp9_redact_pii", Pipeline.redactEvents,
@@ -286,6 +288,7 @@ object Registry {
 
     // ---- multimodal (binary payload columns; stub decode kernel) ----
     noOracle("mm1_media_features", Multimodal.mediaFeaturesQuery),
+    noOracle("mm4_media_neardup", Multimodal.mediaNearDupQuery),
     q("mm2_frame_sample", (s, d) => Multimodal.frameSampleQuery(s, d),
       "WITH m AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS len FROM documents WHERE octet_length(encode(text)) >= 64) SELECT media_id, unnest(generate_series(0, CAST(least(floor((len - 64) / 32), 7) AS BIGINT))) AS frame_no FROM m ORDER BY media_id, frame_no"),
 

@@ -129,6 +129,42 @@ object Multimodal {
       .select("fp", "keep_id", "n_copies", "total_bytes")
       .orderBy("keep_id")
 
+  /** Top-k most-similar media pairs by feature cosine — the media twin of
+    * embedding near-dup (dd6), over any (media_id, feature) relation.
+    * Ranked top-k rather than thresholded: stub byte-histogram features
+    * make similar text cluster tightly, and a fixed k keeps the output
+    * bounded and deterministic (rounded cosine, id tie-breaks) regardless
+    * of how tight. TakeOrdered top-k — no global sort materializes. */
+  def mediaTopPairs(features: DataFrame, k: Int = 50): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val a = features.select(col("media_id").as("id_a"), col("feature").as("fa"),
+      normFast(col("feature")).as("na"))
+    val b = features.select(col("media_id").as("id_b"), col("feature").as("fb"),
+      normFast(col("feature")).as("nb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(dotFast(col("fa"), col("fb")) / (col("na") * col("nb")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("id_a"), col("id_b"))
+      .limit(k)
+  }
+
+  /** Registry query (mm4): most-similar media pairs over the stub features
+    * of a deterministic ~500-item sample (the dd6/dd3 sampling rule —
+    * brute force stays the bounded oracle; the LSH/IVF paths in
+    * `graft.operators.Similarity` are the unbounded-n route for real
+    * embeddings). Rows-only driver check (the feature kernel is engine
+    * code); exact-duplicate recall and determinism in MultimodalSpec. */
+  def mediaNearDupQuery(spark: SparkSession, dir: String): DataFrame = {
+    val all = extractFeaturesWithVec(fixtureFromDocuments(spark, dir))
+    val mod = math.max(1L, all.count() / 500)
+    mediaTopPairs(all.filter(col("media_id") % mod === 0))
+  }
+
+  /** extractFeatures variant keeping the feature as a queryable column
+    * relation (media_id, feature). */
+  def extractFeaturesWithVec(media: Dataset[MediaRow]): DataFrame =
+    extractFeatures(media).toDF().select(col("media_id"), col("feature"))
+
   /** Deterministic fixture: media rows synthesized from the documents
     * table's text bytes (UTF-8), so multimodal plumbing is testable against
     * the standard corpus. */

@@ -74,6 +74,35 @@ object Pipeline {
       .select("keep_id", "n_copies", "n_tokens", "quality")
       .orderBy("keep_id")
 
+  /** Curriculum shard assignment (pp10): partition the corpus into
+    * `nShards` quality-ranked shards of near-equal TOKEN mass — the
+    * curriculum-learning layout (schedule high-quality shards first, long
+    * tail later). Built at VALUE granularity like the q48 histogram: docs
+    * collapse to the (rounded quality, token mass) distribution in one
+    * partial-aggregated shuffle, the prefix-sum window runs over that
+    * bounded domain (4-dp qualities ⇒ ≤ 10⁴ values) rather than the
+    * corpus, and each doc joins its value's shard id back via broadcast.
+    * Equal-quality docs share a shard, so the assignment needs no global
+    * doc order — the property that keeps it scale-safe AND total-order
+    * deterministic. */
+  def curriculumShards(s: SparkSession, d: String, nShards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = t(s, d, "documents")
+      .select(col("doc_id"), size(toks).cast("long").as("n_tokens"),
+        round(quality, 4).as("quality"))
+    val v = q.groupBy("quality").agg(sum("n_tokens").as("vt"))
+    val before = Window.orderBy(col("quality").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = v.agg(sum("vt").as("t"))
+    val shards = v.withColumn("cb", coalesce(sum("vt").over(before), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("shard", expr(s"CAST(cb * $nShards DIV t AS BIGINT)"))
+      .select("quality", "shard")
+    q.join(broadcast(shards), "quality")
+      .select("doc_id", "quality", "n_tokens", "shard")
+      .orderBy("doc_id")
+  }
+
   /** Deterministic train/holdout split by content-independent hash: a doc
     * lands in holdout iff the md5 of its id's decimal string starts below
     * 0x1a (26/256 ≈ 10.2%). The split is a pure narrow map — reproducible

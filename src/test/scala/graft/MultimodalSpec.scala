@@ -87,4 +87,21 @@ class MultimodalSpec extends AnyFunSuite {
       s"width filter not pushed:\n${p.take(600)}")
     assert(stats.count() > 0)
   }
+
+  test("mm4: injected exact duplicates rank at the top with cosine 1; output deterministic") {
+    val base = Multimodal.extractFeaturesWithVec(media)
+    // duplicate every item under a shifted id — each (id, id + 10^9) pair
+    // has IDENTICAL features, so the top pairs must be dominated by cos=1
+    val doubled = base.unionByName(
+      base.select((col("media_id") + 1000000000L).as("media_id"), col("feature")))
+    val top = Multimodal.mediaTopPairs(doubled, k = 30).collect()
+    assert(top.length == 30)
+    assert(top.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(top.forall(r => r.getDouble(2) == 1.0),
+      "exact duplicates exist for every item, so every top pair must be cos=1")
+    // and the registry query itself is stable across runs
+    val a = Multimodal.mediaNearDupQuery(spark, sf).collect().map(_.toString).toSeq
+    val b = Multimodal.mediaNearDupQuery(spark, sf).collect().map(_.toString).toSeq
+    assert(a == b && a.nonEmpty)
+  }
 }
