@@ -43,7 +43,9 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "mm3_binary_dedup" -> 2,      // digest-only agg shuffle + sort; payload never moves
     "gr2_triangles" -> 6,         // dd3 pair derivation (4) + node agg + sort; wedge joins reuse
     "ev16_ewma" -> 2,             // ONE user-keyed collect fold + sort
-    "q49_running_distinct" -> 4)  // first-touch agg + day agg + day-domain window + sort
+    "q49_running_distinct" -> 4,  // first-touch agg + day agg + day-domain window + sort
+    "pp10_curriculum_shards" -> 5, // quality-value agg + domain window + shard join + sort
+    "mm4_media_neardup" -> 0)     // broadcast pair join + TakeOrdered: shuffle-free
 
   budgets.foreach { case (name, budget) =>
     test(s"$name stays within its shuffle budget ($budget)") {
