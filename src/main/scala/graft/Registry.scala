@@ -289,6 +289,8 @@ object Registry {
     // ---- multimodal (binary payload columns; stub decode kernel) ----
     noOracle("mm1_media_features", Multimodal.mediaFeaturesQuery),
     noOracle("mm4_media_neardup", Multimodal.mediaNearDupQuery),
+    q("mm5_resize_audit", (s, d) => Multimodal.resizeAuditQuery(s, d),
+      "SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS orig_bytes, CAST(least(octet_length(encode(text)), 256) AS BIGINT) AS resized_bytes FROM documents ORDER BY media_id"),
     q("mm2_frame_sample", (s, d) => Multimodal.frameSampleQuery(s, d),
       "WITH m AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS len FROM documents WHERE octet_length(encode(text)) >= 64) SELECT media_id, unnest(generate_series(0, CAST(least(floor((len - 64) / 32), 7) AS BIGINT))) AS frame_no FROM m ORDER BY media_id, frame_no"),
 

@@ -84,6 +84,20 @@ object Multimodal {
   def resize(media: DataFrame, targetBytes: Int): DataFrame =
     media.withColumn("payload", expr(s"substring(payload, 1, $targetBytes)"))
 
+  /** Registry query (mm5): the resize stage's byte accounting — original
+    * vs resized payload sizes over the media fixture. The binary
+    * truncation itself is engine code, but its LENGTH contract
+    * (`min(len, target)`) is pure arithmetic, so this stage gets a full
+    * DuckDB oracle like mm2's frame-count formula. A narrow map — payload
+    * bytes never shuffle; the output is the audit a real resize job
+    * publishes (bytes in/bytes out per item). */
+  def resizeAuditQuery(spark: SparkSession, dir: String, targetBytes: Int = 256): DataFrame =
+    resize(fixtureFromDocuments(spark, dir).toDF()
+      .withColumn("orig_bytes", octet_length(col("payload")).cast("long")), targetBytes)
+      .select(col("media_id"), col("orig_bytes"),
+        octet_length(col("payload")).cast("long").as("resized_bytes"))
+      .orderBy("media_id")
+
   /** Registry query (mm1): decode/feature-extract over the documents-backed
     * media fixture. The stub kernel is a pure function of the payload bytes,
     * so the result is deterministic — the driver's rows-only check plus
