@@ -140,6 +140,32 @@ object Pipeline {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** Cross-document boilerplate detection (pp11): per document, the
+    * fraction of its context-window chunks whose fingerprint also occurs
+    * in ANOTHER document — the CCNet-style shared-text metric that flags
+    * templated headers/footers and mirrored passages which whole-document
+    * dedup can never catch (the documents differ; their pieces do not).
+    * Composes [[chunkDocuments]]: the cross-doc duplicated-fingerprint set
+    * is one fp-keyed distinct-count aggregation (16-byte keys, never
+    * text), joined back fp-keyed, folded per doc. At 100 TB the duplicated
+    * set is small relative to the chunk stream — the Bloom-prefilter trick
+    * bf1 uses applies verbatim if it ever is not. */
+  def boilerplateFraction(s: SparkSession, d: String): DataFrame = {
+    val chunks = chunkDocuments(s, d).select("doc_id", "chunk_fp")
+    val crossDoc = chunks.groupBy("chunk_fp")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") > 1)
+      .select("chunk_fp")
+    chunks.join(crossDoc.withColumn("dup", lit(1L)), Seq("chunk_fp"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(coalesce(col("dup"), lit(0L))).as("n_dup_chunks"))
+      .withColumn("boilerplate_frac",
+        round(col("n_dup_chunks").cast("double") / col("n_chunks"), 4))
+      .orderBy("doc_id")
+  }
+
   /** IQR outlier filter: keep documents whose token count lies within
     * [q1 − 1.5·IQR, q3 + 1.5·IQR] — the standard stats-based length filter
     * of a cleaning pass. The quantiles come from ONE exact `percentile`

@@ -46,7 +46,8 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "q49_running_distinct" -> 4,  // first-touch agg + day agg + day-domain window + sort
     "pp10_curriculum_shards" -> 5, // quality-value agg + domain window + shard join + sort
     "mm4_media_neardup" -> 0,     // broadcast pair join + TakeOrdered: shuffle-free
-    "mm5_resize_audit" -> 1)      // narrow byte-accounting map; sort only
+    "mm5_resize_audit" -> 1,      // narrow byte-accounting map; sort only
+    "pp11_boilerplate" -> 4)      // fp distinct-count + fp join-back + doc agg + sort
 
   budgets.foreach { case (name, budget) =>
     test(s"$name stays within its shuffle budget ($budget)") {
