@@ -249,6 +249,10 @@ object Registry {
       "WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value FROM events), l AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, list(CAST(value AS DOUBLE) ORDER BY ts_us, event_id) AS vs FROM e GROUP BY user_id) SELECT user_id, n_events, round(list_reduce(vs, (acc, x) -> 0.25*x + 0.75*acc), 6) AS ewma FROM l ORDER BY user_id"),
     q("q49_running_distinct", Events.runningDistinctUsers,
       "WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events), f AS (SELECT user_id, min(day) AS day FROM e GROUP BY user_id), d AS (SELECT day, count(*) AS new_users FROM f GROUP BY day), ad AS (SELECT DISTINCT day FROM e) SELECT ad.day, coalesce(d.new_users, 0) AS new_users, CAST(sum(coalesce(d.new_users, 0)) OVER (ORDER BY ad.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_distinct_users FROM ad LEFT JOIN d ON ad.day = d.day ORDER BY ad.day"),
+    q("ev17_forward_fill", Events.forwardFill,
+      "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value FROM events) SELECT user_id, event_id, ts_us, event_type, last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_value FROM e ORDER BY user_id, ts_us, event_id"),
+    q("dd11_chunk_dedup", Pipeline.chunkDedupKeepList,
+      "WITH t AS (SELECT doc_id, string_split(text,' ') AS a, CAST(len(string_split(text,' ')) AS BIGINT) AS n FROM documents), c AS (SELECT doc_id, a, unnest(generate_series(0, CAST(greatest(ceil((n - 32)/24.0), 0) AS BIGINT))) AS ci FROM t), ch AS (SELECT doc_id, ci AS chunk_id, CAST(len(a[ci*24+1 : ci*24+32]) AS BIGINT) AS n_chunk_tokens, md5(array_to_string(a[ci*24+1 : ci*24+32], ' ')) AS chunk_fp FROM c), r AS (SELECT doc_id, n_chunk_tokens, row_number() OVER (PARTITION BY chunk_fp ORDER BY doc_id, chunk_id) = 1 AS keep FROM ch) SELECT doc_id, count(*) AS n_chunks, CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_chunks, CAST(sum(CASE WHEN keep THEN n_chunk_tokens ELSE 0 END) AS BIGINT) AS kept_tokens FROM r GROUP BY doc_id ORDER BY doc_id"),
     q("ev15_hourly_anomaly", Events.hourlyAnomalies,
       "WITH h AS (SELECT date_trunc('hour', ts) AS w_start, event_type, count(*) AS n FROM events GROUP BY 1, 2), st AS (SELECT event_type, count(*) AS nh, CAST(sum(n) AS BIGINT) AS sx, CAST(sum(n*n) AS BIGINT) AS sxx FROM h GROUP BY 1), z AS (SELECT h.w_start, h.event_type, h.n, CASE WHEN nh > 1 AND (CAST(nh AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx) > 0 THEN (n - CAST(sx AS DOUBLE)/nh) / sqrt((CAST(nh AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx) / (CAST(nh AS DOUBLE)*(nh-1))) END AS zraw FROM h JOIN st USING (event_type)) SELECT event_type, w_start, n, round(zraw, 4) AS z, coalesce(abs(round(zraw, 4)) > 2.0, FALSE) AS is_anomaly FROM z ORDER BY event_type, w_start"),
     q("tx4_top_bigrams", TextAnalysis.topBigrams,

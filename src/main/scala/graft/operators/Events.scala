@@ -334,6 +334,25 @@ object Events {
       .orderBy("day")
   }
 
+  /** Forward fill / LOCF (ev17): carry each user's last PURCHASE value
+    * forward onto every subsequent event — the last-observation-carried-
+    * forward primitive that densifies sparse measurements (ev7 fills
+    * missing ROWS with zeros; this fills missing VALUES with history).
+    * One user-keyed window with `last(..., ignoreNulls)` over the running
+    * frame; values are stored doubles carried verbatim (no arithmetic), so
+    * the result is exact on any engine. */
+  def forwardFill(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, d, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"), col("value"))
+      .withColumn("last_purchase_value",
+        last(when(col("event_type") === "purchase", col("value")), ignoreNulls = true).over(w))
+      .select("user_id", "event_id", "ts_us", "event_type", "last_purchase_value")
+      .orderBy("user_id", "ts_us", "event_id")
+  }
+
   def topSpenders(s: SparkSession, d: String): DataFrame =
     t(s, d, "events")
       .filter(col("event_type") === "purchase")

@@ -166,6 +166,28 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Chunk-level dedup keep-list (dd11's engine side, housed here with its
+    * chunking substrate): across the whole corpus, each distinct chunk
+    * fingerprint survives exactly ONCE — at its first (doc_id, chunk_id)
+    * occurrence — and every document reports how many of its chunks (and
+    * token mass) it retains. This is the REWRITE counterpart of pp11's
+    * detection: repeated passages are pruned at sub-document granularity,
+    * the exact-substring-dedup effect (Lee et al.) whole-document dedup
+    * cannot produce. One fp-keyed window (first-occurrence rank) + one
+    * doc-keyed fold; only 16-byte fingerprints and counters shuffle. */
+  def chunkDedupKeepList(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("chunk_fp").orderBy("doc_id", "chunk_id")
+    chunkDocuments(s, d)
+      .withColumn("keep", row_number().over(w) === 1)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(col("keep").cast("long")).as("n_kept_chunks"),
+        sum(when(col("keep"), col("n_chunk_tokens")).otherwise(lit(0L))).as("kept_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** IQR outlier filter: keep documents whose token count lies within
     * [q1 − 1.5·IQR, q3 + 1.5·IQR] — the standard stats-based length filter
     * of a cleaning pass. The quantiles come from ONE exact `percentile`

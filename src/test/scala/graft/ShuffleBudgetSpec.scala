@@ -47,7 +47,9 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "pp10_curriculum_shards" -> 5, // quality-value agg + domain window + shard join + sort
     "mm4_media_neardup" -> 0,     // broadcast pair join + TakeOrdered: shuffle-free
     "mm5_resize_audit" -> 1,      // narrow byte-accounting map; sort only
-    "pp11_boilerplate" -> 4)      // fp distinct-count + fp join-back + doc agg + sort
+    "pp11_boilerplate" -> 4,      // fp distinct-count + fp join-back + doc agg + sort
+    "ev17_forward_fill" -> 2,     // ONE user-keyed LOCF window + sort
+    "dd11_chunk_dedup" -> 4)      // fp first-occurrence window + doc agg + sort
 
   budgets.foreach { case (name, budget) =>
     test(s"$name stays within its shuffle budget ($budget)") {
