@@ -319,18 +319,29 @@ object Events {
     * COUNT(DISTINCT) over an ordered window, which no engine supports
     * directly — the standard rewrite counts each user once at its FIRST
     * day (one user-keyed aggregation) and prefix-sums the per-day new-user
-    * counts. The window runs over the day domain (metadata scale); the
-    * corpus-sized work is the first-touch aggregation. */
+    * counts. The prefix runs over the day domain (metadata scale) via
+    * [[Prefix.exclusiveSum]] — two-pass, so even a decades-long day domain
+    * never lands in one task; the corpus-sized work is the first-touch
+    * aggregation. */
   def runningDistinctUsers(s: SparkSession, d: String): DataFrame = {
     val e = t(s, d, "events")
       .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
     val newPerDay = e.groupBy("user_id").agg(min("day").as("day"))
       .groupBy("day").agg(count(lit(1)).as("new_users"))
-    val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    e.select("day").distinct()
+    // the day-domain relation feeds stats + Prefix's three branches; tiny,
+    // but derived from a corpus-wide distinct — materialize it once
+    val days = e.select("day").distinct()
       .join(newPerDay, Seq("day"), "left")
       .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
-      .withColumn("cum_distinct_users", sum("new_users").over(w))
+      .localCheckpoint()
+    val stat = days.agg(min("day").as("mnd"), max("day").as("mxd"))
+    Prefix.exclusiveSum(
+        days.crossJoin(broadcast(stat)),
+        Prefix.rangeBin(col("day"), col("mnd"), col("mxd"), 32),
+        Seq(col("day")), col("new_users"), "cb")
+      // inclusive running total = exclusive prefix + own mass
+      .withColumn("cum_distinct_users", col("cb") + col("new_users"))
+      .select("day", "new_users", "cum_distinct_users")
       .orderBy("day")
   }
 

@@ -79,23 +79,25 @@ object Pipeline {
     * curriculum-learning layout (schedule high-quality shards first, long
     * tail later). Built at VALUE granularity like the q48 histogram: docs
     * collapse to the (rounded quality, token mass) distribution in one
-    * partial-aggregated shuffle, the prefix-sum window runs over that
-    * bounded domain (4-dp qualities ⇒ ≤ 10⁴ values) rather than the
-    * corpus, and each doc joins its value's shard id back via broadcast.
-    * Equal-quality docs share a shard, so the assignment needs no global
-    * doc order — the property that keeps it scale-safe AND total-order
-    * deterministic. */
+    * partial-aggregated shuffle, the prefix sum runs over that bounded
+    * domain (4-dp qualities ⇒ ≤ 10⁴ values) rather than the corpus via
+    * [[Prefix.exclusiveSum]] (two-pass, no single-partition window), and
+    * each doc joins its value's shard id back via broadcast. Equal-quality
+    * docs share a shard, so the assignment needs no global doc order — the
+    * property that keeps it scale-safe AND total-order deterministic. */
   def curriculumShards(s: SparkSession, d: String, nShards: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val q = t(s, d, "documents")
       .select(col("doc_id"), size(toks).cast("long").as("n_tokens"),
         round(quality, 4).as("quality"))
-    val v = q.groupBy("quality").agg(sum("n_tokens").as("vt"))
-    val before = Window.orderBy(col("quality").desc)
-      .rowsBetween(Window.unboundedPreceding, -1)
+    // corpus-sized agg, consumed by tot + Prefix's three branches
+    val v = q.groupBy("quality").agg(sum("n_tokens").as("vt")).localCheckpoint()
     val tot = v.agg(sum("vt").as("t"))
-    val shards = v.withColumn("cb", coalesce(sum("vt").over(before), lit(0L)))
-      .crossJoin(broadcast(tot))
+    // prefix order is quality DESC, so the bin key is (1 - quality): pid
+    // then ascends with the prefix order as exclusiveSum requires
+    val shards = Prefix.exclusiveSum(
+        v.crossJoin(broadcast(tot)),
+        Prefix.rangeBin(lit(1.0) - col("quality"), lit(0.0), lit(1.0), 32),
+        Seq(col("quality").desc), col("vt"), "cb")
       .withColumn("shard", expr(s"CAST(cb * $nShards DIV t AS BIGINT)"))
       .select("quality", "shard")
     q.join(broadcast(shards), "quality")

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Range-partitioned two-pass parallel prefix sum — the scale-safe
+  * replacement for a global `Window.orderBy(...)` running sum, which Spark
+  * plans as an `Exchange SinglePartition` + one task holding the entire
+  * relation (fine at fixture scale, the whole job at 100 TB).
+  *
+  * Pass 1: a caller-supplied `pid` column — any WEAKLY MONOTONE (w.r.t. the
+  * requested order), deterministic, bounded-domain function of the row —
+  * spreads the relation over partitions, and a pid-partitioned window
+  * computes partition-LOCAL exclusive prefix sums. Pass 2 adds each
+  * partition's offset: the total mass of all earlier partitions, obtained
+  * from a ≤`parts`²-pair triangular broadcast self-join over the per-pid
+  * masses (no single-partition window anywhere in the plan).
+  *
+  * Deriving pid from row VALUES (a bin of the key's range) rather than
+  * `spark_partition_id()` keeps the three consumers of the input trivially
+  * consistent with each other; callers should still `localCheckpoint` the
+  * input if it is expensive to recompute (this helper consumes it three
+  * times). Used by q48 (equi-depth histogram), pp10 (curriculum shards) and
+  * q49 (running distinct users); tx6 keeps its own rank variant (row_number
+  * needs the range-partitioned form because the vocabulary's zipfian count
+  * distribution defeats value binning).
+  */
+object Prefix {
+
+  /** Adds `as` = exclusive prefix sum of `mass` over `ord` order to `df`.
+    * `pid` must be weakly monotone ascending w.r.t. `ord` — equal-ord rows
+    * may share a bin, bins never interleave. The output keeps all input
+    * columns (plus `as`); row order is unspecified, as with any window. */
+  def exclusiveSum(
+      df: DataFrame, pid: Column, ord: Seq[Column], mass: Column, as: String): DataFrame = {
+    val binned = df.withColumn("__pid", pid.cast("int")).withColumn("__mass", mass)
+    val local = Window.partitionBy("__pid").orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val psums = binned.groupBy("__pid").agg(sum("__mass").as("__psum"))
+    val offsets = psums
+      .join(broadcast(psums.select(col("__pid").as("__pid_b"), col("__psum").as("__psum_b"))),
+        col("__pid_b") < col("__pid"), "left")
+      .groupBy("__pid").agg(coalesce(sum("__psum_b"), lit(0L)).as("__off"))
+    binned
+      .withColumn("__local", coalesce(sum("__mass").over(local), lit(0L)))
+      .join(broadcast(offsets), "__pid")
+      .withColumn(as, col("__local") + col("__off"))
+      .drop("__pid", "__mass", "__local", "__off")
+  }
+
+  /** pid for a numeric key: its bin in an equi-width split of [mn, mx] into
+    * `parts` bins — weakly monotone ascending in `key` (decimal→double
+    * cast, ×, ÷, floor are monotone; FP rounding at bin edges only shifts a
+    * boundary, never reorders). `mn`/`mx` are columns (typically broadcast
+    * 1-row aggregates) so the expression stays pure and deterministic. */
+  def rangeBin(key: Column, mn: Column, mx: Column, parts: Int): Column =
+    when(mx === mn, lit(0)).otherwise(
+      least(lit(parts - 1),
+        floor((key - mn).cast("double") * parts / (mx - mn).cast("double"))))
+}

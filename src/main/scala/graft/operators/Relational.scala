@@ -727,21 +727,29 @@ object Relational {
   /** Equi-depth (equi-height) histogram of o_totalprice — the statistic a
     * cost-based optimizer stores per column. Built at VALUE granularity:
     * the corpus first collapses to the (value, count) distribution in one
-    * partial-aggregated shuffle, and only that compressed distribution —
-    * bounded by the value domain, not the row count — flows through the
-    * global prefix-sum window that assigns each value its bucket
-    * (bucket = 16 · rows_before / n, so buckets hold equal ROW mass while
-    * every value lands in exactly one bucket). The single-partition window
-    * is over |distinct prices| rows by construction; at 100 TB that is the
-    * standard stats-collection plan (histograms are defined over the value
-    * distribution), not a global sort of the fact table. */
+    * partial-aggregated shuffle, then every value gets its exact exclusive
+    * prefix count `cb` (rows with a strictly smaller price), which fixes its
+    * bucket (bucket = 16 · cb / n: equal ROW mass per bucket, every value in
+    * exactly one bucket).
+    *
+    * The prefix sum is [[Prefix.exclusiveSum]] — the range-partitioned
+    * two-pass parallel prefix (value-binned pid → partition-local window →
+    * triangular-join offsets), so no operator ever sees more than
+    * ~|distinct prices|/32 rows in one task; at 100× the data the plan just
+    * needs more bins, where the old global `Window.orderBy(price)` funneled
+    * the whole domain into ONE task. */
   def q48EquiDepthHist(s: SparkSession, d: String): DataFrame = {
+    // the compressed (value, count) distribution feeds four branches
+    // (stats + Prefix's three): materialize it once — see Dedup.jaccardPairs
+    // for the localCheckpoint-over-cache rationale
     val v = t(s, d, "orders")
       .groupBy(col("o_totalprice").as("price")).agg(count(lit(1)).as("c"))
-    val before = Window.orderBy("price").rowsBetween(Window.unboundedPreceding, -1)
-    val tot = v.agg(sum("c").as("n"))
-    v.withColumn("cb", coalesce(sum("c").over(before), lit(0L)))
-      .crossJoin(broadcast(tot))
+      .localCheckpoint()
+    val tot = v.agg(sum("c").as("n"), min("price").as("mn"), max("price").as("mx"))
+    Prefix.exclusiveSum(
+        v.crossJoin(broadcast(tot)),
+        Prefix.rangeBin(col("price"), col("mn"), col("mx"), 32),
+        Seq(col("price")), col("c"), "cb")
       .withColumn("bucket", expr("CAST(cb * 16 DIV n AS BIGINT)"))
       .groupBy("bucket")
       .agg(

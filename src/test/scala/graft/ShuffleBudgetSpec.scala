@@ -36,15 +36,19 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "q46_avgqty_subquery" -> 3,   // partkey agg (threshold broadcast back) + final agg + sort
     "dd10_tfidf_cosine" -> 4,     // df agg + weight/norm agg + pair agg + sort; dims broadcast
     "q47_exists_chain" -> 3,      // semi/anti branches broadcast at test SF; agg (+2 headroom for the shuffle regime)
-    "q48_equidepth_hist" -> 4,    // value agg + distribution window + bucket agg + sort
+    // two-pass Prefix queries: the old global-window plans had fewer
+    // exchanges but ONE task holding the whole domain; the extra exchanges
+    // here carry bin-mass relations of ≤32 rows (stats agg, pid-local
+    // window, per-bin masses, offsets) — movement measured in bytes
+    "q48_equidepth_hist" -> 8,    // value agg ckpt + stats + pid window + masses + offsets + bucket agg + sort
     "ev13_scd2_history" -> 2,     // ONE user-keyed exchange feeds all three windows + sort
     "ev14_session_overlap" -> 3,  // session window + hour agg + sort
     "ev15_hourly_anomaly" -> 4,   // hourly agg + moment agg + join align + sort
     "mm3_binary_dedup" -> 2,      // digest-only agg shuffle + sort; payload never moves
     "gr2_triangles" -> 6,         // dd3 pair derivation (4) + node agg + sort; wedge joins reuse
     "ev16_ewma" -> 2,             // ONE user-keyed collect fold + sort
-    "q49_running_distinct" -> 4,  // first-touch agg + day agg + day-domain window + sort
-    "pp10_curriculum_shards" -> 5, // quality-value agg + domain window + shard join + sort
+    "q49_running_distinct" -> 7,  // first-touch agg + day agg ckpt + two-pass prefix over the day domain + sort
+    "pp10_curriculum_shards" -> 7, // quality-value agg ckpt + two-pass prefix over the quality domain + shard join + sort
     "mm4_media_neardup" -> 0,     // broadcast pair join + TakeOrdered: shuffle-free
     "mm5_resize_audit" -> 1,      // narrow byte-accounting map; sort only
     "pp11_boilerplate" -> 4,      // fp distinct-count + fp join-back + doc agg + sort
@@ -57,5 +61,43 @@ class ShuffleBudgetSpec extends AnyFunSuite {
       assert(n <= budget, s"$name now plans $n exchanges (budget $budget) — " +
         "a new shuffle appeared; review the plan before raising the budget")
     }
+  }
+
+  // ---- registry-wide single-partition-window ban -------------------------
+  // A WindowExec with an empty partitionSpec moves the ENTIRE relation into
+  // one task ("No Partition Defined for Window operation"); the relation may
+  // be domain-bounded today, but the bound is a comment, not a contract.
+  // After round 5 every former global window (q48, tx6, pp10, q49) runs the
+  // two-pass Prefix form, so the engine-wide invariant is: NO registered
+  // query plans an unpartitioned window. Queries whose construction runs
+  // eager work (k-means training, LSH+connected components, BPE rounds,
+  // persisted-index builds) are asserted through their cheap structural
+  // siblings instead — the expensive part of each is collect/iteration, not
+  // windows, and their final search/rank windows share the siblings' shape.
+  import org.apache.spark.sql.execution.SparkPlan
+  import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+  import org.apache.spark.sql.execution.window.WindowExec
+
+  private def unpartitionedWindows(p: SparkPlan): Seq[WindowExec] =
+    p.collect {
+      case a: AdaptiveSparkPlanExec => unpartitionedWindows(a.inputPlan)
+      case w: WindowExec if w.partitionSpec.isEmpty => Seq(w)
+    }.flatten ++
+      p.subqueries.flatMap(unpartitionedWindows)
+
+  private val eagerConstruction = Set(
+    "ss4_ivf_kmeans", "ss6_pq_topk", "ss5_ivf_persisted",
+    "bp1_bpe_merges", "bp2_bpe_encode", "dd8_dup_clusters", "gr1_neardup_pagerank")
+
+  test("no registered query plans a single-partition window") {
+    val offenders = Registry.all
+      .filterNot(r => eagerConstruction.contains(r.name))
+      .flatMap { r =>
+        val plan = r.fn(spark, sf).queryExecution.executedPlan
+        if (unpartitionedWindows(plan).nonEmpty) Seq(r.name) else Nil
+      }
+    assert(offenders.isEmpty,
+      s"unpartitioned WindowExec (whole relation → one task) in: " +
+        offenders.mkString(", ") + " — use the two-pass Prefix form instead")
   }
 }
