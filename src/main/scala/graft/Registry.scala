@@ -184,6 +184,12 @@ object Registry {
     noOracle("dd5_simhash_pairs", Dedup.simhashPairs),
     noOracle("dd7_winnow_fingerprints", (s, d) => Dedup.winnowFingerprints(s, d)),
     noOracle("dd8_dup_clusters", Dedup.dupClusters),
+    // dd12: the dd8 connected-components engine on the ORACLE-EXACT dd3
+    // edge set — labels/sizes/keep-list hash-checked via a recursive-CTE
+    // transitive closure (dd8 itself stays rows-only: its LSH hash family
+    // is engine-specific)
+    q("dd12_dup_clusters_exact", Dedup.dupClustersExact,
+      "WITH RECURSIVE m AS (SELECT greatest(1, count(*) // 500) AS mod FROM documents), d AS (SELECT doc_id, text FROM documents, m WHERE doc_id % m.mod = 0), toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM d), sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id), inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c FROM toks a JOIN toks b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2), p AS (SELECT id_a, id_b FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id WHERE c / (sa.n + sb.n - c) >= 0.85), e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p), reach AS (SELECT u AS node, u AS label FROM e UNION SELECT e.u AS node, r.label FROM reach r JOIN e ON e.v = r.node), lab AS (SELECT node, min(label) AS label FROM reach GROUP BY node), cl AS (SELECT d.doc_id, coalesce(lab.label, d.doc_id) AS cluster_id FROM d LEFT JOIN lab ON d.doc_id = lab.node), sz AS (SELECT cluster_id, count(*) AS cluster_size FROM cl GROUP BY cluster_id) SELECT cl.doc_id, cl.cluster_id, CAST(sz.cluster_size AS BIGINT) AS cluster_size, cl.doc_id = cl.cluster_id AS is_canonical FROM cl JOIN sz USING (cluster_id) ORDER BY doc_id"),
     q("dd9_edit_distance", (s, d) => Dedup.editDistancePairs(s, d),
       "WITH m AS (SELECT greatest(1, count(*) // 500) AS mod FROM documents), d AS (SELECT doc_id, substr(text, 1, 40) AS p FROM documents, m WHERE doc_id % m.mod = 0) SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(levenshtein(a.p, b.p) AS BIGINT) AS dist FROM d a JOIN d b ON a.doc_id < b.doc_id WHERE levenshtein(a.p, b.p) <= 10 ORDER BY id_a, id_b"),
     q("dd10_tfidf_cosine", (s, d) => Dedup.tfidfCosinePairs(s, d),
@@ -254,7 +260,10 @@ object Registry {
     q("dd11_chunk_dedup", Pipeline.chunkDedupKeepList,
       "WITH t AS (SELECT doc_id, string_split(text,' ') AS a, CAST(len(string_split(text,' ')) AS BIGINT) AS n FROM documents), c AS (SELECT doc_id, a, unnest(generate_series(0, CAST(greatest(ceil((n - 32)/24.0), 0) AS BIGINT))) AS ci FROM t), ch AS (SELECT doc_id, ci AS chunk_id, CAST(len(a[ci*24+1 : ci*24+32]) AS BIGINT) AS n_chunk_tokens, md5(array_to_string(a[ci*24+1 : ci*24+32], ' ')) AS chunk_fp FROM c), r AS (SELECT doc_id, n_chunk_tokens, row_number() OVER (PARTITION BY chunk_fp ORDER BY doc_id, chunk_id) = 1 AS keep FROM ch) SELECT doc_id, count(*) AS n_chunks, CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_chunks, CAST(sum(CASE WHEN keep THEN n_chunk_tokens ELSE 0 END) AS BIGINT) AS kept_tokens FROM r GROUP BY doc_id ORDER BY doc_id"),
     q("ev15_hourly_anomaly", Events.hourlyAnomalies,
-      "WITH h AS (SELECT date_trunc('hour', ts) AS w_start, event_type, count(*) AS n FROM events GROUP BY 1, 2), st AS (SELECT event_type, count(*) AS nh, CAST(sum(n) AS BIGINT) AS sx, CAST(sum(n*n) AS BIGINT) AS sxx FROM h GROUP BY 1), z AS (SELECT h.w_start, h.event_type, h.n, CASE WHEN nh > 1 AND (CAST(nh AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx) > 0 THEN (n - CAST(sx AS DOUBLE)/nh) / sqrt((CAST(nh AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx) / (CAST(nh AS DOUBLE)*(nh-1))) END AS zraw FROM h JOIN st USING (event_type)) SELECT event_type, w_start, n, round(zraw, 4) AS z, coalesce(abs(round(zraw, 4)) > 2.0, FALSE) AS is_anomaly FROM z ORDER BY event_type, w_start"),
+      // sxx promotes BEFORE squaring (HUGEINT here, DECIMAL(19,0) in Spark)
+      // so the moment sum cannot wrap int64 at scale; scale-0 exact sums →
+      // one correctly-rounded cast to double on both engines
+      "WITH h AS (SELECT date_trunc('hour', ts) AS w_start, event_type, count(*) AS n FROM events GROUP BY 1, 2), st AS (SELECT event_type, count(*) AS nh, CAST(sum(n) AS BIGINT) AS sx, sum(CAST(n AS HUGEINT)*n) AS sxx FROM h GROUP BY 1), z AS (SELECT h.w_start, h.event_type, h.n, CASE WHEN nh > 1 AND (CAST(nh AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*sx) > 0 THEN (n - CAST(sx AS DOUBLE)/nh) / sqrt((CAST(nh AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*sx) / (CAST(nh AS DOUBLE)*(nh-1))) END AS zraw FROM h JOIN st USING (event_type)) SELECT event_type, w_start, n, round(zraw, 4) AS z, coalesce(abs(round(zraw, 4)) > 2.0, FALSE) AS is_anomaly FROM z ORDER BY event_type, w_start"),
     q("tx4_top_bigrams", TextAnalysis.topBigrams,
       "WITH toks AS (SELECT string_split(text,' ') AS a FROM documents WHERE len(string_split(text,' ')) >= 2), bi AS (SELECT a[i] || ' ' || a[i+1] AS bigram FROM toks, UNNEST(generate_series(1, len(a)-1)) AS t(i)) SELECT bigram, count(*) AS n FROM bi GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20"),
     // CMS prefilter has no false negatives, so the sketch-accelerated form
@@ -307,6 +316,12 @@ object Registry {
     noOracle("ss2_lsh_topk", Similarity.lshTopK),
     noOracle("ss4_ivf_kmeans", (s, d) => Similarity.ivfKMeansTopK(s, d)),
     noOracle("ss6_pq_topk", (s, d) => Similarity.pqTopK(s, d)),
+    // ss7: the exact-rescore stage the sketch variants (ss2/ss4/ss6) end
+    // in, run over a FIXED deterministic candidate rule so the stage gets
+    // its own hash-checked row — sketch recall stays a ScalaTest property,
+    // rescore math is oracle-exact
+    q("ss7_exact_rescore", Similarity.fixedCandidateRescore,
+      "WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10), c AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings WHERE vec_id % 17 = 3), s AS (SELECT q_id, c_id, round(list_cosine_similarity(qv, cv), 6) AS cos FROM q JOIN c ON c_id <> q_id), r AS (SELECT q_id, c_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk FROM s) SELECT q_id, c_id, cos, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 5 ORDER BY q_id, rk"),
     q("ss3_ivf_topk", Similarity.ivfTopK,
       "WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv, label FROM embeddings WHERE vec_id < 10), s AS (SELECT q_id, CAST(q.label AS BIGINT) AS cell, e.vec_id AS c_id, round(list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[])), 6) AS cos FROM q JOIN embeddings e ON e.label = q.label AND e.vec_id <> q.q_id), r AS (SELECT q_id, cell, c_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk FROM s) SELECT q_id, cell, c_id, cos, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 5 ORDER BY q_id, rk"),
     // persisted-index probe: builds the cell-partitioned index in a temp

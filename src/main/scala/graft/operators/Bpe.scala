@@ -40,7 +40,20 @@ object Bpe {
     * word-frequency table. Output: one row per learned merge,
     * `(rank, left, right, merged, cnt)` in learning order. Iterative
     * engine-defined algorithm ⇒ rows-only driver check; BpeSpec holds the
-    * ground truth. */
+    * ground truth.
+    *
+    * Cost shape before raising `numMerges`: each merge round launches one
+    * distributed pair-count + TakeOrdered(1) job, so learning time is
+    * `numMerges × per-round job overhead` — fine at 12, but a real-vocab
+    * run (30k+ merges) would be dominated by job launches, not data. The
+    * standard fix (Sennrich's incremental learner) carries the pair-count
+    * table across rounds and adjusts ONLY the pairs overlapping the last
+    * merge's occurrences (a merge of (a,b) touches counts of (x,a), (b,y)
+    * and (a,b) neighborhoods only), turning each round into a delta update
+    * over a small keyed relation instead of a full corpus re-count. The
+    * re-encoded corpus checkpoint below is already the state that delta
+    * would be computed against; not implemented because every registry/
+    * bench/test consumer uses small fixed `numMerges`. */
   def learnMerges(s: SparkSession, d: String, numMerges: Int = 12): DataFrame = {
     val words = Tables(s, d, "documents")
       .select(explode(split(col("text"), " ")).as("w"))

@@ -358,6 +358,33 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Duplicate clusters over the ORACLE-EXACT dd3 edge set (dd12): the same
+    * [[connectedComponents]] engine as [[dupClusters]], but the input graph
+    * is the sampled exact-Jaccard pair list, whose membership is
+    * engine-independent — so the cluster labels (min reachable doc_id),
+    * cluster sizes and the `is_canonical` keep-list are all
+    * DuckDB-checkable (recursive-CTE transitive closure), giving the
+    * connected-components engine a hash-green CORRECTNESS row. dd8 keeps
+    * exercising the full production pipeline (LSH candidates → CC) under
+    * the rows-only check; this query isolates the CC math under the exact
+    * one. Same scale shape as dd8: iteration moves (node, label) pairs
+    * only. */
+  def dupClustersExact(s: SparkSession, d: String): DataFrame = {
+    val all = t(s, d, "documents")
+    val m = math.max(1L, all.count() / 500)
+    val docs = all.filter(col("doc_id") % m === 0).select("doc_id")
+    val pairs = jaccardPairs(s, d).select(col("id_a"), col("id_b")).localCheckpoint()
+    val withLabel = docs
+      .join(connectedComponents(pairs).select(col("node").as("doc_id"), col("label")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
+    val sizes = withLabel.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    withLabel.join(sizes, "cluster_id")
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+      .select("doc_id", "cluster_id", "cluster_size", "is_canonical")
+      .orderBy("doc_id")
+  }
+
   /** Connected components over an undirected pair list `(id_a, id_b)`:
     * returns `(node, label)` with label = smallest node id reachable, for
     * every node appearing in at least one pair.

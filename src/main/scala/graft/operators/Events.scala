@@ -255,14 +255,18 @@ object Events {
 
   /** Hourly anomaly flags (ev15): z-score of each (hour, event_type) count
     * against that type's own hourly distribution — the monitoring-pipeline
-    * outlier pass. The distribution moments are EXACT integer power sums
-    * (counts are longs; the sums stay far under 2^53, so the one cast to
-    * double is lossless) and the z expression is evaluated in the same
-    * operation order on both engines, so even unrounded z would be
-    * bit-identical — rounding to 1e-4 is belt-and-braces. Two aggregations
-    * (hourly counts, per-type moments) + one broadcast join back; every row
-    * keeps its z and a flag rather than filtering, so the output is a
-    * stable full matrix. */
+    * outlier pass. The distribution moments are EXACT integer power sums:
+    * counts are cast to DECIMAL(19,0) BEFORE squaring, so n² and its sum
+    * cannot wrap int64 even at per-(hour,type) counts near 1e9 (a raw
+    * `sum(n*n)` silently wraps in Spark where DuckDB promotes to HUGEINT —
+    * the engines would diverge exactly at scale). Both engines then convert
+    * the scale-0 exact sum to double in one correctly-rounded step
+    * (BigDecimal.doubleValue / int128→double; no 10^scale division, so the
+    * q41 double-rounding trap doesn't apply) and evaluate z in the same
+    * operation order — bit-identical before the 1e-4 display rounding. Two
+    * aggregations (hourly counts, per-type moments) + one broadcast join
+    * back; every row keeps its z and a flag rather than filtering, so the
+    * output is a stable full matrix. */
   def hourlyAnomalies(s: SparkSession, d: String): DataFrame = {
     val hourly = t(s, d, "events")
       .groupBy(date_trunc("hour", col("ts")).as("w_start"), col("event_type"))
@@ -270,9 +274,9 @@ object Events {
     val stats = hourly.groupBy("event_type").agg(
       count(lit(1)).as("nh"),
       sum("n").as("sx"),
-      sum(col("n") * col("n")).as("sxx"))
+      sum(col("n").cast("decimal(19,0)") * col("n").cast("decimal(19,0)")).as("sxx"))
     val nh = col("nh").cast("double")
-    val num = nh * col("sxx") - col("sx").cast("double") * col("sx")
+    val num = nh * col("sxx").cast("double") - col("sx").cast("double") * col("sx")
     val zraw = when(col("nh") > 1 && num > 0,
       (col("n") - col("sx").cast("double") / col("nh")) /
         sqrt(num / (nh * (col("nh") - 1))))

@@ -244,10 +244,18 @@ object Similarity {
     * determinism in SimilaritySpec. */
   def pqTopK(
       s: SparkSession, d: String,
-      m: Int = 8, ksub: Int = 16, iters: Int = 2, shortlist: Int = 40): DataFrame = {
+      m: Int = 8, ksub: Int = 16, iters: Int = 2, shortlist: Int = 40): DataFrame =
+    pqTopKOf(t(s, d, "embeddings").select(col("vec_id"), col("embedding")),
+      m, ksub, iters, shortlist)
+
+  /** [[pqTopK]] over an explicit (vec_id, embedding) relation — the
+    * testable core (SimilaritySpec drives it with a corpus smaller than
+    * `ksub` to pin the seed-clamp behavior). */
+  private[graft] def pqTopKOf(
+      corpus: DataFrame,
+      m: Int, ksub: Int, iters: Int, shortlist: Int): DataFrame = {
     val sub = Dim / m
-    val e = t(s, d, "embeddings")
-      .select(col("vec_id"), col("embedding"))
+    val e = corpus
       .localCheckpoint() // reused: training passes, encode, rescore
     def subvec(v: Column, j: Int): Column = slice(v, j * sub + 1, sub)
     def centLit(c: Array[Double]): Column = array(c.map(x => lit(x.toFloat)): _*)
@@ -266,11 +274,16 @@ object Similarity {
     val sampleMod = math.max(1L, e.count() / 4096)
     val train = e.filter(col("vec_id") % sampleMod === 0).localCheckpoint()
 
-    // seeds: sub-vectors of the ksub lowest vec_ids, per subspace
+    // seeds: sub-vectors of the ksub lowest vec_ids, per subspace. ksub is
+    // clamped to the vectors actually available — a tiny corpus (or a
+    // sparse hash sample) must shrink the codebook, not throw on
+    // seedRows(i); fewer cells only coarsens the quantizer
     val seedRows = train.orderBy("vec_id").limit(ksub)
       .collect().map(_.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray)
+    require(seedRows.nonEmpty, "pqTopK needs a non-empty embeddings corpus")
+    val kEff = math.min(ksub, seedRows.length)
     var books: Array[Array[Array[Double]]] =
-      Array.tabulate(m, ksub)((j, i) => seedRows(i).slice(j * sub, (j + 1) * sub))
+      Array.tabulate(m, kEff)((j, i) => seedRows(i).slice(j * sub, (j + 1) * sub))
     for (_ <- 0 until iters) {
       val cells = array((0 until m).map(j => cellOf(books, j, col("embedding"))): _*)
       // assignments MATERIALIZE before the dimension explode: left inline,
@@ -327,17 +340,44 @@ object Similarity {
       .withColumn("ark", row_number().over(wA))
       .filter(col("ark") <= shortlist)
       .select("q_id", "qv", "qn", "c_id")
-    // exact rescore of the shortlist only
-    val raw = e.select(col("vec_id").as("c_id"), col("embedding").as("cv"),
+    // exact rescore of the shortlist only — the shared rescore stage
+    rescoreTopK(e, short.select("q_id", "c_id"))
+  }
+
+  /** Exact cosine top-k over an explicit (q_id, c_id) candidate relation —
+    * the rescore stage every sketch-based ANN variant ends in (the PQ ADC
+    * shortlist feeds it directly above; LSH/IVF use the same join→cosine→
+    * rank shape inline). Only candidates pay the raw-vector join, so cost
+    * is |candidates|, not |Q|·|C|. Registered standalone as ss7 over a
+    * deterministic candidate rule so the exact stage carries its own
+    * hash-checked CORRECTNESS row, isolating sketch recall (measured in
+    * SimilaritySpec) from rescore math (oracle-exact). */
+  def rescoreTopK(e: DataFrame, candidates: DataFrame, k: Int = 5): DataFrame = {
+    val q = e.select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+      normFast(col("embedding")).as("qn"))
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("cv"),
       normFast(col("embedding")).as("cn"))
-    val wE = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
-    short.join(raw, "c_id")
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
+    candidates.join(broadcast(q), "q_id").join(c, "c_id")
       .withColumn("cos",
         round(dotFast(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
-      .withColumn("rk", row_number().over(wE).cast("long"))
-      .filter(col("rk") <= 5)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
       .select("q_id", "c_id", "cos", "rk")
       .orderBy("q_id", "rk")
+  }
+
+  /** ss7: [[rescoreTopK]] on a FIXED deterministic candidate set (every
+    * 17th vector, offset 3 — standing in for a sketch shortlist, but
+    * expressible identically in ANSI SQL). The oracle hash-checks the exact
+    * stage end to end: candidate join, float dot/norm, 1e-6 rounding, rank
+    * tie-break. */
+  def fixedCandidateRescore(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings")
+    val cands = broadcast(e.filter(col("vec_id") < 10).select(col("vec_id").as("q_id")))
+      .crossJoin(e.filter(col("vec_id") % 17 === 3).select(col("vec_id").as("c_id")))
+      .filter(col("q_id") =!= col("c_id"))
+    rescoreTopK(e, cands)
   }
 
   /** IVF-style variant: coarse partitions from label (stand-in for k-means

@@ -110,17 +110,24 @@ object Source {
       url: String,
       driver: Option[String],
       partitionOptions: Map[String, String] = Map.empty) extends Source {
-    def load(spark: SparkSession, query: String): DataFrame = {
-      val base = spark.read.format("jdbc").option("url", url)
-      // Spark forbids combining `query` with `partitionColumn`; a
-      // partitioned read wraps the pushed-down query as a derived table so
-      // the stride predicates land inside the backend's WHERE clause.
+    /** The exact `DataFrameReader` configuration [[load]] submits — exposed
+      * so the contract can be golden-tested even though `load()` itself
+      * cannot run offline (no driver jars, SURVEY.md §7.0).
+      *
+      * Spark forbids combining `query` with `partitionColumn`; a
+      * partitioned read wraps the pushed-down query as a derived table so
+      * the stride predicates land inside the backend's WHERE clause. */
+    def readerOptions(query: String): Map[String, String] = {
+      val base = Map("url" -> url)
       val withQuery =
         if (partitionOptions.keySet.exists(_.equalsIgnoreCase("partitionColumn")))
-          base.option("dbtable", s"($query) graft_q").options(partitionOptions)
-        else base.option("query", query).options(partitionOptions)
-      driver.fold(withQuery)(d => withQuery.option("driver", d)).load()
+          base + ("dbtable" -> s"($query) graft_q") ++ partitionOptions
+        else base + ("query" -> query) ++ partitionOptions
+      driver.fold(withQuery)(d => withQuery + ("driver" -> d))
     }
+
+    def load(spark: SparkSession, query: String): DataFrame =
+      spark.read.format("jdbc").options(readerOptions(query)).load()
   }
 
   /** Spark partitioned-read options recognized in a source URL's query

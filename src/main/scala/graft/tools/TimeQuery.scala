@@ -23,10 +23,16 @@ object TimeQuery {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
+    // NonFatal only: a broken fixture dir / misconfigured session should
+    // surface here, not silently proceed to timings of cold-start noise —
+    // and OOM/fatal JVM errors must never be swallowed
     try {
       spark.range(1000000).selectExpr("sum(id)").collect()
       run("q01_pricing_summary")
-    } catch { case _: Throwable => () }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[timeq] warm-up failed (timings may be cold): $e")
+    }
     args.foreach(n => println(f"TIMEQ $n ${run(n)}%.2f s"))
     spark.stop()
   }

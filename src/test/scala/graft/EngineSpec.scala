@@ -63,6 +63,47 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("JDBC reader options: golden contract per scheme (load() untestable offline)") {
+    // These maps are EXACTLY what Jdbc.load submits to spark.read.format
+    // ("jdbc") — frozen here so the one path this environment cannot
+    // execute (no driver jars, SURVEY.md §7.0) still has a pinned contract.
+    val sql = "SELECT id, name FROM t WHERE id > 5"
+    // partitioned read: query wraps as a derived table (Spark forbids
+    // query+partitionColumn), stride options pass through verbatim
+    val my = Source.fromUrl(
+      "mysql://h:3306/db?partitionColumn=id&lowerBound=0&upperBound=1000&numPartitions=8&ssl=false")
+      .asInstanceOf[Source.Jdbc]
+    assert(my.readerOptions(sql) == Map(
+      "url" -> "jdbc:mysql://h:3306/db?ssl=false",
+      "dbtable" -> s"($sql) graft_q",
+      "partitionColumn" -> "id", "lowerBound" -> "0",
+      "upperBound" -> "1000", "numPartitions" -> "8",
+      "driver" -> "com.mysql.cj.jdbc.Driver"))
+    // unpartitioned: whole-query pushdown via `query` (the reference's
+    // verbatim pass-through, src/db/postgresql.rs:97)
+    val pg = Source.fromUrl("postgresql://h/db?sslmode=require").asInstanceOf[Source.Jdbc]
+    assert(pg.readerOptions(sql) == Map(
+      "url" -> "jdbc:postgresql://h/db?sslmode=require",
+      "query" -> sql,
+      "driver" -> "org.postgresql.Driver"))
+    // sqlite: scheme-stripped file path (reference src/lib.rs:59); non-
+    // partitionColumn options (fetchsize) ride along without dbtable wrap
+    val lite = Source.fromUrl("sqlite:///tmp/db.sqlite?fetchsize=500").asInstanceOf[Source.Jdbc]
+    assert(lite.readerOptions(sql) == Map(
+      "url" -> "jdbc:sqlite:/tmp/db.sqlite",
+      "query" -> sql,
+      "fetchsize" -> "500",
+      "driver" -> "org.sqlite.JDBC"))
+    // raw jdbc: URL passes through untouched, driver left to Spark
+    val raw = Source.fromUrl("jdbc:postgresql://h/db?numPartitions=4&partitionColumn=k&lowerBound=1&upperBound=9")
+      .asInstanceOf[Source.Jdbc]
+    assert(raw.readerOptions(sql) == Map(
+      "url" -> "jdbc:postgresql://h/db",
+      "dbtable" -> s"($sql) graft_q",
+      "numPartitions" -> "4", "partitionColumn" -> "k",
+      "lowerBound" -> "1", "upperBound" -> "9"))
+  }
+
   // --- extension dispatch (reference src/lib.rs:76-90) ---
 
   test("output extension picks the format, case-insensitively, on the last dot") {

@@ -137,6 +137,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall > 0.2)
   }
 
+  test("PQ codebook seeds clamp to a corpus smaller than ksub") {
+    // 5 vectors < ksub=16: seeding must shrink the codebook (coarser
+    // quantizer), not throw ArrayIndexOutOfBounds on seedRows(i)
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val tiny = (0L until 5L).map(i => (i, Array.fill(64)(rng.nextFloat())))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val out = Similarity.pqTopKOf(tiny, m = 8, ksub = 16, iters = 1, shortlist = 10)
+      .collect()
+    // 5 queries (all ids < 10) × up to 4 candidates each
+    assert(out.length == 20)
+    assert(out.map(_.getAs[Long]("q_id")).distinct.length == 5)
+  }
+
   test("IVF topk searches only the query's cell") {
     val out = Similarity.ivfTopK(spark, sf)
     val e = Tables(spark, sf, "embeddings")
