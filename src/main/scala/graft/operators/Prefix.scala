@@ -50,12 +50,15 @@ object Prefix {
   }
 
   /** pid for a numeric key: its bin in an equi-width split of [mn, mx] into
-    * `parts` bins — weakly monotone ascending in `key` (decimal→double
+    * `parts` bins — weakly monotone ascending in `key` (numeric→double
     * cast, ×, ÷, floor are monotone; FP rounding at bin edges only shifts a
     * boundary, never reorders). `mn`/`mx` are columns (typically broadcast
-    * 1-row aggregates) so the expression stays pure and deterministic. */
-  def rangeBin(key: Column, mn: Column, mx: Column, parts: Int): Column =
+    * 1-row aggregates) so the expression stays pure and deterministic.
+    * Operands cast to double BEFORE subtracting: `key - mn` in the source
+    * type could wrap for long domains spanning more than 2^63. */
+  def rangeBin(key: Column, mn: Column, mx: Column, parts: Int): Column = {
+    val (k, lo, hi) = (key.cast("double"), mn.cast("double"), mx.cast("double"))
     when(mx === mn, lit(0)).otherwise(
-      least(lit(parts - 1),
-        floor((key - mn).cast("double") * parts / (mx - mn).cast("double"))))
+      least(lit(parts - 1), greatest(lit(0), floor((k - lo) * parts / (hi - lo)))))
+  }
 }

@@ -118,6 +118,48 @@ object StreamingOps {
       }
   }
 
+  final case class LocfEvent(
+      user_id: Long, event_id: Long, ts_us: Long, event_type: String, value: Double)
+  final case class LocfRow(
+      user_id: Long, event_id: Long, ts_us: Long, event_type: String,
+      last_purchase_value: Option[Double])
+  /** Carried LOCF state: last purchase value per user (+ whether any
+    * purchase has been seen — a bare Double can't encode "none yet"). */
+  final case class LocfState(last: Double, seen: Boolean)
+
+  /** Streaming twin of Events.forwardFill (ev17 LOCF): one carried value
+    * per user in the state store, every event emitted with its fill — the
+    * ingest-time densification shape (downstream consumers never see a
+    * missing measurement). Rows sort by (ts_us, event_id) within each
+    * micro-batch; across time-ordered batches the carry continues from
+    * stored state, and since fills are stored values carried VERBATIM (no
+    * arithmetic), N-batch output ≡ the one-shot batch window exactly — not
+    * just bit-compatible but value-identical by construction. State is
+    * O(users); emission is O(events), i.e. Append-mode per-row output,
+    * unlike the per-batch summaries of the totals/EWMA twins. */
+  def locfUpdates(events: DataFrame)(implicit spark: SparkSession): Dataset[LocfRow] = {
+    import spark.implicits._
+    val typed = events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"), col("value"))
+      .as[LocfEvent]
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LocfState, LocfRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[LocfEvent], state: GroupState[LocfState]) =>
+          var st = state.getOption.getOrElse(LocfState(0.0, seen = false))
+          val out = rows.toSeq.sortBy(r => (r.ts_us, r.event_id)).map { r =>
+            // the purchase row itself carries its own value (the batch
+            // window's current-row-inclusive frame)
+            if (r.event_type == "purchase") st = LocfState(r.value, seen = true)
+            LocfRow(uid, r.event_id, r.ts_us, r.event_type,
+              if (st.seen) Some(st.last) else None)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Streaming dedup twin (of Dedup.exact/fingerprint): drop duplicate keys
     * with watermark-BOUNDED state — `dropDuplicatesWithinWatermark` evicts
     * state older than the watermark delay, so a continuously-running dedup

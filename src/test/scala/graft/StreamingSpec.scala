@@ -198,6 +198,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming LOCF across time-ordered micro-batches equals the batch window exactly") {
+    import org.apache.spark.sql.expressions.Window
+    val dir = java.nio.file.Files.createTempDirectory("graft-locf").toString
+    val ev = Tables(spark, sf, "events")
+      .select("user_id", "ts", "event_id", "event_type", "value")
+    // same harness as the EWMA proof: global time quartiles arrive as four
+    // ordered micro-batches, so per-user order across batches matches batch
+    val chunked = ev.withColumn("chunk",
+      ntile(4).over(Window.orderBy(unix_micros(col("ts")), col("event_id"))))
+    (1 to 4).foreach { i =>
+      chunked.filter(col("chunk") === i).drop("chunk")
+        .coalesce(1).write.parquet(s"$dir/c$i.parquet")
+    }
+    val schema = spark.read.parquet(s"$dir/c1.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*.parquet/*.parquet")
+    val q = StreamingOps.runToMemory(
+      StreamingOps.locfUpdates(stream).toDF(), "stream_locf", OutputMode.Append)
+    try {
+      // per-event emission: every input row appears exactly once with its
+      // fill — compare the full densified relation, not a summary
+      val streamed = spark.table("stream_locf")
+        .select("user_id", "event_id", "ts_us", "event_type", "last_purchase_value")
+        .collect().map(_.toString).sorted.toSeq
+      val batch = Events.forwardFill(spark, sf)
+        .collect().map(_.toString).sorted.toSeq
+      assert(batch.nonEmpty && streamed == batch)
+    } finally q.stop()
+  }
+
   test("stateful per-user totals equal batch groupBy") {
     val q = StreamingOps.runToMemory(
       StreamingOps.statefulUserTotals(StreamingOps.eventStream(spark, sf)).toDF(),
