@@ -49,6 +49,34 @@ object Prefix {
       .drop("__pid", "__mass", "__local", "__off")
   }
 
+  /** Global dense 1-based rank (`row_number` over `ord`) WITHOUT a global
+    * window — the two-pass sibling of [[exclusiveSum]] for ranked-id
+    * assignment (tx6 vocabulary ids use it): `repartitionByRange` by the
+    * sort key itself (balanced for any key distribution, including the
+    * zipfian ones that defeat value binning), partition-local `row_number`,
+    * plus per-partition row-count offsets from the triangular broadcast
+    * join. The ranged input is localCheckpoint'ed so `spark_partition_id()`
+    * is read from ONE materialization — pid consistency across the two
+    * consumers holds by construction. `ord` keys must be unique (ties would
+    * make ranks partition-dependent); the explicit `parts` keeps AQE from
+    * re-coalescing the user repartition. */
+  def rankedIds(df: DataFrame, ord: Seq[Column], parts: Int, as: String): DataFrame = {
+    val ranged = df.repartitionByRange(parts, ord: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val local = Window.partitionBy("__pid").orderBy(ord: _*)
+    val counts = ranged.groupBy("__pid").agg(count(lit(1)).as("__pn"))
+    val offsets = counts
+      .join(broadcast(counts.select(col("__pid").as("__pid_b"), col("__pn").as("__pn_b"))),
+        col("__pid_b") < col("__pid"), "left")
+      .groupBy("__pid").agg(coalesce(sum("__pn_b"), lit(0L)).as("__off"))
+    ranged
+      .withColumn("__rn", row_number().over(local))
+      .join(broadcast(offsets), "__pid")
+      .withColumn(as, col("__off") + col("__rn"))
+      .drop("__pid", "__rn", "__off")
+  }
+
   /** pid for a numeric key: its bin in an equi-width split of [mn, mx] into
     * `parts` bins — weakly monotone ascending in `key` (numeric→double
     * cast, ×, ÷, floor are monotone; FP rounding at bin edges only shifts a

@@ -120,39 +120,18 @@ object TextAnalysis {
     * ids are then assigned by global (cnt DESC, w) rank WITHOUT a global
     * window — vocabulary grows with the corpus (Heaps' law), so a
     * single-partition `row_number` would put tens of millions of rows in
-    * one task at 100 TB. Instead, the classic two-pass ranked-id plan:
-    * `repartitionByRange` spreads the vocabulary across `idPartitions` by
-    * the SORT KEY (so partition id is monotone in rank order — balanced
-    * even under the zipfian count distribution, where value-binning on cnt
-    * would collapse the tail into one bin), pass 1 is a partition-local
-    * `row_number` under a pid-partitioned window, pass 2 adds per-partition
-    * row-count offsets from a tiny triangular broadcast self-join.
-    *
-    * `ranged` feeds two consumers (local ranks + per-pid counts), so it is
-    * localCheckpoint'ed: `spark_partition_id()` is then read from ONE
-    * materialization — pid consistency is guaranteed by construction, not
-    * by exchange-reuse good fortune — and the corpus-sized count shuffle
-    * runs once (see Dedup.jaccardPairs for checkpoint-over-cache). Ties
-    * rank lexicographically so ids are total and cross-engine stable. */
+    * one task at 100 TB. Instead, [[Prefix.rankedIds]] — the two-pass
+    * ranked-id plan (range-partition by the sort key, partition-local
+    * row_number, count offsets); the (cnt DESC, w) keys are unique as the
+    * primitive requires, and ties on cnt rank lexicographically so ids are
+    * total and cross-engine stable. */
   def vocabulary(s: SparkSession, d: String, minCount: Int = 5, idPartitions: Int = 32): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val ranged = t(s, d, "documents")
+    val vocab = t(s, d, "documents")
       .select(explode(toks).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
-      .repartitionByRange(idPartitions, col("cnt").desc, col("w").asc)
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint()
-    val local = Window.partitionBy("pid").orderBy(col("cnt").desc, col("w"))
-    val counts = ranged.groupBy("pid").agg(count(lit(1)).as("pn"))
-    val offsets = counts
-      .join(broadcast(counts.select(col("pid").as("pid_b"), col("pn").as("pn_b"))),
-        col("pid_b") < col("pid"), "left")
-      .groupBy("pid").agg(coalesce(sum("pn_b"), lit(0L)).as("off"))
-    ranged
-      .withColumn("rn", row_number().over(local))
-      .join(broadcast(offsets), "pid")
-      .withColumn("token_id", (col("off") + col("rn")).cast("long"))
+    Prefix.rankedIds(vocab, Seq(col("cnt").desc, col("w").asc), idPartitions, "rn")
+      .withColumn("token_id", col("rn").cast("long"))
       .select("token_id", "w", "cnt")
       .orderBy("token_id")
   }

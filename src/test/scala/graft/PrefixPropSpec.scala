@@ -80,4 +80,39 @@ class PrefixPropSpec extends AnyFunSuite {
     check(Seq(5L -> 7L), 32)
     check(Seq(0L -> 0L), 1)
   }
+
+  // ---- rankedIds (the tx6 vocabulary shape) ------------------------------
+  // The fixture vocabulary is 31 words — too small to exercise multi-
+  // partition ranking — so the primitive is driven here with a synthetic
+  // zipf-ish relation: many ties on the primary key (the skew that defeats
+  // value binning), uniqueness restored by the secondary key, DESC primary
+  // order exactly as tx6 ranks (cnt DESC, w ASC).
+  private def checkRanks(pairs: Seq[(Long, String)], parts: Int): Unit = {
+    import spark.implicits._
+    val got = Prefix.rankedIds(
+        pairs.toDF("cnt", "w"),
+        Seq(col("cnt").desc, col("w").asc), parts, "id")
+      .select("w", "id")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = pairs.sortBy { case (c, w) => (-c, w) }
+      .zipWithIndex.map { case ((_, w), i) => w -> (i + 1L) }.toMap
+    assert(got == expected, s"parts=$parts n=${pairs.size}")
+  }
+
+  private val zipfGen: Gen[Seq[(Long, String)]] = for {
+    n <- Gen.choose(1, 400)
+    cnts <- Gen.listOfN(n, Gen.frequency(
+      8 -> Gen.choose(5L, 8L),        // heavy tie-mass at the tail
+      2 -> Gen.choose(9L, 100000L)))  // sparse head
+  } yield cnts.zipWithIndex.map { case (c, i) => c -> s"w$i" }
+
+  test("rankedIds equals sequential sort index on zipf-ish relations") {
+    for {
+      rel <- samples2(zipfGen, 99L, 8)
+      parts <- Seq(1, 7, 32)
+    } checkRanks(rel, parts)
+  }
+
+  private def samples2(g: Gen[Seq[(Long, String)]], seed: Long, count: Int): List[Seq[(Long, String)]] =
+    Gen.listOfN(count, g).pureApply(Gen.Parameters.default, Seed(seed))
 }
