@@ -1,0 +1,89 @@
+package graft
+
+import java.sql.DriverManager
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Source
+
+/** LIVE JDBC execution — the path SURVEY.md §7.0 recorded as untestable
+  * offline gets a real end-to-end run after all: Apache Derby's EMBEDDED
+  * engine ships in /opt/spark/jars (Spark's Hive-metastore dependency), so
+  * the engine's generic `jdbc:` scheme can execute genuine SQL against a
+  * genuine database — URL dispatch → `Jdbc.readerOptions` →
+  * `spark.read.format("jdbc")` → whole-query pushdown → DataFrame — with
+  * no network and no foreign driver jars.
+  *
+  * The mysql/postgresql/sqlite SCHEMES stay golden-contract-tested only
+  * (EngineSpec) — those drivers really are absent — but everything they
+  * share beyond the URL prefix (options assembly, query-vs-dbtable wrap,
+  * stride partitioning, row conversion) is the machinery proven live here.
+  *
+  * The `payment` table mirrors the reference's own manual test fixture
+  * (reference src/db/mysql.rs:125-130: id / 50%-null account_name /
+  * amount), nulls included. */
+class JdbcLiveSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  /** Embedded Derby DB seeded once; derby.log is pointed at the temp dir
+    * so test runs don't litter the repo. */
+  private lazy val dbPath: String = {
+    val home = java.nio.file.Files.createTempDirectory("graft-derby")
+    System.setProperty("derby.system.home", home.toString)
+    val dir = home.resolve("db")
+    val conn = DriverManager.getConnection(s"jdbc:derby:$dir;create=true")
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE payment (id INT NOT NULL, account_name VARCHAR(32), amount INT)")
+      (1 to 100).foreach { i =>
+        val name = if (i % 2 == 0) s"'acct_$i'" else "NULL" // the reference's 50%-null column
+        st.execute(s"INSERT INTO payment VALUES ($i, $name, ${i * 10})")
+      }
+      st.close()
+    } finally conn.close()
+    dir.toString
+  }
+
+  test("jdbc: URL executes a real query through the engine (whole-query pushdown)") {
+    val df = Source.fromUrl(s"jdbc:derby:$dbPath")
+      .load(spark, "SELECT id, account_name, amount FROM payment WHERE id <= 10")
+    val rows = df.orderBy("id").collect()
+    assert(rows.length == 10)
+    assert(rows.head.getInt(0) == 1 && rows.head.isNullAt(1) && rows.head.getInt(2) == 10)
+    assert(rows(1).getString(1) == "acct_2")
+  }
+
+  test("partitioned jdbc read: stride options from the URL produce N real partitions") {
+    val df = Source.fromUrl(
+        s"jdbc:derby:$dbPath?partitionColumn=id&lowerBound=1&upperBound=101&numPartitions=4")
+      .load(spark, "SELECT id, amount FROM payment")
+    // the stride predicates execute inside Derby against the derived table
+    // wrap; all rows come back exactly once across the 4 splits
+    assert(df.rdd.getNumPartitions == 4)
+    assert(df.count() == 100)
+    assert(df.agg(sum("amount")).head.getLong(0) == (1 to 100).map(_ * 10L).sum)
+  }
+
+  test("reference lifecycle end-to-end: database → SQL → one named CSV file") {
+    // the reference's exact usage (README.md:35-43): one query against a
+    // live DB, one output file picked by extension — here through
+    // Engine.export with a REAL database behind the URL
+    val out = java.nio.file.Files.createTempDirectory("graft-jdbc-out")
+      .resolve("payment.csv").toString
+    Engine.export(spark, s"jdbc:derby:$dbPath",
+      "SELECT id, amount FROM payment WHERE id <= 3 ORDER BY id", out)
+    val lines = scala.io.Source.fromFile(out).getLines().toList
+    // header carries the backend's reported names verbatim (Derby folds
+    // unquoted identifiers to upper case) — the reference's pass-through
+    // behavior exactly
+    assert(lines == List("ID,AMOUNT", "1,10", "2,20", "3,30"))
+  }
+
+  test("zero-row jdbc result yields an empty DataFrame with a real schema") {
+    val df = Source.fromUrl(s"jdbc:derby:$dbPath")
+      .load(spark, "SELECT id, account_name FROM payment WHERE id < 0")
+    assert(df.columns.toSeq.map(_.toLowerCase) == Seq("id", "account_name"))
+    assert(df.count() == 0)
+  }
+}
