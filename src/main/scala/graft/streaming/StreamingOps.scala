@@ -238,20 +238,78 @@ object StreamingOps {
             sum("n_events").as("n_events"),
             sum("spend").cast("decimal(38,2)").as("spend"))
       else part
+    commitSwap(stateDir, merged, batchId)
+  }
+
+  /** Stage `next` as the new contents of `stateDir` and swap it in
+    * atomically with a `_committed_<batchId>` marker INSIDE the staged
+    * directory (shared by the rollup and dedup-ingest states). The staging
+    * write forces the full read of the CURRENT state before anything is
+    * touched; a crash between renames leaves either the old or the new
+    * complete directory, never a mix. */
+  private def commitSwap(stateDir: String, next: DataFrame, batchId: Long): Unit = {
+    val target = new java.io.File(stateDir)
     val tmp = stateDir + ".tmp-merge"
-    // the staging write forces the full read of the CURRENT state before
-    // anything is touched; then data + commit marker swap in atomically
-    merged.write.mode("overwrite").parquet(tmp)
+    next.write.mode("overwrite").parquet(tmp)
     new java.io.File(tmp, s"_committed_$batchId").createNewFile()
     val parked = new java.io.File(stateDir + ".tmp-old")
     deleteRecursively(parked)
     if (target.exists() && !target.renameTo(parked))
-      throw new IllegalStateException(s"rollup merge could not park $stateDir")
+      throw new IllegalStateException(s"state merge could not park $stateDir")
     if (!new java.io.File(tmp).renameTo(target)) {
       parked.renameTo(target) // roll back
-      throw new IllegalStateException(s"rollup merge swap failed for $stateDir")
+      throw new IllegalStateException(s"state merge swap failed for $stateDir")
     }
     deleteRecursively(parked)
+  }
+
+  /** Incremental ingest dedup via foreachBatch — the PERSISTENT-state
+    * complement of [[streamingDedup]] (whose state dies with the
+    * watermark): a parquet fingerprint store survives across runs and
+    * restarts, which is the actual training-corpus ingest shape — a crawler
+    * delivers batches forever, and a document dropped last month must stay
+    * dropped. Per micro-batch: fingerprint (the dd2 normalization), keep
+    * the lowest doc_id within the batch, anti-join against the store (only
+    * the 16-byte fp column is read — payloads never join), write survivors
+    * to `outDir/batch=<id>` (overwrite ⇒ replay-idempotent), and swap the
+    * enlarged store in with the commit marker. A replayed batch id is
+    * detected from the store and skipped entirely — exactly-once survivors
+    * under at-least-once foreachBatch retries. When batches arrive in
+    * doc_id order, the union of survivors is EXACTLY the batch
+    * `Dedup.fingerprint` keep-list (StreamingSpec proves it, plus replay
+    * idempotence). */
+  def incrementalDedupIngest(
+      docs: DataFrame, fpDir: String, outDir: String): StreamingQuery = {
+    val q = docs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        mergeDedup(batch, fpDir, outDir, batchId)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
+  private def mergeDedup(batch: DataFrame, fpDir: String, outDir: String, batchId: Long): Unit = {
+    if (batchId <= committedBatchId(fpDir)) return // replayed batch
+    import org.apache.spark.sql.expressions.Window
+    val s = batch.sparkSession
+    val withFp = batch.withColumn("fp",
+      md5(lower(regexp_replace(col("text"), "\\s+", " ")))) // ≡ Dedup.fingerprint
+    val w = Window.partitionBy("fp").orderBy("doc_id")
+    val inBatch = withFp
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+    val hasStore = new java.io.File(fpDir).exists()
+    val survivors =
+      (if (hasStore) inBatch.join(s.read.parquet(fpDir), Seq("fp"), "left_anti")
+       else inBatch)
+        .localCheckpoint() // materialize BEFORE the store swaps underneath
+    survivors.drop("fp").write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    val nextFps =
+      if (hasStore) s.read.parquet(fpDir).unionByName(survivors.select("fp")).distinct()
+      else survivors.select("fp").distinct()
+    commitSwap(fpDir, nextFps, batchId)
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {

@@ -228,6 +228,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("incremental ingest dedup: persistent fp store across micro-batches equals batch dedup; replay is a no-op") {
+    import org.apache.spark.sql.expressions.Window
+    val base = java.nio.file.Files.createTempDirectory("graft-ingest")
+    val (inDir, fpDir, outDir) = (s"$base/in", s"$base/fp", s"$base/out")
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text")
+    // three id-ordered chunks: the first occurrence of every fingerprint
+    // carries the lowest doc_id, so the incremental keep-list must equal
+    // the batch keep-list exactly
+    val chunked = docs.withColumn("chunk", ntile(3).over(Window.orderBy("doc_id")))
+    (1 to 3).foreach { i =>
+      chunked.filter(col("chunk") === i).drop("chunk")
+        .coalesce(1).write.parquet(s"$inDir/c$i.parquet")
+    }
+    val schema = spark.read.parquet(s"$inDir/c1.parquet").schema
+    def stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$inDir/*.parquet/*.parquet")
+    StreamingOps.incrementalDedupIngest(stream, fpDir, outDir).stop()
+    def keeps = spark.read.parquet(outDir)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val batchKeeps = operators.Dedup.fingerprint(spark, sf)
+      .select("keep_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(batchKeeps.nonEmpty && keeps == batchKeeps)
+    // replay the whole stream against the surviving store: every batch id
+    // is already committed, so survivors must not change
+    StreamingOps.incrementalDedupIngest(stream, fpDir, outDir).stop()
+    assert(keeps == batchKeeps)
+  }
+
   test("stateful per-user totals equal batch groupBy") {
     val q = StreamingOps.runToMemory(
       StreamingOps.statefulUserTotals(StreamingOps.eventStream(spark, sf)).toDF(),
