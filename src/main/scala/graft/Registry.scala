@@ -190,6 +190,12 @@ object Registry {
     // is engine-specific)
     q("dd12_dup_clusters_exact", Dedup.dupClustersExact,
       "WITH RECURSIVE m AS (SELECT greatest(1, count(*) // 500) AS mod FROM documents), d AS (SELECT doc_id, text FROM documents, m WHERE doc_id % m.mod = 0), toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM d), sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id), inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c FROM toks a JOIN toks b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2), p AS (SELECT id_a, id_b FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id WHERE c / (sa.n + sb.n - c) >= 0.85), e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p), reach AS (SELECT u AS node, u AS label FROM e UNION SELECT e.u AS node, r.label FROM reach r JOIN e ON e.v = r.node), lab AS (SELECT node, min(label) AS label FROM reach GROUP BY node), cl AS (SELECT d.doc_id, coalesce(lab.label, d.doc_id) AS cluster_id FROM d LEFT JOIN lab ON d.doc_id = lab.node), sz AS (SELECT cluster_id, count(*) AS cluster_size FROM cl GROUP BY cluster_id) SELECT cl.doc_id, cl.cluster_id, CAST(sz.cluster_size AS BIGINT) AS cluster_size, cl.doc_id = cl.cluster_id AS is_canonical FROM cl JOIN sz USING (cluster_id) ORDER BY doc_id"),
+    // dd13: per-cluster canonical = highest tx2 quality (not arbitrary
+    // min-id) — argmax via partially-aggregable max(struct), no per-cluster
+    // window; clusters + quality are both oracle-exact, so the keep-list is
+    // hash-checked end to end
+    q("dd13_quality_canonical", Dedup.qualityCanonical,
+      "WITH RECURSIVE m AS (SELECT greatest(1, count(*) // 500) AS mod FROM documents), d AS (SELECT doc_id, text FROM documents, m WHERE doc_id % m.mod = 0), toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM d), sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id), inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c FROM toks a JOIN toks b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2), p AS (SELECT id_a, id_b FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id WHERE c / (sa.n + sb.n - c) >= 0.85), e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p), reach AS (SELECT u AS node, u AS label FROM e UNION SELECT e.u AS node, r.label FROM reach r JOIN e ON e.v = r.node), lab AS (SELECT node, min(label) AS label FROM reach GROUP BY node), cl AS (SELECT d.doc_id, coalesce(lab.label, d.doc_id) AS cluster_id FROM d LEFT JOIN lab ON d.doc_id = lab.node), q AS (SELECT doc_id, round((1.0 - len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and','to','in'))) / CAST(len(string_split(text,' ')) AS DOUBLE)) * least(CAST(len(string_split(text,' ')) AS DOUBLE), 100.0) / 100.0, 4) AS quality FROM documents), sc AS (SELECT cl.doc_id, cl.cluster_id, q.quality FROM cl JOIN q USING (doc_id)) SELECT doc_id, cluster_id, quality, row_number() OVER (PARTITION BY cluster_id ORDER BY quality DESC, doc_id) = 1 AS keep FROM sc ORDER BY doc_id"),
     q("dd9_edit_distance", (s, d) => Dedup.editDistancePairs(s, d),
       "WITH m AS (SELECT greatest(1, count(*) // 500) AS mod FROM documents), d AS (SELECT doc_id, substr(text, 1, 40) AS p FROM documents, m WHERE doc_id % m.mod = 0) SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(levenshtein(a.p, b.p) AS BIGINT) AS dist FROM d a JOIN d b ON a.doc_id < b.doc_id WHERE levenshtein(a.p, b.p) <= 10 ORDER BY id_a, id_b"),
     q("dd10_tfidf_cosine", (s, d) => Dedup.tfidfCosinePairs(s, d),
@@ -264,6 +270,19 @@ object Registry {
       // so the moment sum cannot wrap int64 at scale; scale-0 exact sums →
       // one correctly-rounded cast to double on both engines
       "WITH h AS (SELECT date_trunc('hour', ts) AS w_start, event_type, count(*) AS n FROM events GROUP BY 1, 2), st AS (SELECT event_type, count(*) AS nh, CAST(sum(n) AS BIGINT) AS sx, sum(CAST(n AS HUGEINT)*n) AS sxx FROM h GROUP BY 1), z AS (SELECT h.w_start, h.event_type, h.n, CASE WHEN nh > 1 AND (CAST(nh AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*sx) > 0 THEN (n - CAST(sx AS DOUBLE)/nh) / sqrt((CAST(nh AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*sx) / (CAST(nh AS DOUBLE)*(nh-1))) END AS zraw FROM h JOIN st USING (event_type)) SELECT event_type, w_start, n, round(zraw, 4) AS z, coalesce(abs(round(zraw, 4)) > 2.0, FALSE) AS is_anomaly FROM z ORDER BY event_type, w_start"),
+    // ev18: robust median/MAD outlier screen — both medians via the
+    // group-aware two-pass Prefix rank (no per-type window); flag predicate
+    // multiplies (never divides), all comparisons on raw doubles with
+    // identical op order both engines, 4-dp rounding display-only
+    q("ev18_mad_anomaly", Events.madAnomalies,
+      "WITH r AS (SELECT event_id, event_type, value, row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn, count(*) OVER (PARTITION BY event_type) AS n FROM events), med AS (SELECT event_type, avg(value) AS med FROM r WHERE rn = (n+1)//2 OR rn = (n+2)//2 GROUP BY event_type), dv AS (SELECT e.event_id, e.event_type, e.value, m.med, abs(e.value - m.med) AS dev FROM events e JOIN med m USING (event_type)), r2 AS (SELECT event_type, event_id, dev, row_number() OVER (PARTITION BY event_type ORDER BY dev, event_id) AS rn, count(*) OVER (PARTITION BY event_type) AS n FROM dv), mad AS (SELECT event_type, avg(dev) AS mad FROM r2 WHERE rn = (n+1)//2 OR rn = (n+2)//2 GROUP BY event_type) SELECT d.event_id, d.event_type, d.value, round(d.med, 4) AS med, round(mad.mad, 4) AS mad FROM dv d JOIN mad USING (event_type) WHERE d.dev > mad.mad * 4.4478 ORDER BY d.event_type, d.event_id"),
+    // sj1/sj2: skew salting registered as queries — salting is
+    // result-invariant, so the oracles are the PLAIN join / single-window
+    // top-k and the hash check proves the rewrite preserves semantics
+    q("sj1_salted_join", Salting.sj1SaltedJoinAgg,
+      "SELECT c_mktsegment, count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value FROM events e JOIN customer c ON e.user_id = c.c_custkey GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+    q("sj2_salted_topk", Salting.sj2SaltedTopK,
+      "SELECT event_type, CAST(rn AS BIGINT) AS rk, event_id, value FROM (SELECT event_type, event_id, value, row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn FROM events) t WHERE rn <= 5 ORDER BY event_type, rk"),
     q("tx4_top_bigrams", TextAnalysis.topBigrams,
       "WITH toks AS (SELECT string_split(text,' ') AS a FROM documents WHERE len(string_split(text,' ')) >= 2), bi AS (SELECT a[i] || ' ' || a[i+1] AS bigram FROM toks, UNNEST(generate_series(1, len(a)-1)) AS t(i)) SELECT bigram, count(*) AS n FROM bi GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20"),
     // CMS prefilter has no false negatives, so the sketch-accelerated form

@@ -385,6 +385,41 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** dd13: quality-aware canonical selection — what a production corpus
+    * pipeline actually keeps from each duplicate cluster is its BEST
+    * member, not an arbitrary one. Clusters come from the same oracle-exact
+    * dd3 edge set + [[connectedComponents]] as [[dupClustersExact]]; the
+    * representative is the member with the highest tx2 quality score
+    * (lowest doc_id on ties — deterministic because quality is 4-dp
+    * rounded).
+    *
+    * Scale shape: the argmax is `max(struct(quality, -doc_id))` under a
+    * plain groupBy — partially aggregable, so a boilerplate cluster with
+    * millions of members reduces map-side to ONE struct per input
+    * partition and no task ever holds a whole hot cluster (the
+    * `row_number` window alternative would put the entire cluster in one
+    * task). The join-back ships one best-row per cluster; AQE's skew split
+    * covers the residual hot-cluster probe side. */
+  def qualityCanonical(s: SparkSession, d: String): DataFrame = {
+    val all = t(s, d, "documents")
+    val m = math.max(1L, all.count() / 500)
+    val docs = all.filter(col("doc_id") % m === 0).select("doc_id")
+    val pairs = jaccardPairs(s, d).select(col("id_a"), col("id_b")).localCheckpoint()
+    val withLabel = docs
+      .join(connectedComponents(pairs).select(col("node").as("doc_id"), col("label")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
+    val scored = withLabel
+      .join(TextAnalysis.qualityScore(s, d).select("doc_id", "quality"), "doc_id")
+    val best = scored.groupBy("cluster_id")
+      .agg(max(struct(col("quality"), (-col("doc_id")).as("neg_id"))).as("b"))
+      .select(col("cluster_id"), (-col("b.neg_id")).as("best_doc"))
+    scored.join(best, "cluster_id")
+      .withColumn("keep", col("doc_id") === col("best_doc"))
+      .select("doc_id", "cluster_id", "quality", "keep")
+      .orderBy("doc_id")
+  }
+
   /** Connected components over an undirected pair list `(id_a, id_b)`:
     * returns `(node, label)` with label = smallest node id reachable, for
     * every node appearing in at least one pair.

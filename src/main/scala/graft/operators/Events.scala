@@ -376,4 +376,69 @@ object Events {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("spend"))
       .orderBy(col("spend").desc, col("user_id"))
       .limit(10)
+
+  /** Exact per-group median of `__v` over a (tix, event_id, __v) relation,
+    * computed WITHOUT a per-group window: with only a handful of giant
+    * groups (5 event types here; the same at 100 TB), `row_number() OVER
+    * (PARTITION BY type)` puts a whole group in one task. Instead the
+    * global rank comes from [[Prefix.exclusiveSum]] under a composed pid
+    * (`tix·parts + value-bin` — weakly monotone w.r.t. (tix, __v) by
+    * construction, so group boundaries never interleave bins), and the
+    * within-group rank subtracts per-group start offsets obtained from the
+    * tiny per-group count relation via the same triangular broadcast join
+    * Prefix uses. Median = avg of the middle one/two ranked values —
+    * identical IEEE arithmetic on identical inputs in both engines. */
+  private def groupMedian(df: DataFrame, as: String): DataFrame = {
+    val parts = 8
+    // exclusiveSum consumes its input three times; materialize once
+    val in = df.select(col("tix"), col("event_id"), col("__v")).localCheckpoint()
+    val stats = in.agg(min("__v").as("mn"), max("__v").as("mx"))
+    val binned = in.crossJoin(broadcast(stats))
+    val pid = col("tix") * parts + Prefix.rangeBin(col("__v"), col("mn"), col("mx"), parts)
+    val ranked = Prefix.exclusiveSum(
+      binned, pid, Seq(col("tix"), col("__v"), col("event_id")), lit(1L), "rk0")
+    val counts = in.groupBy("tix").agg(count(lit(1)).as("n"))
+    val starts = counts
+      .join(broadcast(counts.select(col("tix").as("tb"), col("n").as("nb"))),
+        col("tb") < col("tix"), "left")
+      .groupBy("tix", "n").agg(coalesce(sum("nb"), lit(0L)).as("start"))
+    ranked.join(broadcast(starts), "tix")
+      .withColumn("rn", col("rk0") + lit(1L) - col("start"))
+      .filter(col("rn") === floor((col("n") + lit(1)) / lit(2)) ||
+        col("rn") === floor((col("n") + lit(2)) / lit(2)))
+      .groupBy("tix").agg(avg("__v").as(as))
+  }
+
+  /** ev18: robust outlier detection — flag events whose value deviates from
+    * their type's MEDIAN by more than 3 robust standard deviations, where
+    * σ ≈ 1.4826·MAD (the normal-consistency constant; 3·1.4826 = 4.4478).
+    * The mean/stddev z-score (ev15) moves with the outliers it is hunting;
+    * median/MAD has a 50% breakdown point — the standard robust screen for
+    * value-corruption in telemetry. Both medians run through
+    * [[groupMedian]]'s two-pass ranked form (no per-type window — 5 types
+    * would mean 5 tasks holding everything at scale); the flag predicate
+    * multiplies rather than divides, so a zero MAD cannot produce NULLs.
+    * Every comparison runs on raw doubles with identical operation order in
+    * both engines; the 4-dp rounding is display-only. */
+  def madAnomalies(s: SparkSession, d: String): DataFrame =
+    madAnomaliesOf(t(s, d, "events").select(col("event_id"), col("event_type"), col("value")))
+
+  /** Injectable core of ev18 over any (event_id, event_type, value) frame —
+    * RelationalSpec drives it with hand-computable odd/even group sizes. */
+  def madAnomaliesOf(ev: DataFrame): DataFrame = {
+    // dense type index without a window: 1-row sorted-list agg, exploded
+    val tix = ev.select("event_type").distinct()
+      .agg(sort_array(collect_list("event_type")).as("ts"))
+      .select(posexplode(col("ts"))).toDF("tix", "event_type")
+    val typed = ev.join(broadcast(tix), "event_type")
+    val med = groupMedian(typed.withColumn("__v", col("value")), "med")
+    val dv = typed.join(broadcast(med), "tix")
+      .withColumn("dev", abs(col("value") - col("med")))
+    val mad = groupMedian(dv.withColumn("__v", col("dev")), "mad")
+    dv.join(broadcast(mad), "tix")
+      .filter(col("dev") > col("mad") * lit(4.4478))
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("med"), 4).as("med"), round(col("mad"), 4).as("mad"))
+      .orderBy("event_type", "event_id")
+  }
 }

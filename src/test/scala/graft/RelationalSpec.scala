@@ -260,4 +260,64 @@ class RelationalSpec extends AnyFunSuite {
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("ev18: two-pass group median/MAD equals the window form, full rows bit-exact") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val ev = Tables(spark, sf, "events").select("event_id", "event_type", "value")
+    def medians(df: DataFrame, as: String): DataFrame = {
+      val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+      df.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+        .filter(col("rn") === floor((col("n") + lit(1)) / lit(2)) ||
+          col("rn") === floor((col("n") + lit(2)) / lit(2)))
+        .groupBy("event_type").agg(avg("value").as(as))
+    }
+    val med = medians(ev, "med")
+    val dv = ev.join(med, "event_type").withColumn("dev", abs(col("value") - col("med")))
+    val mad = medians(
+      dv.select(col("event_id"), col("event_type"), col("dev").as("value")), "mad")
+    val expected = dv.join(mad, "event_type")
+      .filter(col("dev") > col("mad") * lit(4.4478))
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("med"), 4).as("med"), round(col("mad"), 4).as("mad"))
+      .collect().map(_.toString).sorted.toSeq
+    val got = Registry.queries("ev18_mad_anomaly")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == expected)
+  }
+
+  test("ev18: hand-computed odd and even group sizes") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // odd: median 2, MAD = median(1,0,98) = 1 → only 100 deviates > 4.4478
+    // even: median 2.5, devs (1.5,.5,.5,97.5) → MAD = (0.5+1.5)/2 = 1
+    val ev = Seq(
+      (1L, "odd", 1.0), (2L, "odd", 2.0), (3L, "odd", 100.0),
+      (4L, "even", 1.0), (5L, "even", 2.0), (6L, "even", 3.0), (7L, "even", 100.0))
+      .toDF("event_id", "event_type", "value")
+    val out = graft.operators.Events.madAnomaliesOf(ev).collect()
+    assert(out.map(_.getAs[Long]("event_id")).toSeq == Seq(7L, 3L))
+    val byId = out.map(r => r.getAs[Long]("event_id") ->
+      (r.getAs[Double]("med"), r.getAs[Double]("mad"))).toMap
+    assert(byId(3L) == ((2.0, 1.0)))
+    assert(byId(7L) == ((2.5, 1.0)))
+  }
+
+  test("dd13: exactly one keep per cluster, and it has the cluster's best quality") {
+    val out = Registry.queries("dd13_quality_canonical")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"),
+        r.getAs[Double]("quality"), r.getAs[Boolean]("keep")))
+    assert(out.nonEmpty)
+    out.groupBy(_._2).foreach { case (cid, members) =>
+      val kept = members.filter(_._4)
+      assert(kept.length == 1, s"cluster $cid keeps ${kept.length} docs")
+      val best = members.minBy(m => (-m._3, m._1))
+      assert(kept.head._1 == best._1, s"cluster $cid kept ${kept.head._1}, best is ${best._1}")
+    }
+    // clusters must agree with dd12's (same edge set, same CC engine)
+    val dd12 = Registry.queries("dd12_dup_clusters_exact")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    out.foreach { case (doc, cid, _, _) => assert(dd12(doc) == cid) }
+  }
 }

@@ -36,4 +36,39 @@ class SaltingSpec extends AnyFunSuite {
       .select("__salt").distinct().count()
     assert(spread > 1)
   }
+
+  test("sj1: the registered salted join runs in the shuffle regime, not broadcast") {
+    val p = Registry.queries("sj1_salted_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin"),
+      "the shuffle_hash hint must hold — a broadcast join has no straggler for salting to fix")
+    assert(!p.contains("BroadcastHashJoin"), "dimension side unexpectedly broadcast")
+  }
+
+  test("sj2: salted two-phase top-k equals the single-window form on a hot-key corpus") {
+    // 80% of rows on one key — the distribution the fixture doesn't have
+    val ev = spark.range(5000).select(
+      col("id").as("event_id"),
+      when(col("id") % 5 =!= 0, lit("hot"))
+        .otherwise(concat(lit("t"), col("id") % 7)).as("event_type"),
+      (pmod(hash(col("id")), lit(100000)).cast("double") / 100).as("value"))
+    val salted = Salting.saltedTopK(ev, k = 5, factor = 8)
+      .collect().map(_.toString).toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy(col("value").desc, col("event_id"))
+    val plain = ev.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= 5)
+      .select("event_type", "rk", "event_id", "value")
+      .orderBy("event_type", "rk")
+      .collect().map(_.toString).toSeq
+    assert(salted == plain)
+
+    // phase 1 really prunes: survivors per key are capped at k·factor
+    val phase1 = ev.withColumn("__salt", pmod(hash(col("event_id")), lit(8)))
+      .withColumn("__prn", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type", "__salt").orderBy(col("value").desc, col("event_id"))))
+      .filter(col("__prn") <= 5)
+      .groupBy("event_type").count().collect()
+    assert(phase1.forall(_.getLong(1) <= 5 * 8))
+    assert(phase1.exists(_.getLong(1) > 5), "hot key should keep multiple salt buckets' partials")
+  }
 }

@@ -53,7 +53,11 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "mm5_resize_audit" -> 1,      // narrow byte-accounting map; sort only
     "pp11_boilerplate" -> 4,      // fp distinct-count + fp join-back + doc agg + sort
     "ev17_forward_fill" -> 2,     // ONE user-keyed LOCF window + sort
-    "dd11_chunk_dedup" -> 4)      // fp first-occurrence window + doc agg + sort
+    "dd11_chunk_dedup" -> 4,      // fp first-occurrence window + doc agg + sort
+    "sj1_salted_join" -> 4,       // two salted join-side hashes + agg + sort (dim hinted off broadcast)
+    "sj2_salted_topk" -> 3,       // (type,salt) window + type window over ≤k·f survivors + sort
+    "ev18_mad_anomaly" -> 21,     // two group-median passes (each: ckpt + stats + pid window + masses + offsets) + sort; data-bearing exchanges are the two pid shuffles
+    "dd13_quality_canonical" -> 7) // dd3 pair derivation + CC tail + quality join + argmax agg + sort
 
   budgets.foreach { case (name, budget) =>
     test(s"$name stays within its shuffle budget ($budget)") {
