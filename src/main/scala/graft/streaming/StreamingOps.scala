@@ -160,6 +160,44 @@ object StreamingOps {
       }
   }
 
+  /** Per-key leaderboard state: the current top-k (value, event_id) pairs
+    * plus how many of the key's events have been absorbed. O(k) per key —
+    * never the key's history. */
+  final case class TopKState(nSeen: Long, values: Seq[Double], ids: Seq[Long])
+  final case class TopKUpdate(
+      event_type: String, n_seen: Long, rk: Long, event_id: Long, value: Double)
+
+  /** Streaming twin of Salting.saltedTopK (sj2): a continuously-maintained
+    * per-key top-k leaderboard. Each micro-batch merges its rows into the
+    * stored top-k under the batch query's exact order (value DESC,
+    * event_id ASC) and re-emits the key's current leaderboard. Top-k is an
+    * ORDER-INSENSITIVE fold — merging any partition of the input in any
+    * sequence yields the same result — so unlike the EWMA/LOCF twins this
+    * stream≡batch proof needs no time-ordered batches: ANY split of the
+    * corpus converges to the batch leaderboard bit-exactly (StreamingSpec
+    * feeds event_id-sliced batches, deliberately not time-sliced). `n_seen`
+    * makes the final snapshot identifiable (max per key). */
+  def topKUpdates(events: DataFrame, k: Int = 5)(
+      implicit spark: SparkSession): Dataset[TopKUpdate] = {
+    import spark.implicits._
+    val typed = events.select(col("event_type"), col("event_id"), col("value"))
+      .as[(String, Long, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[TopKState, TopKUpdate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (tpe: String, rows: Iterator[(String, Long, Double)], state: GroupState[TopKState]) =>
+          val prev = state.getOption.getOrElse(TopKState(0L, Nil, Nil))
+          val batch = rows.map(r => (r._3, r._2)).toSeq
+          val merged = (prev.values.zip(prev.ids) ++ batch)
+            .sortBy { case (v, id) => (-v, id) }.take(k)
+          val next = TopKState(prev.nSeen + batch.size, merged.map(_._1), merged.map(_._2))
+          state.update(next)
+          merged.iterator.zipWithIndex.map { case ((v, id), i) =>
+            TopKUpdate(tpe, next.nSeen, i + 1L, id, v)
+          }
+      }
+  }
+
   /** Streaming dedup twin (of Dedup.exact/fingerprint): drop duplicate keys
     * with watermark-BOUNDED state — `dropDuplicatesWithinWatermark` evicts
     * state older than the watermark delay, so a continuously-running dedup

@@ -228,6 +228,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming top-k leaderboard equals batch sj2 under arbitrary (non-time) batch order") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-topk").toString
+    val ev = Tables(spark, sf, "events")
+      .select("event_type", "event_id", "value")
+    // DELIBERATELY not time-sliced: event_id residue classes — top-k is an
+    // order-insensitive fold, so any split must converge to the batch result
+    (0 to 3).foreach { i =>
+      ev.filter(col("event_id") % 4 === i)
+        .coalesce(1).write.parquet(s"$dir/c$i.parquet")
+    }
+    val schema = spark.read.parquet(s"$dir/c0.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*.parquet/*.parquet")
+    val q = StreamingOps.runToMemory(
+      StreamingOps.topKUpdates(stream).toDF(), "stream_topk", OutputMode.Append)
+    try {
+      // final snapshot per key = the emission with that key's max n_seen
+      val all = spark.table("stream_topk")
+        .select("event_type", "n_seen", "rk", "event_id", "value")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      val lastSeen = all.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      val streamed = all.filter(r => r._2 == lastSeen(r._1))
+        .map(r => s"[${r._1},${r._3},${r._4},${r._5}]").sorted.toSeq
+      val batch = Registry.queries("sj2_salted_topk")(spark, sf)
+        .collect().map(_.toString).sorted.toSeq
+      assert(batch.nonEmpty && streamed == batch)
+    } finally q.stop()
+  }
+
   test("incremental ingest dedup: persistent fp store across micro-batches equals batch dedup; replay is a no-op") {
     import org.apache.spark.sql.expressions.Window
     val base = java.nio.file.Files.createTempDirectory("graft-ingest")
