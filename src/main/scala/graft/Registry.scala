@@ -223,6 +223,11 @@ object Registry {
 
     q("pp10_curriculum_shards", (s, d) => Pipeline.curriculumShards(s, d),
       "WITH q AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens, round((1.0 - len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and','to','in'))) / CAST(len(string_split(text,' ')) AS DOUBLE)) * least(CAST(len(string_split(text,' ')) AS DOUBLE), 100.0) / 100.0, 4) AS quality FROM documents), v AS (SELECT quality, CAST(sum(n_tokens) AS BIGINT) AS vt FROM q GROUP BY quality), c AS (SELECT quality, CAST(coalesce(sum(vt) OVER (ORDER BY quality DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb FROM v), tt AS (SELECT CAST(sum(vt) AS BIGINT) AS t FROM v), sh AS (SELECT quality, CAST(cb * 8 // t AS BIGINT) AS shard FROM c, tt) SELECT q.doc_id, q.quality, q.n_tokens, sh.shard FROM q JOIN sh ON q.quality = sh.quality ORDER BY doc_id"),
+    // pp12: greedy token-budget selection — doc-granular two-pass prefix
+    // (the budget boundary cuts inside a quality tie-group); budget derived
+    // with integer DIV so both engines floor exactly
+    q("pp12_token_budget", Pipeline.tokenBudgetSelect,
+      "WITH d AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens, round((1.0 - len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and','to','in'))) / CAST(len(string_split(text,' ')) AS DOUBLE)) * least(CAST(len(string_split(text,' ')) AS DOUBLE), 100.0) / 100.0, 4) AS quality FROM documents), tot AS (SELECT sum(n_tokens) // 4 AS budget FROM d), c AS (SELECT doc_id, n_tokens, quality, sum(n_tokens) OVER (ORDER BY quality DESC, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens FROM d) SELECT c.doc_id, c.n_tokens, c.quality, CAST(c.cum_tokens AS BIGINT) AS cum_tokens, c.cum_tokens <= tot.budget AS selected FROM c, tot ORDER BY c.doc_id"),
     q("pp11_boilerplate", Pipeline.boilerplateFraction,
       // pp3's chunk CTE + one fp-keyed cross-doc distinct count
       "WITH t AS (SELECT doc_id, string_split(text,' ') AS a, CAST(len(string_split(text,' ')) AS BIGINT) AS n FROM documents), c AS (SELECT doc_id, a, unnest(generate_series(0, CAST(greatest(ceil((n - 32)/24.0), 0) AS BIGINT))) AS ci FROM t), ch AS (SELECT doc_id, md5(array_to_string(a[ci*24+1 : ci*24+32], ' ')) AS chunk_fp FROM c), x AS (SELECT chunk_fp FROM ch GROUP BY chunk_fp HAVING count(DISTINCT doc_id) > 1) SELECT ch.doc_id, count(*) AS n_chunks, CAST(sum(CASE WHEN x.chunk_fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks, round(sum(CASE WHEN x.chunk_fp IS NOT NULL THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 4) AS boilerplate_frac FROM ch LEFT JOIN x ON ch.chunk_fp = x.chunk_fp GROUP BY ch.doc_id ORDER BY ch.doc_id"),

@@ -105,6 +105,34 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** pp12: token-budget corpus selection — the mixing step that keeps the
+    * highest-quality documents until a token budget is exhausted (greedy
+    * by quality DESC, doc_id). Unlike pp10's quality-granular shards, the
+    * budget boundary cuts INSIDE a quality tie-group, so the running token
+    * total must be per-document: [[Prefix.exclusiveSum]] at doc
+    * granularity, pid = the (1 − quality) bin (constant within a
+    * tie-group, ascending along the selection order), selected iff the
+    * inclusive running total fits the budget (¼ of corpus tokens, derived
+    * with integer DIV so both engines floor exactly). Entirely
+    * integer/4-dp arithmetic ⇒ oracle-exact; no single-partition window
+    * anywhere. */
+  def tokenBudgetSelect(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), size(toks).cast("long").as("n_tokens"),
+        round(quality, 4).as("quality"))
+      .localCheckpoint() // consumed by the budget agg + Prefix's three branches
+    val budget = docs.agg(expr("sum(n_tokens) DIV 4").as("budget"))
+    Prefix.exclusiveSum(
+        docs,
+        Prefix.rangeBin(lit(1.0) - col("quality"), lit(0.0), lit(1.0), 32),
+        Seq(col("quality").desc, col("doc_id")), col("n_tokens"), "excl")
+      .crossJoin(broadcast(budget))
+      .withColumn("cum_tokens", col("excl") + col("n_tokens"))
+      .withColumn("selected", col("cum_tokens") <= col("budget"))
+      .select("doc_id", "n_tokens", "quality", "cum_tokens", "selected")
+      .orderBy("doc_id")
+  }
+
   /** Deterministic train/holdout split by content-independent hash: a doc
     * lands in holdout iff the md5 of its id's decimal string starts below
     * 0x1a (26/256 ≈ 10.2%). The split is a pure narrow map — reproducible

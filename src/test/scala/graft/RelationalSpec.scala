@@ -304,6 +304,25 @@ class RelationalSpec extends AnyFunSuite {
     assert(byId(7L) == ((2.5, 1.0)))
   }
 
+  test("pp12: selection is exactly the greedy quality-order prefix within budget") {
+    val out = Registry.queries("pp12_token_budget")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Double]("quality"), r.getAs[Long]("cum_tokens"), r.getAs[Boolean]("selected")))
+    val budget = out.map(_._2).sum / 4
+    val ordered = out.sortBy(r => (-r._3, r._1))
+    var run = 0L
+    ordered.foreach { r =>
+      run += r._2
+      assert(r._4 == run, s"doc ${r._1} cum_tokens ${r._4} != sequential $run")
+      assert(r._5 == (r._4 <= budget))
+    }
+    val sel = ordered.takeWhile(_._5)
+    assert(sel.nonEmpty && sel.map(_._2).sum <= budget)
+    // the boundary is tight: the first unselected doc would overflow
+    ordered.drop(sel.length).headOption
+      .foreach(n => assert(sel.map(_._2).sum + n._2 > budget))
+  }
+
   test("dd13: exactly one keep per cluster, and it has the cluster's best quality") {
     val out = Registry.queries("dd13_quality_canonical")(spark, sf).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"),

@@ -57,7 +57,8 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "sj1_salted_join" -> 4,       // two salted join-side hashes + agg + sort (dim hinted off broadcast)
     "sj2_salted_topk" -> 3,       // (type,salt) window + type window over ≤k·f survivors + sort
     "ev18_mad_anomaly" -> 21,     // two group-median passes (each: ckpt + stats + pid window + masses + offsets) + sort; data-bearing exchanges are the two pid shuffles
-    "dd13_quality_canonical" -> 7) // dd3 pair derivation + CC tail + quality join + argmax agg + sort
+    "dd13_quality_canonical" -> 7, // dd3 pair derivation + CC tail + quality join + argmax agg + sort
+    "pp12_token_budget" -> 5)      // budget agg + doc-granular two-pass prefix (stats, pid window, masses, offsets) + sort
 
   budgets.foreach { case (name, budget) =>
     test(s"$name stays within its shuffle budget ($budget)") {
