@@ -281,6 +281,11 @@ object Registry {
     // identical op order both engines, 4-dp rounding display-only
     q("ev18_mad_anomaly", Events.madAnomalies,
       "WITH r AS (SELECT event_id, event_type, value, row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn, count(*) OVER (PARTITION BY event_type) AS n FROM events), med AS (SELECT event_type, avg(value) AS med FROM r WHERE rn = (n+1)//2 OR rn = (n+2)//2 GROUP BY event_type), dv AS (SELECT e.event_id, e.event_type, e.value, m.med, abs(e.value - m.med) AS dev FROM events e JOIN med m USING (event_type)), r2 AS (SELECT event_type, event_id, dev, row_number() OVER (PARTITION BY event_type ORDER BY dev, event_id) AS rn, count(*) OVER (PARTITION BY event_type) AS n FROM dv), mad AS (SELECT event_type, avg(dev) AS mad FROM r2 WHERE rn = (n+1)//2 OR rn = (n+2)//2 GROUP BY event_type) SELECT d.event_id, d.event_type, d.value, round(d.med, 4) AS med, round(mad.mad, 4) AS mad FROM dv d JOIN mad USING (event_type) WHERE d.dev > mad.mad * 4.4478 ORDER BY d.event_type, d.event_id"),
+    // ev19: decimal-exact time-weighted average; the oracle's
+    // decimal→double cast routes through VARCHAR (DuckDB's direct
+    // conversion double-rounds — same trick as dd10)
+    q("ev19_time_weighted_avg", Events.timeWeightedAvg,
+      "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, CAST(value AS DECIMAL(14,4)) AS v FROM events), l AS (SELECT user_id, v, CAST(lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) - ts_us AS DECIMAL(20,0)) AS dt FROM e), g AS (SELECT user_id, count(*) AS n_events, sum(v * dt) AS num, CAST(sum(dt) AS BIGINT) AS span_us FROM l GROUP BY user_id) SELECT user_id, n_events, span_us, CASE WHEN span_us > 0 THEN CAST(CAST(num AS VARCHAR) AS DOUBLE) / CAST(span_us AS DOUBLE) END AS twa FROM g ORDER BY user_id"),
     // sj1/sj2: skew salting registered as queries — salting is
     // result-invariant, so the oracles are the PLAIN join / single-window
     // top-k and the hash check proves the rewrite preserves semantics

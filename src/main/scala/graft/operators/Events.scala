@@ -377,6 +377,37 @@ object Events {
       .orderBy(col("spend").desc, col("user_id"))
       .limit(10)
 
+  /** ev19: per-user time-weighted average — the monitoring/billing
+    * integral Σ vᵢ·Δtᵢ / Σ Δtᵢ, where each value holds until the user's
+    * next event (last event contributes no interval). A plain average
+    * overweights bursts; the time-weighted one is the value's true mean
+    * over the observation span.
+    *
+    * Determinism: the integral accumulates in DECIMAL — value at scale 4
+    * (no double lies exactly on a 4-dp rounding boundary, so both engines
+    * round the cast identically), Δt in exact µs — making the sum
+    * order-insensitive; ONE correctly-rounded cast of each side to double
+    * and a single IEEE division produce the ratio (the oracle routes its
+    * decimal→double cast through VARCHAR, as dd10 does, because DuckDB's
+    * direct conversion double-rounds). One user-keyed window + one
+    * aggregation; partitioned by user, so no global window and
+    * user-count-proportional parallelism at scale. */
+  def timeWeightedAvg(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    t(s, d, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("value").cast("decimal(14,4)").as("v"))
+      .withColumn("dt", (lead("ts_us", 1).over(w) - col("ts_us")).cast("decimal(20,0)"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("v") * col("dt")).as("num"),
+        sum(col("dt")).cast("long").as("span_us"))
+      .select(col("user_id"), col("n_events"), col("span_us"),
+        when(col("span_us") > 0,
+          col("num").cast("double") / col("span_us").cast("double")).as("twa"))
+      .orderBy("user_id")
+  }
+
   /** Exact per-group median of `__v` over a (tix, event_id, __v) relation,
     * computed WITHOUT a per-group window: with only a handful of giant
     * groups (5 event types here; the same at 100 TB), `row_number() OVER

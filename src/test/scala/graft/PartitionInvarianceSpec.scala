@@ -26,7 +26,7 @@ class PartitionInvarianceSpec extends AnyFunSuite {
   private val queries = Seq(
     "q01_pricing_summary", "q41_corr_stats", "ev16_ewma", "ev18_mad_anomaly",
     "dd10_tfidf_cosine", "tx9_token_surprisal", "tx10_bigram_crossent",
-    "ss7_exact_rescore", "pp12_token_budget")
+    "ss7_exact_rescore", "pp12_token_budget", "ev19_time_weighted_avg")
 
   private def rows(parts: Int, name: String): Seq[String] = {
     val s = base.newSession()

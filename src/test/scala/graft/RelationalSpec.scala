@@ -304,6 +304,36 @@ class RelationalSpec extends AnyFunSuite {
     assert(byId(7L) == ((2.5, 1.0)))
   }
 
+  test("ev19: time-weighted average equals a sequential per-user reference") {
+    import org.apache.spark.sql.functions._
+    val raw = Tables(spark, sf, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val expected = raw.groupBy(_._1).map { case (uid, evs) =>
+      val ordered = evs.sortBy(e => (e._3, e._2))
+      // mirror the engine's decimal semantics: value at scale 4, exact µs
+      val num = ordered.zip(ordered.tail).map { case (a, b) =>
+        BigDecimal(a._4).setScale(4, BigDecimal.RoundingMode.HALF_EVEN) *
+          BigDecimal(b._3 - a._3)
+      }.sum
+      val span = if (ordered.length < 2) 0L else ordered.last._3 - ordered.head._3
+      uid -> (ordered.length.toLong, span,
+        if (span > 0) Some(num.toDouble / span.toDouble) else None)
+    }
+    val got = Registry.queries("ev19_time_weighted_avg")(spark, sf).collect()
+    assert(got.nonEmpty && got.length == expected.size)
+    got.foreach { r =>
+      val (n, span, twa) = expected(r.getAs[Long]("user_id"))
+      assert(r.getAs[Long]("n_events") == n)
+      assert(r.getAs[Long]("span_us") == span)
+      twa match {
+        case Some(v) => assert(r.getAs[Double]("twa") == v)
+        case None => assert(r.isNullAt(r.fieldIndex("twa")))
+      }
+    }
+  }
+
   test("pp12: selection is exactly the greedy quality-order prefix within budget") {
     val out = Registry.queries("pp12_token_budget")(spark, sf).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
