@@ -160,6 +160,54 @@ object StreamingOps {
       }
   }
 
+  /** Streaming TWA state: event count, observation-span endpoints, the
+    * last value (held until the next event closes its interval) and the
+    * running decimal integral. The two decimals travel as exact STRINGS —
+    * an encoded BigDecimal field would ride Spark's default DecimalType
+    * (38,18), whose 20 integer digits the integral can outgrow; the string
+    * round-trips the full (38,4) range losslessly. */
+  final case class TwaState(
+      n: Long, firstTs: Long, lastTs: Long, lastV: String, num: String)
+  final case class TwaUpdate(
+      user_id: Long, n_events: Long, span_us: Option[Long], twa: Option[Double])
+
+  /** Streaming twin of Events.timeWeightedAvg (ev19): each event CLOSES the
+    * previous value's interval — `num += lastV·(ts − lastTs)` in exact
+    * BigDecimal (value at scale 4, Δt in µs, the batch query's precise
+    * arithmetic) — and becomes the new open interval. The last interval is
+    * open in batch too (no Δt until a successor), so after each
+    * time-ordered micro-batch the emitted (n, span, twa) equals the batch
+    * query over the prefix, and the final emission is bit-identical to
+    * ev19: same decimal sum, ONE correctly-rounded toDouble per side, one
+    * IEEE division. State is O(1) per user. */
+  def twaUpdates(events: DataFrame)(implicit spark: SparkSession): Dataset[TwaUpdate] = {
+    import spark.implicits._
+    val typed = events
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("value"))
+      .as[(Long, Long, Long, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[TwaState, TwaUpdate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, Long, Double)], state: GroupState[TwaState]) =>
+          var st = state.getOption.getOrElse(TwaState(0L, 0L, 0L, "0", "0"))
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { r =>
+            val v4 = BigDecimal(r._4).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+            st =
+              if (st.n == 0L) TwaState(1L, r._2, r._2, v4.toString, "0")
+              else {
+                val num = BigDecimal(st.num) + BigDecimal(st.lastV) * BigDecimal(r._2 - st.lastTs)
+                TwaState(st.n + 1, st.firstTs, r._2, v4.toString, num.toString)
+              }
+          }
+          state.update(st)
+          val span = st.lastTs - st.firstTs
+          Iterator.single(TwaUpdate(uid, st.n,
+            if (st.n < 2) None else Some(span),
+            if (span > 0) Some(BigDecimal(st.num).toDouble / span.toDouble) else None))
+      }
+  }
+
   /** Per-key leaderboard state: the current top-k (value, event_id) pairs
     * plus how many of the key's events have been absorbed. O(k) per key —
     * never the key's history. */

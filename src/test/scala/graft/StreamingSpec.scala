@@ -228,6 +228,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming time-weighted average across time-ordered micro-batches equals batch ev19") {
+    import org.apache.spark.sql.expressions.Window
+    val dir = java.nio.file.Files.createTempDirectory("graft-twa").toString
+    val ev = Tables(spark, sf, "events")
+      .select("user_id", "ts", "event_id", "value")
+    // EWMA/LOCF harness: global time quartiles arrive as ordered batches
+    val chunked = ev.withColumn("chunk",
+      ntile(4).over(Window.orderBy(unix_micros(col("ts")), col("event_id"))))
+    (1 to 4).foreach { i =>
+      chunked.filter(col("chunk") === i).drop("chunk")
+        .coalesce(1).write.parquet(s"$dir/c$i.parquet")
+    }
+    val schema = spark.read.parquet(s"$dir/c1.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*.parquet/*.parquet")
+    val q = StreamingOps.runToMemory(
+      StreamingOps.twaUpdates(stream).toDF(), "stream_twa", OutputMode.Append)
+    try {
+      // final emission per user (max n_events) = the whole-corpus integral
+      val streamed = spark.table("stream_twa")
+        .groupBy("user_id")
+        .agg(max(struct(col("n_events"), col("span_us"), col("twa"))).as("s"))
+        .select(col("user_id"), col("s.n_events").as("n_events"),
+          col("s.span_us").as("span_us"), col("s.twa").as("twa"))
+        .collect().map(_.toString).sorted.toSeq
+      val batch = Registry.queries("ev19_time_weighted_avg")(spark, sf)
+        .collect().map(_.toString).sorted.toSeq
+      assert(batch.nonEmpty && streamed == batch)
+    } finally q.stop()
+  }
+
   test("streaming top-k leaderboard equals batch sj2 under arbitrary (non-time) batch order") {
     val dir = java.nio.file.Files.createTempDirectory("graft-topk").toString
     val ev = Tables(spark, sf, "events")
