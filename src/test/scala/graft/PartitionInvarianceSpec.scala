@@ -28,18 +28,25 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "dd10_tfidf_cosine", "tx9_token_surprisal", "tx10_bigram_crossent",
     "ss7_exact_rescore", "pp12_token_budget", "ev19_time_weighted_avg")
 
-  private def rows(parts: Int, name: String): Seq[String] = {
+  private def rows(name: String)(configure: org.apache.spark.sql.SparkSession => Unit)
+      : Seq[String] = {
     val s = base.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    configure(s)
     Registry.queries(name)(s, sf).collect().map(_.toString).sorted.toSeq
   }
 
   queries.foreach { name =>
-    test(s"$name is bit-identical under shuffle.partitions 1, 4 and 13") {
+    test(s"$name is bit-identical under shuffle.partitions 1, 4, 13 and with AQE off") {
       val at4 = Registry.queries(name)(base, sf).collect().map(_.toString).sorted.toSeq
       assert(at4.nonEmpty)
-      assert(rows(1, name) == at4, s"$name drifts at partitions=1")
-      assert(rows(13, name) == at4, s"$name drifts at partitions=13")
+      assert(rows(name)(_.conf.set("spark.sql.shuffle.partitions", "1")) == at4,
+        s"$name drifts at partitions=1")
+      assert(rows(name)(_.conf.set("spark.sql.shuffle.partitions", "13")) == at4,
+        s"$name drifts at partitions=13")
+      // AQE re-plans shuffles at runtime (coalescing, join flips, skew
+      // splits) — none of which may change RESULTS
+      assert(rows(name)(_.conf.set("spark.sql.adaptive.enabled", "false")) == at4,
+        s"$name drifts with AQE disabled")
     }
   }
 }
