@@ -370,14 +370,7 @@ object Dedup {
     * one. Same scale shape as dd8: iteration moves (node, label) pairs
     * only. */
   def dupClustersExact(s: SparkSession, d: String): DataFrame = {
-    val all = t(s, d, "documents")
-    val m = math.max(1L, all.count() / 500)
-    val docs = all.filter(col("doc_id") % m === 0).select("doc_id")
-    val pairs = jaccardPairs(s, d).select(col("id_a"), col("id_b")).localCheckpoint()
-    val withLabel = docs
-      .join(connectedComponents(pairs).select(col("node").as("doc_id"), col("label")),
-        Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
+    val withLabel = exactClusterLabels(s, d)
     val sizes = withLabel.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
     withLabel.join(sizes, "cluster_id")
       .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
@@ -401,15 +394,7 @@ object Dedup {
     * task). The join-back ships one best-row per cluster; AQE's skew split
     * covers the residual hot-cluster probe side. */
   def qualityCanonical(s: SparkSession, d: String): DataFrame = {
-    val all = t(s, d, "documents")
-    val m = math.max(1L, all.count() / 500)
-    val docs = all.filter(col("doc_id") % m === 0).select("doc_id")
-    val pairs = jaccardPairs(s, d).select(col("id_a"), col("id_b")).localCheckpoint()
-    val withLabel = docs
-      .join(connectedComponents(pairs).select(col("node").as("doc_id"), col("label")),
-        Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
-    val scored = withLabel
+    val scored = exactClusterLabels(s, d)
       .join(TextAnalysis.qualityScore(s, d).select("doc_id", "quality"), "doc_id")
     val best = scored.groupBy("cluster_id")
       .agg(max(struct(col("quality"), (-col("doc_id")).as("neg_id"))).as("b"))
@@ -418,6 +403,23 @@ object Dedup {
       .withColumn("keep", col("doc_id") === col("best_doc"))
       .select("doc_id", "cluster_id", "quality", "keep")
       .orderBy("doc_id")
+  }
+
+  /** The (sampled doc, cluster_id) relation dd12 and dd13 share: the dd3
+    * exact-Jaccard edge set through [[connectedComponents]], singletons
+    * labeled by their own id. ONE implementation — dd13's clusters must
+    * equal dd12's by construction (RelationalSpec also asserts it at
+    * runtime), so the sampling rule and label coalesce live here, not in
+    * two copies that could drift. */
+  private def exactClusterLabels(s: SparkSession, d: String): DataFrame = {
+    val all = t(s, d, "documents")
+    val m = math.max(1L, all.count() / 500)
+    val docs = all.filter(col("doc_id") % m === 0).select("doc_id")
+    val pairs = jaccardPairs(s, d).select(col("id_a"), col("id_b")).localCheckpoint()
+    docs
+      .join(connectedComponents(pairs).select(col("node").as("doc_id"), col("label")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
   }
 
   /** Connected components over an undirected pair list `(id_a, id_b)`:

@@ -392,10 +392,23 @@ object Events {
     * direct conversion double-rounds). One user-keyed window + one
     * aggregation; partitioned by user, so no global window and
     * user-count-proportional parallelism at scale. */
-  def timeWeightedAvg(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-    t(s, d, "events")
+  def timeWeightedAvg(s: SparkSession, d: String): DataFrame =
+    timeWeightedAvgOf(t(s, d, "events")
       .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("value")))
+
+  /** Injectable core of ev19 over any (user_id, event_id, ts_us, value)
+    * frame — RelationalSpec drives the single-event (NULL span) and
+    * equal-timestamp edges the fixture doesn't contain. Domain bound:
+    * |value| ≥ 10^10 overflows the DECIMAL(14,4) cast to NULL (non-ANSI),
+    * which drops that interval from the integral while its Δt still counts
+    * toward the span — callers with larger-magnitude values must widen the
+    * scale 4 decimal. The streaming twin mirrors this NULL-on-overflow
+    * rule exactly (StreamingOps.twaUpdates). */
+  def timeWeightedAvgOf(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    ev
+      .select(col("user_id"), col("event_id"), col("ts_us"),
         col("value").cast("decimal(14,4)").as("v"))
       .withColumn("dt", (lead("ts_us", 1).over(w) - col("ts_us")).cast("decimal(20,0)"))
       .groupBy("user_id")
@@ -429,10 +442,7 @@ object Events {
     val ranked = Prefix.exclusiveSum(
       binned, pid, Seq(col("tix"), col("__v"), col("event_id")), lit(1L), "rk0")
     val counts = in.groupBy("tix").agg(count(lit(1)).as("n"))
-    val starts = counts
-      .join(broadcast(counts.select(col("tix").as("tb"), col("n").as("nb"))),
-        col("tb") < col("tix"), "left")
-      .groupBy("tix", "n").agg(coalesce(sum("nb"), lit(0L)).as("start"))
+    val starts = Prefix.triangularOffsets(counts, "tix", "n", "start")
     ranked.join(broadcast(starts), "tix")
       .withColumn("rn", col("rk0") + lit(1L) - col("start"))
       .filter(col("rn") === floor((col("n") + lit(1)) / lit(2)) ||

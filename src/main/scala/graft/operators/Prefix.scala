@@ -28,6 +28,22 @@ import org.apache.spark.sql.functions._
   */
 object Prefix {
 
+  /** The triangular exclusive-prefix join over a SMALL per-key mass
+    * relation: for each `key`, the sum of every strictly-smaller key's
+    * `mass` (0 for the smallest). ≤|keys|² broadcast pairs — the keys here
+    * are partition/bin/group ids (≤ a few dozen), so movement is bytes.
+    * Output is `(key, mass, as)`: `mass` rides along in the grouping
+    * (functionally dependent on `key` — the input has one row per key), so
+    * callers that need both the offset and the per-key mass don't re-join
+    * the mass relation and replan its upstream exchange. Shared by
+    * [[exclusiveSum]], [[rankedIds]] and Events.groupMedian — one
+    * implementation of the offsets step, not three. */
+  def triangularOffsets(masses: DataFrame, key: String, mass: String, as: String): DataFrame =
+    masses
+      .join(broadcast(masses.select(col(key).as("__tk_b"), col(mass).as("__tm_b"))),
+        col("__tk_b") < col(key), "left")
+      .groupBy(key, mass).agg(coalesce(sum("__tm_b"), lit(0L)).as(as))
+
   /** Adds `as` = exclusive prefix sum of `mass` over `ord` order to `df`.
     * `pid` must be weakly monotone ascending w.r.t. `ord` — equal-ord rows
     * may share a bin, bins never interleave. The output keeps all input
@@ -38,15 +54,12 @@ object Prefix {
     val local = Window.partitionBy("__pid").orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     val psums = binned.groupBy("__pid").agg(sum("__mass").as("__psum"))
-    val offsets = psums
-      .join(broadcast(psums.select(col("__pid").as("__pid_b"), col("__psum").as("__psum_b"))),
-        col("__pid_b") < col("__pid"), "left")
-      .groupBy("__pid").agg(coalesce(sum("__psum_b"), lit(0L)).as("__off"))
+    val offsets = triangularOffsets(psums, "__pid", "__psum", "__off")
     binned
       .withColumn("__local", coalesce(sum("__mass").over(local), lit(0L)))
       .join(broadcast(offsets), "__pid")
       .withColumn(as, col("__local") + col("__off"))
-      .drop("__pid", "__mass", "__local", "__off")
+      .drop("__pid", "__mass", "__local", "__psum", "__off")
   }
 
   /** Global dense 1-based rank (`row_number` over `ord`) WITHOUT a global
@@ -66,15 +79,12 @@ object Prefix {
       .localCheckpoint()
     val local = Window.partitionBy("__pid").orderBy(ord: _*)
     val counts = ranged.groupBy("__pid").agg(count(lit(1)).as("__pn"))
-    val offsets = counts
-      .join(broadcast(counts.select(col("__pid").as("__pid_b"), col("__pn").as("__pn_b"))),
-        col("__pid_b") < col("__pid"), "left")
-      .groupBy("__pid").agg(coalesce(sum("__pn_b"), lit(0L)).as("__off"))
+    val offsets = triangularOffsets(counts, "__pid", "__pn", "__off")
     ranged
       .withColumn("__rn", row_number().over(local))
       .join(broadcast(offsets), "__pid")
       .withColumn(as, col("__off") + col("__rn"))
-      .drop("__pid", "__rn", "__off")
+      .drop("__pid", "__rn", "__pn", "__off")
   }
 
   /** pid for a numeric key: its bin in an equi-width split of [mn, mx] into

@@ -190,21 +190,36 @@ object StreamingOps {
       .flatMapGroupsWithState[TwaState, TwaUpdate](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (uid: Long, rows: Iterator[(Long, Long, Long, Double)], state: GroupState[TwaState]) =>
-          var st = state.getOption.getOrElse(TwaState(0L, 0L, 0L, "0", "0"))
+          // "" is the NULL sentinel in both string fields: lastV = "" is an
+          // overflowed (NULL) value, num = "" means no interval has
+          // contributed yet — mirroring batch sum()'s NULL over an
+          // all-NULL column, which is distinct from a genuine 0 integral
+          var st = state.getOption.getOrElse(TwaState(0L, 0L, 0L, "", ""))
           rows.toSeq.sortBy(r => (r._2, r._3)).foreach { r =>
             val v4 = BigDecimal(r._4).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+            // mirror the batch cast's NULL-on-overflow: a value that does
+            // not fit DECIMAL(14,4) contributes nothing to the integral
+            // (its Δt still extends the span)
+            val v4s = if (v4.precision - v4.scale <= 10) v4.toString else ""
             st =
-              if (st.n == 0L) TwaState(1L, r._2, r._2, v4.toString, "0")
+              if (st.n == 0L) TwaState(1L, r._2, r._2, v4s, "")
               else {
-                val num = BigDecimal(st.num) + BigDecimal(st.lastV) * BigDecimal(r._2 - st.lastTs)
-                TwaState(st.n + 1, st.firstTs, r._2, v4.toString, num.toString)
+                val num =
+                  if (st.lastV.isEmpty) st.num
+                  else {
+                    val prev = if (st.num.isEmpty) BigDecimal(0) else BigDecimal(st.num)
+                    (prev + BigDecimal(st.lastV) * BigDecimal(r._2 - st.lastTs)).toString
+                  }
+                TwaState(st.n + 1, st.firstTs, r._2, v4s, num)
               }
           }
           state.update(st)
           val span = st.lastTs - st.firstTs
           Iterator.single(TwaUpdate(uid, st.n,
             if (st.n < 2) None else Some(span),
-            if (span > 0) Some(BigDecimal(st.num).toDouble / span.toDouble) else None))
+            if (span > 0 && st.num.nonEmpty)
+              Some(BigDecimal(st.num).toDouble / span.toDouble)
+            else None))
       }
   }
 
@@ -236,8 +251,17 @@ object StreamingOps {
         (tpe: String, rows: Iterator[(String, Long, Double)], state: GroupState[TopKState]) =>
           val prev = state.getOption.getOrElse(TopKState(0L, Nil, Nil))
           val batch = rows.map(r => (r._3, r._2)).toSeq
+          // Spark sorts DoubleType via java.lang.Double.compare (NaN above
+          // +Inf, -0.0 below 0.0); a Scala sortBy(-v) would diverge on
+          // exactly those values, breaking stream≡batch bit-equality
+          val batchOrder = new Ordering[(Double, Long)] {
+            def compare(a: (Double, Long), b: (Double, Long)): Int = {
+              val c = java.lang.Double.compare(b._1, a._1) // value DESC
+              if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+            }
+          }
           val merged = (prev.values.zip(prev.ids) ++ batch)
-            .sortBy { case (v, id) => (-v, id) }.take(k)
+            .sorted(batchOrder).take(k)
           val next = TopKState(prev.nSeen + batch.size, merged.map(_._1), merged.map(_._2))
           state.update(next)
           merged.iterator.zipWithIndex.map { case ((v, id), i) =>

@@ -312,9 +312,10 @@ class RelationalSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     val expected = raw.groupBy(_._1).map { case (uid, evs) =>
       val ordered = evs.sortBy(e => (e._3, e._2))
-      // mirror the engine's decimal semantics: value at scale 4, exact µs
+      // mirror the engine's decimal semantics: value at scale 4 (Spark's
+      // double→decimal cast rounds HALF_UP), exact µs deltas
       val num = ordered.zip(ordered.tail).map { case (a, b) =>
-        BigDecimal(a._4).setScale(4, BigDecimal.RoundingMode.HALF_EVEN) *
+        BigDecimal(a._4).setScale(4, BigDecimal.RoundingMode.HALF_UP) *
           BigDecimal(b._3 - a._3)
       }.sum
       val span = if (ordered.length < 2) 0L else ordered.last._3 - ordered.head._3
@@ -332,6 +333,25 @@ class RelationalSpec extends AnyFunSuite {
         case None => assert(r.isNullAt(r.fieldIndex("twa")))
       }
     }
+  }
+
+  test("ev19: single-event users get NULL span/twa; equal-timestamp users get 0 span") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 10L, 1000000L, 5.0),                            // single event
+      (2L, 20L, 1000000L, 3.0), (2L, 21L, 1000000L, 7.0),  // two events, same ts
+      (3L, 30L, 1000000L, 2.0), (3L, 31L, 3000000L, 8.0))  // genuine interval
+      .toDF("user_id", "event_id", "ts_us", "value")
+    val out = graft.operators.Events.timeWeightedAvgOf(ev).collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    assert(out(1L).isNullAt(out(1L).fieldIndex("span_us")), "single event must have NULL span")
+    assert(out(1L).isNullAt(out(1L).fieldIndex("twa")))
+    assert(out(2L).getAs[Long]("span_us") == 0L, "equal timestamps give a 0 (not NULL) span")
+    assert(out(2L).isNullAt(out(2L).fieldIndex("twa")), "0 span cannot have a twa")
+    assert(out(3L).getAs[Long]("span_us") == 2000000L)
+    // only the first value is held over the 2s interval
+    assert(out(3L).getAs[Double]("twa") == 2.0)
   }
 
   test("pp12: selection is exactly the greedy quality-order prefix within budget") {
