@@ -228,6 +228,11 @@ object Registry {
     // with integer DIV so both engines floor exactly
     q("pp12_token_budget", Pipeline.tokenBudgetSelect,
       "WITH d AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens, round((1.0 - len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and','to','in'))) / CAST(len(string_split(text,' ')) AS DOUBLE)) * least(CAST(len(string_split(text,' ')) AS DOUBLE), 100.0) / 100.0, 4) AS quality FROM documents), tot AS (SELECT sum(n_tokens) // 4 AS budget FROM d), c AS (SELECT doc_id, n_tokens, quality, sum(n_tokens) OVER (ORDER BY quality DESC, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens FROM d) SELECT c.doc_id, c.n_tokens, c.quality, CAST(c.cum_tokens AS BIGINT) AS cum_tokens, c.cum_tokens <= tot.budget AS selected FROM c, tot ORDER BY c.doc_id"),
+    // pp13: dd3's oracle-exact near-dup pairs + pp2's pure-map split on
+    // each endpoint — the train/holdout leakage audit, hash-checked end to
+    // end (no new shuffle beyond dd3's own: split is a function of doc_id)
+    q("pp13_split_leakage", Pipeline.splitLeakage,
+      "WITH m AS (SELECT greatest(1, count(*) // 500) AS mod FROM documents), d AS (SELECT doc_id, text FROM documents, m WHERE doc_id % m.mod = 0), toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM d), sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id), inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c FROM toks a JOIN toks b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2), p AS (SELECT id_a, id_b, round(c / (sa.n + sb.n - c), 4) AS jaccard FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id WHERE c / (sa.n + sb.n - c) >= 0.85), sp AS (SELECT id_a, id_b, jaccard, CASE WHEN md5(CAST(id_a AS VARCHAR)) < '1a' THEN 'holdout' ELSE 'train' END AS split_a, CASE WHEN md5(CAST(id_b AS VARCHAR)) < '1a' THEN 'holdout' ELSE 'train' END AS split_b FROM p) SELECT id_a, id_b, jaccard, split_a, split_b FROM sp WHERE split_a <> split_b ORDER BY id_a, id_b"),
     q("pp11_boilerplate", Pipeline.boilerplateFraction,
       // pp3's chunk CTE + one fp-keyed cross-doc distinct count
       "WITH t AS (SELECT doc_id, string_split(text,' ') AS a, CAST(len(string_split(text,' ')) AS BIGINT) AS n FROM documents), c AS (SELECT doc_id, a, unnest(generate_series(0, CAST(greatest(ceil((n - 32)/24.0), 0) AS BIGINT))) AS ci FROM t), ch AS (SELECT doc_id, md5(array_to_string(a[ci*24+1 : ci*24+32], ' ')) AS chunk_fp FROM c), x AS (SELECT chunk_fp FROM ch GROUP BY chunk_fp HAVING count(DISTINCT doc_id) > 1) SELECT ch.doc_id, count(*) AS n_chunks, CAST(sum(CASE WHEN x.chunk_fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks, round(sum(CASE WHEN x.chunk_fp IS NOT NULL THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 4) AS boilerplate_frac FROM ch LEFT JOIN x ON ch.chunk_fp = x.chunk_fp GROUP BY ch.doc_id ORDER BY ch.doc_id"),

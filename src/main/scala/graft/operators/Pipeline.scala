@@ -148,6 +148,27 @@ object Pipeline {
           .otherwise(lit("train")).as("split"))
       .orderBy("doc_id")
 
+  /** Near-duplicate split-leakage audit (pp13): every exact-Jaccard
+    * near-dup pair (dd3's relation) whose two documents landed on OPPOSITE
+    * sides of the [[hashSplit]] train/holdout boundary — the leakage a
+    * content-blind id-hash split cannot prevent (near-identical docs hash
+    * independently), and the audit every eval pipeline should run before
+    * trusting held-out metrics. Each endpoint's split is the same pure
+    * narrow md5 map as pp2 — a function of doc_id, so NO join against the
+    * split relation and no new shuffle beyond dd3's own: at 100 TB the
+    * audit costs exactly the near-dup pass it composes. Both inputs are
+    * oracle-exact, so the leak list is hash-checked end to end. */
+  def splitLeakage(s: SparkSession, d: String): DataFrame = {
+    def split(id: Column): Column =
+      when(md5(id.cast("string").cast("binary")) < "1a", lit("holdout"))
+        .otherwise(lit("train"))
+    Dedup.jaccardPairs(s, d)
+      .withColumn("split_a", split(col("id_a")))
+      .withColumn("split_b", split(col("id_b")))
+      .filter(col("split_a") =!= col("split_b"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** Fixed-size overlapping token chunks (`chunk` tokens every `stride`) —
     * the context-window slicing step before tokenization/packing. Chunk
     * count per doc is ceil(max(n-chunk,0)/stride)+1, so every token is

@@ -373,6 +373,20 @@ class RelationalSpec extends AnyFunSuite {
       .foreach(n => assert(sel.map(_._2).sum + n._2 > budget))
   }
 
+  test("pp13: leak set is exactly dd3's pairs whose endpoints straddle the pp2 split") {
+    val split = Registry.queries("pp2_hash_split")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val pairs = Registry.queries("dd3_jaccard_pairs")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Double]("jaccard")))
+    val expected = pairs.filter { case (a, b, _) => split(a) != split(b) }
+      .map { case (a, b, j) => (a, b, j, split(a), split(b)) }.toSeq
+    val got = Registry.queries("pp13_split_leakage")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Double]("jaccard"),
+        r.getAs[String]("split_a"), r.getAs[String]("split_b"))).toSeq
+    assert(expected.nonEmpty, "fixture must contain at least one leaking near-dup pair")
+    assert(got == expected)
+  }
+
   test("dd13: exactly one keep per cluster, and it has the cluster's best quality") {
     val out = Registry.queries("dd13_quality_canonical")(spark, sf).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"),

@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Scan-pruning contract for the corpus's one heavy column: at 100 TB,
+  * `documents.text` IS the table (the metadata columns are rounding error),
+  * so a query that touches documents but doesn't need the text must not
+  * read it — column pruning has to reach the parquet scan, or a schema-level
+  * "free" audit silently pays the full-corpus IO bill. This spec walks every
+  * registered query's physical plan and ratchets the set of queries whose
+  * documents scan includes `text`: adding a text-reading query means adding
+  * it to the allowlist HERE, with the reviewer asking "does it really need
+  * the bytes?".
+  *
+  * Queries whose documents scan hides behind an eager `localCheckpoint`
+  * (the dd3-derived family) sever the file scan from the visible plan, so
+  * the ratchet covers what the planner shows — the checkpointed relations
+  * are themselves built from allowlisted derivations (dd3's tokens), and
+  * the eager-construction queries excluded from plan walks elsewhere are
+  * excluded here for the same reason (plan build runs jobs).
+  */
+class ScanPruningSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = SparkTestSession.sf
+
+  private def scans(p: SparkPlan): Seq[FileSourceScanExec] =
+    p.collect {
+      case a: AdaptiveSparkPlanExec => scans(a.inputPlan)
+      case f: FileSourceScanExec => Seq(f)
+    }.flatten ++ p.subqueries.flatMap(scans)
+
+  private val eagerConstruction = Set(
+    "ss4_ivf_kmeans", "ss6_pq_topk", "ss5_ivf_persisted",
+    "bp1_bpe_merges", "bp2_bpe_encode", "dd8_dup_clusters", "gr1_neardup_pagerank")
+
+  /** Queries allowed to read documents.text — each one consumes the bytes
+    * (tokenizes, fingerprints, chunks, scores, or uses them as the
+    * multimodal payload substrate). Everything else that touches documents
+    * must prune the column at the scan — pp2/pp7 (id-hash splits), sm1–sm3
+    * (metadata sampling) are the standing negatives proving the pruning
+    * reaches the parquet scan. dd3-derived queries (dd3, dd10, dd12, pp12,
+    * pp13, gr2) checkpoint their token derivation, so their text read is
+    * inside the severed (allowlisted-shape) prefix, not this visible scan. */
+  private val textReaders = Set(
+    // dedup: normalize/fingerprint/chunk/prefix the text
+    "dd1_exact_dedup", "dd2_fingerprint_dedup", "dd7_winnow_fingerprints",
+    "dd9_edit_distance", "dd11_chunk_dedup", "dd13_quality_canonical",
+    // text analysis: tokenize and score
+    "tx1_token_stats", "tx2_quality_score", "tx3_language_id",
+    "tx4_top_bigrams", "tx5_regex_tokens", "tx7_charngram_langid",
+    "tx8_tfidf_topterms", "tx9_token_surprisal", "tx10_bigram_crossent",
+    "hh1_heavy_hitters",
+    // pipeline: quality/token-count/shingle stages
+    "pp1_clean_corpus", "pp3_chunk_documents", "pp4_pack_sequences",
+    "pp5_outlier_filter", "pp6_decontaminate", "pp8_repetition_filter",
+    "pp10_curriculum_shards", "pp11_boilerplate", "bf1_bloom_decontaminate",
+    // multimodal: text bytes are the deterministic payload substrate
+    "mm1_media_features", "mm2_frame_sample", "mm3_binary_dedup",
+    "mm4_media_neardup", "mm5_resize_audit")
+
+  test("only allowlisted queries read documents.text at the scan") {
+    val offenders = Registry.all
+      .filterNot(r => eagerConstruction.contains(r.name))
+      .flatMap { r =>
+        val reads = scans(r.fn(spark, sf).queryExecution.executedPlan)
+          .filter(_.relation.location.rootPaths.exists(_.toString.contains("documents")))
+          .exists(_.requiredSchema.fieldNames.contains("text"))
+        if (reads) Seq(r.name) else Nil
+      }.toSet
+    val unexpected = offenders -- textReaders
+    val stale = textReaders -- offenders
+    assert(unexpected.isEmpty,
+      s"queries newly reading documents.text at the scan: ${unexpected.toSeq.sorted.mkString(", ")} — " +
+        "prune the column or allowlist with justification")
+    assert(stale.isEmpty,
+      s"allowlist entries that no longer read text (tighten the list): ${stale.toSeq.sorted.mkString(", ")}")
+  }
+}

@@ -59,7 +59,8 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "ev18_mad_anomaly" -> 21,     // two group-median passes (each: ckpt + stats + pid window + masses + offsets) + sort; data-bearing exchanges are the two pid shuffles
     "dd13_quality_canonical" -> 7, // dd3 pair derivation + CC tail + quality join + argmax agg + sort
     "pp12_token_budget" -> 5,      // budget agg + doc-granular two-pass prefix (stats, pid window, masses, offsets) + sort
-    "ev19_time_weighted_avg" -> 2) // ONE user-keyed window feeding the agg + sort
+    "ev19_time_weighted_avg" -> 2, // ONE user-keyed window feeding the agg + sort
+    "pp13_split_leakage" -> 5)     // dd3 pair derivation (4) + sort; split is a narrow map per endpoint
 
   budgets.foreach { case (name, budget) =>
     test(s"$name stays within its shuffle budget ($budget)") {
