@@ -16,13 +16,15 @@ import graft.Tables
   * Scale shape: BPE learns over the DISTINCT-word frequency table, not the
   * token stream — at 100 TB the stream is trillions of rows but the word
   * table is tens of millions, and it is built with the engine's ordinary
-  * partial-aggregated count. Each merge round is then (a) one narrow map
-  * re-splitting the current symbol encoding, (b) one pair-keyed
-  * partial-aggregated sum(freq), (c) a TakeOrdered(1) for the argmax — the
-  * only driver-side data is the single winning pair per round. The
-  * re-encoded corpus is localCheckpoint'ed every round so round k applies
-  * merge k once to stored rows instead of replaying merges 1..k−1 through
-  * lineage (the same iterative-lineage rule as `Dedup.connectedComponents`).
+  * partial-aggregated count. The pair-count table is built in full once and
+  * then DELTA-MAINTAINED (Sennrich's incremental learner): each round is
+  * (a) a TakeOrdered(1) argmax over the carried pair table, (b) a retract/
+  * add pair delta computed from ONLY the words containing the winning pair,
+  * (c) one narrow re-encode map — the only driver-side data is the single
+  * winning pair per round. The re-encoded corpus and pair table are
+  * localCheckpoint'ed every round so round k applies merge k once to stored
+  * rows instead of replaying merges 1..k−1 through lineage (the same
+  * iterative-lineage rule as `Dedup.connectedComponents`).
   *
   * Determinism: pair counts are exact long sums; the argmax tie-breaks
   * lexicographically on (left, right); the merge application is Java
@@ -42,18 +44,16 @@ object Bpe {
     * engine-defined algorithm ⇒ rows-only driver check; BpeSpec holds the
     * ground truth.
     *
-    * Cost shape before raising `numMerges`: each merge round launches one
-    * distributed pair-count + TakeOrdered(1) job, so learning time is
-    * `numMerges × per-round job overhead` — fine at 12, but a real-vocab
-    * run (30k+ merges) would be dominated by job launches, not data. The
-    * standard fix (Sennrich's incremental learner) carries the pair-count
-    * table across rounds and adjusts ONLY the pairs overlapping the last
-    * merge's occurrences (a merge of (a,b) touches counts of (x,a), (b,y)
-    * and (a,b) neighborhoods only), turning each round into a delta update
-    * over a small keyed relation instead of a full corpus re-count. The
-    * re-encoded corpus checkpoint below is already the state that delta
-    * would be computed against; not implemented because every registry/
-    * bench/test consumer uses small fixed `numMerges`. */
+    * Cost shape: the learner is Sennrich's INCREMENTAL form — the full
+    * corpus-wide pair count runs exactly once (round 1's input), and every
+    * later round adjusts the carried pair-count table by the delta from
+    * ONLY the words containing the merged pair (a merge of (a,b) changes
+    * counts of (x,a), (b,y) and (a,b) neighborhoods in those words alone).
+    * Per round the shuffle mass is |affected-word pair stream| + |distinct
+    * pair table|, not the whole corpus's pair stream — the difference
+    * between O(corpus) and O(touched vocabulary) per merge, which is what
+    * makes a real-vocab run (30k+ merges) data-feasible; the residual
+    * per-round floor is the argmax TakeOrdered(1) job launch. */
   def learnMerges(s: SparkSession, d: String, numMerges: Int = 12): DataFrame = {
     val words = Tables(s, d, "documents")
       .select(explode(split(col("text"), " ")).as("w"))
@@ -134,8 +134,32 @@ object Bpe {
       .map(r => (r.getString(1), r.getString(2)))
       .toSeq
 
+  /** Σ freq·(adjacent symbol pairs) of an encoding — the pair-count
+    * relation the learner maintains. The symbol array is materialized in
+    * its own projection first (the O(len²) re-split trap — see
+    * TextAnalysis.bigramStream). Negative `freq` rows subtract, which is
+    * how the incremental learner retracts an affected word's old pairs. */
+  private def pairCountsOf(enc: DataFrame): DataFrame = enc
+    .select(col("freq"), split(col("sym"), " ").as("a"))
+    .filter(size(col("a")) >= 2)
+    .select(col("freq"), explode(transform(
+      sequence(lit(0), size(col("a")) - 2),
+      i => struct(
+        element_at(col("a"), i + 1).as("left"),
+        element_at(col("a"), i + 2).as("right")))).as("p"))
+    .groupBy(col("p.left").as("left"), col("p.right").as("right"))
+    .agg(sum("freq").as("cnt"))
+
   /** Core learner over any `(w: string, freq: long)` word-frequency
-    * relation. */
+    * relation — Sennrich-incremental: the pair-count table is built in
+    * full ONCE and then carried across rounds, each round retracting the
+    * pre-merge pairs of the affected words (those whose encoding contains
+    * the winning pair) and adding their post-merge pairs. Exact long
+    * arithmetic ⇒ the carried table equals a full recount at every round,
+    * so the merge sequence (argmax with the (cnt DESC, left, right)
+    * tie-break) is bit-identical to the non-incremental form —
+    * BpeSketchSpec pins this against a sequential reference, including on
+    * randomized corpora. */
   def learnMergesFrom(words: DataFrame, numMerges: Int): DataFrame = {
     val s = words.sparkSession
     // initial encoding: space-separated characters plus the EOW symbol
@@ -146,23 +170,14 @@ object Bpe {
           array_join(filter(split(col("w"), ""), c => length(c) > 0), " "),
           lit(" " + EndOfWord)).as("sym"))
       .localCheckpoint()
+    // the ONE full corpus-wide pair count; delta-maintained afterwards
+    var pairCounts = pairCountsOf(cur).localCheckpoint()
 
     val merges = Seq.newBuilder[(Long, String, String, String, Long)]
     var rank = 1L
     var exhausted = false
     while (rank <= numMerges && !exhausted) {
-      // pair stream: materialize the symbol array in its own projection
-      // first (the O(len²) re-split trap — see TextAnalysis.bigramStream)
-      val best = cur
-        .select(col("freq"), split(col("sym"), " ").as("a"))
-        .filter(size(col("a")) >= 2)
-        .select(col("freq"), explode(transform(
-          sequence(lit(0), size(col("a")) - 2),
-          i => struct(
-            element_at(col("a"), i + 1).as("left"),
-            element_at(col("a"), i + 2).as("right")))).as("p"))
-        .groupBy(col("p.left").as("left"), col("p.right").as("right"))
-        .agg(sum("freq").as("cnt"))
+      val best = pairCounts
         .orderBy(col("cnt").desc, col("left"), col("right"))
         .limit(1)
         .collect()
@@ -172,9 +187,23 @@ object Bpe {
         merges += ((rank, l, r, l + r, c))
         // left-to-right non-overlapping whole-symbol replacement ≡ greedy BPE
         val pat = "(?<=^| )" + Pattern.quote(l + " " + r) + "(?= |$)"
+        val repl = Matcher.quoteReplacement(l + r)
+        // delta = post-merge pairs − pre-merge pairs of the words that
+        // contain the winning pair; everything else is untouched, so the
+        // round's shuffle carries affected words only, never the corpus
+        val affected = cur.filter(col("sym").rlike(pat))
+        val delta = pairCountsOf(
+          affected.select((-col("freq")).as("freq"), col("sym")))
+          .union(pairCountsOf(
+            affected.select(col("freq"),
+              regexp_replace(col("sym"), pat, repl).as("sym"))))
+        pairCounts = pairCounts.union(delta)
+          .groupBy("left", "right").agg(sum("cnt").as("cnt"))
+          .filter(col("cnt") > 0)
+          .localCheckpoint()
         cur = cur
           .select(col("freq"),
-            regexp_replace(col("sym"), pat, Matcher.quoteReplacement(l + r)).as("sym"))
+            regexp_replace(col("sym"), pat, repl).as("sym"))
           .localCheckpoint()
         rank += 1
       }

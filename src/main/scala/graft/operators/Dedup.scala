@@ -119,13 +119,13 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
-  private val NumHashes = 16
-  private val BandSize = 4
-  private val NumBands = NumHashes / BandSize
+  private[graft] val NumHashes = 16
+  private[graft] val BandSize = 4
+  private[graft] val NumBands = NumHashes / BandSize
   /** Skew control: buckets larger than this are dropped from candidate
     * generation (standard LSH practice — a bucket holding k docs contributes
     * k² pairs; hot buckets are near-certainly stopword-like signatures). */
-  private val BucketCap = 150
+  private[graft] val BucketCap = 150
 
   /** MinHash signatures: h_i(doc) = min over tokens of xxhash64(i, token).
     * One row per doc, NumHashes columns — built in a single groupBy. */
@@ -135,14 +135,36 @@ object Dedup {
     toks.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
-  /** MinHash-LSH near-dup pairs over the FULL table, exact-verified.
-    * Pipeline: signatures → band keys → bucket equi-join (capped) →
-    * candidate pairs → exact Jaccard filter ≥ 0.85. Output is a subset of
-    * the brute-force pairs (verified in DedupSpec); no SQL oracle since the
-    * hash family is engine-specific.
-    */
-  def minhashLsh(s: SparkSession, d: String): DataFrame = {
-    val docs = t(s, d, "documents")
+  /** NARROW (per-row) form of the signature: the same h_i = min over the
+    * doc's distinct tokens of xxhash64(i, token), folded inside one
+    * projection by the `aggregate` HOF instead of explode+groupBy.
+    * Bit-identical values (same hash over the same token set; duplicates
+    * cannot change a min — DedupSpec asserts equality), but shuffle-free
+    * and therefore legal in a streaming projection: the at-ingest LSH twin
+    * signs each arriving document without an aggregation state store. */
+  def signatureColumns(text: Column): Seq[Column] =
+    (0 until NumHashes).map { i =>
+      aggregate(array_distinct(split(text, " ")),
+        lit(Long.MaxValue), (acc, w) => least(acc, xxhash64(lit(i), w))).as(s"h$i")
+    }
+
+  /** (doc_id, band, sig) band keys of a signature relation — each doc's
+    * NumBands bucket coordinates. Shared by the batch candidate stage and
+    * the streaming at-ingest twin. */
+  def bandKeys(sigs: DataFrame): DataFrame = {
+    val bandCols = (0 until NumBands).map { b =>
+      val hs = (0 until BandSize).map(i => col(s"h${b * BandSize + i}"))
+      struct(lit(b).as("band"), xxhash64(hs: _*).as("sig"))
+    }
+    sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+  }
+
+  /** Candidate-pair stage of [[minhashLsh]]: banded buckets (whole buckets
+    * larger than [[BucketCap]] dropped) plus full-signature star groups.
+    * Exposed so the streaming at-ingest twin's final state can be compared
+    * against EXACTLY this relation (StreamingSpec). */
+  def lshCandidates(docs: DataFrame): DataFrame = {
     // The signature relation feeds FOUR consumers (band keys, bucket sizes,
     // full-signature canon groups, star join). Left lazy, each consumer
     // re-derives the token stream; a `.cache()` would squat in storage
@@ -151,12 +173,7 @@ object Dedup {
     // longs per doc — and its blocks are GC-reclaimed with the plan, so no
     // per-query cache accumulates.
     val sigs = minhashSignatures(docs).localCheckpoint()
-    val bandCols = (0 until NumBands).map { b =>
-      val hs = (0 until BandSize).map(i => col(s"h${b * BandSize + i}"))
-      struct(lit(b).as("band"), xxhash64(hs: _*).as("sig"))
-    }
-    val bands = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+    val bands = bandKeys(sigs)
 
     val bucketSizes = bands.groupBy("band", "sig").agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") <= BucketCap)
@@ -182,10 +199,21 @@ object Dedup {
       .filter(col("doc_id") =!= col("id_a"))
       .select(col("id_a"), col("doc_id").as("id_b"))
 
+    bucketPairs.unionByName(starPairs).distinct()
+  }
+
+  /** MinHash-LSH near-dup pairs over the FULL table, exact-verified.
+    * Pipeline: signatures → band keys → bucket equi-join (capped) →
+    * candidate pairs → exact Jaccard filter ≥ 0.85. Output is a subset of
+    * the brute-force pairs (verified in DedupSpec); no SQL oracle since the
+    * hash family is engine-specific.
+    */
+  def minhashLsh(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
     // Small pair list (bounded by the bucket cap + linear star pairs);
     // materialize so the verification join starts from stored pairs instead
     // of replaying the whole band/canon pipeline on both join branches.
-    val candidates = bucketPairs.unionByName(starPairs).distinct().localCheckpoint()
+    val candidates = lshCandidates(docs).localCheckpoint()
 
     verifiedJaccard(docs, candidates)
       .filter(col("jaccard") >= 0.85)

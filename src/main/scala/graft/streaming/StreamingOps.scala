@@ -427,6 +427,76 @@ object StreamingOps {
     f.delete()
   }
 
+  // ---- streaming at-ingest LSH near-dup (twin of Dedup.lshCandidates) ----
+
+  final case class LshBucketState(nSeen: Long, dead: Boolean, members: Seq[Long])
+  final case class LshBucketSnapshot(
+      band: Int, sig: Long, nSeen: Long, dead: Boolean, members: Seq[Long])
+  final case class SigGroupState(nSeen: Long, members: Seq[Long])
+  final case class SigGroupSnapshot(sigkey: Long, nSeen: Long, members: Seq[Long])
+
+  /** Streaming LSH bucket accumulation — the banded half of dd4 run
+    * at-ingest: each arriving document is signed in ONE narrow projection
+    * ([[graft.operators.Dedup.signatureColumns]] — no aggregation state),
+    * exploded to its band keys, and folded into bucket-keyed state.
+    * Membership is a set union and the BucketCap kill is a monotone
+    * predicate of final size, so the fold is MERGE-COMMUTATIVE: any batch
+    * slicing converges to the batch bucket relation bit-exactly
+    * (StreamingSpec feeds id-sliced, deliberately non-time-ordered
+    * batches). Live-bucket state is ≤ BucketCap+1 ids; a dead (over-cap)
+    * bucket keeps only a tombstone, so state per bucket is bounded exactly
+    * like the batch operator's candidate cost. */
+  def lshBucketUpdates(docs: DataFrame)(
+      implicit spark: SparkSession): Dataset[LshBucketSnapshot] = {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val sigs = docs.select(col("doc_id") +: Dedup.signatureColumns(col("text")): _*)
+    Dedup.bandKeys(sigs)
+      .select(col("band"), col("sig"), col("doc_id")).as[(Int, Long, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[LshBucketState, LshBucketSnapshot](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((band, sig), rows, state) =>
+          val prev = state.getOption.getOrElse(LshBucketState(0L, false, Nil))
+          val arrived = rows.map(_._3).toSeq
+          val members =
+            if (prev.dead) Nil else (prev.members ++ arrived).distinct.sorted
+          val dead = prev.dead || members.length > Dedup.BucketCap
+          val next = LshBucketState(
+            prev.nSeen + arrived.size, dead, if (dead) Nil else members)
+          state.update(next)
+          Iterator.single(LshBucketSnapshot(band, sig, next.nSeen, dead, next.members))
+      }
+  }
+
+  /** Full-signature group accumulation — dd4's star-recovery half
+    * at-ingest. The group's pair set is (min member, every other member),
+    * a function of final membership alone, so the fold is
+    * merge-commutative like the buckets. State here keeps the member list
+    * for the spec's exact final-state comparison; a production store would
+    * keep only (canonical id, count) and emit (doc → canon) assignments as
+    * they arrive, reassigning the rare late-arriving smaller id. */
+  def sigGroupUpdates(docs: DataFrame)(
+      implicit spark: SparkSession): Dataset[SigGroupSnapshot] = {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val sigs = docs.select(col("doc_id") +: Dedup.signatureColumns(col("text")): _*)
+    sigs.select(
+      xxhash64((0 until Dedup.NumHashes).map(i => col(s"h$i")): _*).as("sigkey"),
+      col("doc_id")).as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SigGroupState, SigGroupSnapshot](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (sigkey: Long, rows: Iterator[(Long, Long)], state: GroupState[SigGroupState]) =>
+          val prev = state.getOption.getOrElse(SigGroupState(0L, Nil))
+          val arrived = rows.map(_._2).toSeq
+          val members = (prev.members ++ arrived).distinct.sorted
+          val next = SigGroupState(prev.nSeen + arrived.size, members)
+          state.update(next)
+          Iterator.single(SigGroupSnapshot(sigkey, next.nSeen, members))
+      }
+  }
+
   /** Run any of the above to a named in-memory table and process all
     * currently-available input (the local smoke harness; production would
     * use a real sink + trigger). The output mode is caller-supplied because

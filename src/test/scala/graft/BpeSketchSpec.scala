@@ -81,6 +81,23 @@ class BpeSketchSpec extends AnyFunSuite {
     assert(learned(words, 10).size == 2)
   }
 
+  test("bp1 incremental pair-count maintenance matches the reference on random corpora") {
+    // the incremental learner carries the pair table across rounds by
+    // retract/add deltas; any drift from a full recount would change an
+    // argmax somewhere in a longer merge sequence. Randomized corpora over
+    // a tiny alphabet maximize pair collisions, run-merges (aa on aaa) and
+    // exhaustion — the delta math's hard cases.
+    val rnd = new scala.util.Random(20260813L)
+    for (trial <- 1 to 8) {
+      val words = (1 to 12).map { _ =>
+        val len = 1 + rnd.nextInt(6)
+        (1 to len).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      }.distinct.map(w => w -> (1L + rnd.nextInt(9)))
+      val n = 2 + rnd.nextInt(10)
+      assert(learned(words, n) == refBpe(words, n), s"trial $trial: $words, n=$n")
+    }
+  }
+
   test("bp1 is deterministic across runs") {
     val a = Bpe.learnMerges(spark, sf, 6).collect().toSeq
     val b = Bpe.learnMerges(spark, sf, 6).collect().toSeq

@@ -41,10 +41,25 @@ class DedupSpec extends AnyFunSuite {
       .agg(count(lit(1)).as("c"))
     val sa = sizes.select(col("doc_id").as("id_a"), col("n").as("na"))
     val sb = sizes.select(col("doc_id").as("id_b"), col("n").as("nb"))
-    inter.join(sa, "id_a").join(sb, "id_b")
+    val pairs = inter.join(sa, "id_a").join(sb, "id_b")
       .filter(col("c") / (col("na") + col("nb") - col("c")) >= 0.85)
       .select("id_a", "id_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // unpersist: the session is shared across suites, and a lingering cache
+    // of a documents-derived subtree would be silently substituted into
+    // later suites' registry plans by the CacheManager
+    toks.unpersist()
+    pairs
+  }
+
+  test("narrow signature columns are bit-identical to the explode+groupBy signatures") {
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text")
+    val grouped = Dedup.minhashSignatures(docs)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val narrow = docs
+      .select(col("doc_id") +: Dedup.signatureColumns(col("text")): _*)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(grouped.nonEmpty && narrow == grouped)
   }
 
   test("minhash-LSH pairs are a subset of brute-force truth, with decent recall") {

@@ -1,15 +1,22 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.multimodal.Multimodal
 
-class MultimodalSpec extends AnyFunSuite {
+class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
   private lazy val spark = SparkTestSession.spark
   private val sf = SparkTestSession.sf
 
   private lazy val media = Multimodal.fixtureFromDocuments(spark, sf).cache()
+
+  // the session is shared across suites: a lingering cache of this
+  // documents-derived subtree would be substituted into later suites'
+  // registry plans by the CacheManager (it shadowed the mm* file scans
+  // from ScanPruningSpec before this hook existed)
+  override def afterAll(): Unit = { media.unpersist(); super.afterAll() }
 
   test("fixture carries binary payloads with typed metadata") {
     assert(media.count() == 500)

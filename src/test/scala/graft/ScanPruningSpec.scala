@@ -4,6 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
 
 /** Scan-pruning contract for the corpus's one heavy column: at 100 TB,
   * `documents.text` IS the table (the metadata columns are rounding error),
@@ -29,6 +30,11 @@ class ScanPruningSpec extends AnyFunSuite {
   private def scans(p: SparkPlan): Seq[FileSourceScanExec] =
     p.collect {
       case a: AdaptiveSparkPlanExec => scans(a.inputPlan)
+      // see through cached subtrees: if another suite cached a
+      // documents-derived relation, the CacheManager substitutes it into
+      // this plan and would otherwise hide the underlying file scan —
+      // making the ratchet's verdict depend on suite order
+      case m: InMemoryTableScanExec => scans(m.relation.cachedPlan)
       case f: FileSourceScanExec => Seq(f)
     }.flatten ++ p.subqueries.flatMap(scans)
 

@@ -60,7 +60,9 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "dd13_quality_canonical" -> 7, // dd3 pair derivation + CC tail + quality join + argmax agg + sort
     "pp12_token_budget" -> 5,      // budget agg + doc-granular two-pass prefix (stats, pid window, masses, offsets) + sort
     "ev19_time_weighted_avg" -> 2, // ONE user-keyed window feeding the agg + sort
-    "pp13_split_leakage" -> 5)     // dd3 pair derivation (4) + sort; split is a narrow map per endpoint
+    "pp13_split_leakage" -> 5,     // dd3 pair derivation (4) + sort; split is a narrow map per endpoint
+    "tx6_vocabulary" -> 4,         // count agg + rank-range repartition + count-offsets + sort (post-ckpt visible plan)
+    "dd12_dup_clusters_exact" -> 7) // CC label join-backs + size agg + sort over the checkpointed dd3 edges
 
   budgets.foreach { case (name, budget) =>
     test(s"$name stays within its shuffle budget ($budget)") {

@@ -289,6 +289,52 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming at-ingest LSH near-dup: id-sliced batches converge to dd4's exact candidate set") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lsh").toString
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text")
+    // DELIBERATELY interleaved id-residue slices, not ordered chunks:
+    // bucket membership is a set union and the cap kill is a predicate of
+    // final size, so the fold must converge from ANY slicing
+    (0 until 3).foreach { i =>
+      docs.filter(col("doc_id") % 3 === i)
+        .coalesce(1).write.parquet(s"$dir/c$i.parquet")
+    }
+    val schema = spark.read.parquet(s"$dir/c0.parquet").schema
+    def stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*.parquet/*.parquet")
+
+    // banded-bucket half: final snapshot per bucket = max nSeen emission
+    val q1 = StreamingOps.runToMemory(
+      StreamingOps.lshBucketUpdates(stream).toDF(), "stream_lsh_buckets", OutputMode.Append)
+    val bucketPairs =
+      try {
+        val all = spark.table("stream_lsh_buckets")
+          .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2),
+            r.getBoolean(3), r.getSeq[Long](4)))
+        all.groupBy(_._1).values.map(_.maxBy(_._2)).filterNot(_._3)
+          .flatMap { case (_, _, _, ms) =>
+            for (i <- ms.indices; j <- i + 1 until ms.length) yield (ms(i), ms(j))
+          }.toSeq
+      } finally q1.stop()
+
+    // full-signature star half: (min member, other) per multi-member group
+    val q2 = StreamingOps.runToMemory(
+      StreamingOps.sigGroupUpdates(stream).toDF(), "stream_lsh_sigs", OutputMode.Append)
+    val starPairs =
+      try {
+        val all = spark.table("stream_lsh_sigs")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
+        all.groupBy(_._1).values.map(_.maxBy(_._2))
+          .filter(_._3.length > 1)
+          .flatMap { case (_, _, ms) => ms.tail.map(m => (ms.head, m)) }.toSeq
+      } finally q2.stop()
+
+    val streamed = (bucketPairs ++ starPairs).distinct.sorted
+    val batch = operators.Dedup.lshCandidates(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.distinct.sorted
+    assert(batch.nonEmpty && streamed == batch)
+  }
+
   test("incremental ingest dedup: persistent fp store across micro-batches equals batch dedup; replay is a no-op") {
     import org.apache.spark.sql.expressions.Window
     val base = java.nio.file.Files.createTempDirectory("graft-ingest")
