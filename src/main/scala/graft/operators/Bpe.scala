@@ -197,14 +197,20 @@ object Bpe {
           .union(pairCountsOf(
             affected.select(col("freq"),
               regexp_replace(col("sym"), pat, repl).as("sym"))))
+        // LAZY checkpoints: still truncate lineage (round k's plans read
+        // round k−1's stored blocks, never a replay of merges 1..k−1), but
+        // materialize inside the next round's first action instead of as
+        // their own jobs — and the final round's states, which nothing
+        // reads, never materialize at all (~2 jobs/round saved at fixture
+        // scale where job launch dominates)
         pairCounts = pairCounts.union(delta)
           .groupBy("left", "right").agg(sum("cnt").as("cnt"))
           .filter(col("cnt") > 0)
-          .localCheckpoint()
+          .localCheckpoint(false)
         cur = cur
           .select(col("freq"),
             regexp_replace(col("sym"), pat, repl).as("sym"))
-          .localCheckpoint()
+          .localCheckpoint(false)
         rank += 1
       }
     }
