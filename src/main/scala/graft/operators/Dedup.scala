@@ -480,12 +480,15 @@ object Dedup {
         .join(labels.select(col("node").as("v"), col("label")), "v")
         .groupBy(col("u").as("node")).agg(min("label").as("nl"))
       // carry the previous label through the materialization so the
-      // convergence check is a filter over the checkpoint, not another join
+      // convergence check is a filter over the checkpoint, not another join.
+      // LAZY checkpoint: the plan is severed either way (analysis stays
+      // O(1) per round); the blocks materialize inside the count() below
+      // instead of as their own job — one fewer job launch per round
       val next = labels.join(neighborMin, Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"),
           col("label").as("old"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       changed = next.filter(col("label") =!= col("old")).count()
       labels = next.select("node", "label")
       rounds += 1
@@ -520,11 +523,12 @@ object Dedup {
         .unionByName(withMin.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(false) // materializes inside the convergence check
       // fixed point = the directed edge set stopped changing
       val prevDirected = cur.filter(col("u") > col("v"))
       converged = ss.exceptAll(prevDirected).isEmpty && prevDirected.exceptAll(ss).isEmpty
-      cur = ss.unionByName(ss.select(col("v").as("u"), col("u").as("v"))).localCheckpoint()
+      cur = ss.unionByName(ss.select(col("v").as("u"), col("u").as("v")))
+        .localCheckpoint(false) // materializes on its first next-round use
       rounds += 1
     }
     // at the fixed point every non-root node carries exactly one edge to its

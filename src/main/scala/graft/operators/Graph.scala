@@ -13,9 +13,11 @@ import org.apache.spark.sql.functions._
   * Scale shape per iteration: one shuffle — contributions grouped by
   * destination — joined against the static degree relation; ranks and
   * degrees are co-partitioned on the node key, so AQE keeps the join local.
-  * Lineage is truncated with an eager localCheckpoint per iteration
-  * (10 unrolled joins would otherwise stack into one exponential plan —
-  * same lesson as the CC loop).
+  * Lineage is truncated with a LAZY localCheckpoint per iteration
+  * (10 unrolled joins would otherwise stack into one exponential Catalyst
+  * plan — same lesson as the CC loop; lazy because the plan is severed
+  * either way, while the blocks materialize transitively inside the final
+  * action instead of as 10 separate jobs).
   *
   * Determinism: ranks accumulate in DECIMAL(20,18). Decimal addition is
   * exact and order-independent (unlike float sums, whose grouping varies
@@ -69,7 +71,11 @@ object Graph {
         .join(contribs, Seq("node"), "left")
         .select(col("node"),
           (teleport + d * coalesce(col("inflow"), lit(0).cast(RankType))).cast(RankType).as("rank"))
-        .localCheckpoint()
+        // LAZY: the Catalyst plan is severed per iteration either way (the
+        // checkpoint is a LogicalRDD, so analysis cost stays O(1) per
+        // round); blocks materialize transitively inside the final action
+        // — the 10 per-iteration checkpoint jobs collapse into one
+        .localCheckpoint(false)
     }
     ranks.select(col("node"), round(col("rank"), 12).cast("double").as("rank"))
   }
