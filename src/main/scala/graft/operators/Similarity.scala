@@ -292,7 +292,8 @@ object Similarity {
       // (64× per vector — measured 31 s vs 1.4 s per pass at sf0.1; the
       // same re-evaluation trap as TextAnalysis.bigramStream's re-split)
       val assigned = train
-        .select(col("embedding"), cells.as("cells")).localCheckpoint()
+        .select(col("embedding"), cells.as("cells"))
+        .localCheckpoint(false) // severs the plan; materializes in the collect below
       val means = assigned
         .select(col("cells"), posexplode(col("embedding")))
         .toDF("cells", "pos", "x")
@@ -318,7 +319,7 @@ object Similarity {
     // re-encode under the join
     val codes = e.select(col("vec_id").as("c_id"),
       array((0 until m).map(j => cellOf(books, j, col("embedding"))): _*).as("codes"))
-      .localCheckpoint()
+      .localCheckpoint(false) // severed plan; blocks land on the first scan
     // centroid squared-norm tables (query-independent literals)
     val normLut: Seq[Column] =
       (0 until m).map(j => array(books(j).map(c => lit(c.map(x => x * x).sum)): _*))
