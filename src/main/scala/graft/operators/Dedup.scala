@@ -127,21 +127,23 @@ object Dedup {
     * k² pairs; hot buckets are near-certainly stopword-like signatures). */
   private[graft] val BucketCap = 150
 
-  /** MinHash signatures: h_i(doc) = min over tokens of xxhash64(i, token).
-    * One row per doc, NumHashes columns — built in a single groupBy. */
-  def minhashSignatures(docs: DataFrame): DataFrame = {
-    val toks = tokens(docs)
-    val aggs = (0 until NumHashes).map(i => min(xxhash64(lit(i), col("w"))).as(s"h$i"))
-    toks.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-  }
+  /** MinHash signatures: h_i(doc) = min over the doc's distinct tokens of
+    * xxhash64(i, token). One row per doc, NumHashes columns — a NARROW
+    * projection over [[signatureColumns]] (no explode, no shuffle), which
+    * also makes it directly legal in a streaming plan. NULL-text docs are
+    * omitted, matching the historical explode+groupBy form (explode of a
+    * NULL token array produced no rows) — the streaming twins apply the
+    * same filter so stream ≡ batch holds for NULL inputs too. */
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id") +: signatureColumns(col("text")): _*)
 
-  /** NARROW (per-row) form of the signature: the same h_i = min over the
-    * doc's distinct tokens of xxhash64(i, token), folded inside one
-    * projection by the `aggregate` HOF instead of explode+groupBy.
-    * Bit-identical values (same hash over the same token set; duplicates
-    * cannot change a min — DedupSpec asserts equality), but shuffle-free
-    * and therefore legal in a streaming projection: the at-ingest LSH twin
-    * signs each arriving document without an aggregation state store. */
+  /** The signature as per-row columns: each h_i folded inside one
+    * projection by the `aggregate` HOF. min over the same token set as an
+    * explode+groupBy min (duplicates cannot change a min), so the two
+    * formulations are interchangeable — this one is shuffle-free. NOTE:
+    * over a NULL text this yields NULL columns (the batch relation filters
+    * those docs out; any new caller must do the same or handle NULLs). */
   def signatureColumns(text: Column): Seq[Column] =
     (0 until NumHashes).map { i =>
       aggregate(array_distinct(split(text, " ")),

@@ -133,19 +133,24 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
-  /** Deterministic train/holdout split by content-independent hash: a doc
-    * lands in holdout iff the md5 of its id's decimal string starts below
-    * 0x1a (26/256 ≈ 10.2%). The split is a pure narrow map — reproducible
-    * across runs, engines, and repartitioning (no RNG, no state), which is
-    * the property a training pipeline needs so that re-runs and incremental
+  /** THE train/holdout decision, as an expression over any doc-id column:
+    * holdout iff the md5 of the id's decimal string starts below 0x1a
+    * (26/256 ≈ 10.2%). One definition — pp2 (the split itself), pp13 (the
+    * leakage audit's endpoints) and the decontamination shingle derivation
+    * all apply this exact expression, so they cannot drift apart. */
+  private def splitOf(id: Column): Column =
+    when(md5(id.cast("string").cast("binary")) < "1a", lit("holdout"))
+      .otherwise(lit("train"))
+
+  /** Deterministic train/holdout split by content-independent hash
+    * ([[splitOf]]). The split is a pure narrow map — reproducible across
+    * runs, engines, and repartitioning (no RNG, no state), which is the
+    * property a training pipeline needs so that re-runs and incremental
     * appends never migrate a document across the split boundary. md5 is
     * computed identically everywhere, so the assignment is oracle-exact. */
   def hashSplit(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
-      .select(
-        col("doc_id"), col("lang"),
-        when(md5(col("doc_id").cast("string").cast("binary")) < "1a", lit("holdout"))
-          .otherwise(lit("train")).as("split"))
+      .select(col("doc_id"), col("lang"), splitOf(col("doc_id")).as("split"))
       .orderBy("doc_id")
 
   /** Near-duplicate split-leakage audit (pp13): every exact-Jaccard
@@ -158,16 +163,12 @@ object Pipeline {
     * split relation and no new shuffle beyond dd3's own: at 100 TB the
     * audit costs exactly the near-dup pass it composes. Both inputs are
     * oracle-exact, so the leak list is hash-checked end to end. */
-  def splitLeakage(s: SparkSession, d: String): DataFrame = {
-    def split(id: Column): Column =
-      when(md5(id.cast("string").cast("binary")) < "1a", lit("holdout"))
-        .otherwise(lit("train"))
+  def splitLeakage(s: SparkSession, d: String): DataFrame =
     Dedup.jaccardPairs(s, d)
-      .withColumn("split_a", split(col("id_a")))
-      .withColumn("split_b", split(col("id_b")))
+      .withColumn("split_a", splitOf(col("id_a")))
+      .withColumn("split_b", splitOf(col("id_b")))
       .filter(col("split_a") =!= col("split_b"))
       .orderBy("id_a", "id_b")
-  }
 
   /** Fixed-size overlapping token chunks (`chunk` tokens every `stride`) —
     * the context-window slicing step before tokenization/packing. Chunk
@@ -302,10 +303,7 @@ object Pipeline {
     * md5. Shared derivation for [[decontaminate]] and [[bloomDecontaminate]]. */
   private def shinglesWithSplit(s: SparkSession, d: String, k: Int): DataFrame =
     t(s, d, "documents")
-      .select(
-        col("doc_id"), toks.as("a"),
-        when(md5(col("doc_id").cast("string").cast("binary")) < "1a", lit("holdout"))
-          .otherwise(lit("train")).as("split"))
+      .select(col("doc_id"), toks.as("a"), splitOf(col("doc_id")).as("split"))
       .filter(size(col("a")) >= k)
       .select(col("doc_id"), col("split"),
         explode(transform(

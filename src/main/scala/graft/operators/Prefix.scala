@@ -54,12 +54,17 @@ object Prefix {
     val local = Window.partitionBy("__pid").orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     val psums = binned.groupBy("__pid").agg(sum("__mass").as("__psum"))
+    // keep only (key, offset): the mass column riding in triangularOffsets'
+    // output must not leak into the caller's frame (its name could collide
+    // with a legitimate caller column, and the contract above promises all
+    // input columns survive untouched)
     val offsets = triangularOffsets(psums, "__pid", "__psum", "__off")
+      .select("__pid", "__off")
     binned
       .withColumn("__local", coalesce(sum("__mass").over(local), lit(0L)))
       .join(broadcast(offsets), "__pid")
       .withColumn(as, col("__local") + col("__off"))
-      .drop("__pid", "__mass", "__local", "__psum", "__off")
+      .drop("__pid", "__mass", "__local", "__off")
   }
 
   /** Global dense 1-based rank (`row_number` over `ord`) WITHOUT a global
@@ -80,11 +85,12 @@ object Prefix {
     val local = Window.partitionBy("__pid").orderBy(ord: _*)
     val counts = ranged.groupBy("__pid").agg(count(lit(1)).as("__pn"))
     val offsets = triangularOffsets(counts, "__pid", "__pn", "__off")
+      .select("__pid", "__off") // see exclusiveSum: the mass column must not leak
     ranged
       .withColumn("__rn", row_number().over(local))
       .join(broadcast(offsets), "__pid")
       .withColumn(as, col("__off") + col("__rn"))
-      .drop("__pid", "__rn", "__pn", "__off")
+      .drop("__pid", "__rn", "__off")
   }
 
   /** pid for a numeric key: its bin in an equi-width split of [mn, mx] into

@@ -215,9 +215,16 @@ object StreamingOps {
           }
           state.update(st)
           val span = st.lastTs - st.firstTs
+          // batch sums v·Δt in DECIMAL(38,4) and (non-ANSI) NULLs the whole
+          // sum on overflow — mirror that at emission: an integral that no
+          // longer fits 34 integer digits emits NULL twa. State stays exact
+          // BigDecimal, so a later batch cannot inherit rounding drift.
+          val numFits = st.num.nonEmpty && {
+            val n = BigDecimal(st.num); n.precision - n.scale <= 34
+          }
           Iterator.single(TwaUpdate(uid, st.n,
             if (st.n < 2) None else Some(span),
-            if (span > 0 && st.num.nonEmpty)
+            if (span > 0 && numFits)
               Some(BigDecimal(st.num).toDouble / span.toDouble)
             else None))
       }
@@ -450,7 +457,11 @@ object StreamingOps {
       implicit spark: SparkSession): Dataset[LshBucketSnapshot] = {
     import spark.implicits._
     import graft.operators.Dedup
-    val sigs = docs.select(col("doc_id") +: Dedup.signatureColumns(col("text")): _*)
+    // NULL-text docs are omitted exactly as in batch minhashSignatures —
+    // without the filter they would all share the constant all-NULL
+    // signature and pair with each other, a stream-only artifact
+    val sigs = docs.filter(col("text").isNotNull)
+      .select(col("doc_id") +: Dedup.signatureColumns(col("text")): _*)
     Dedup.bandKeys(sigs)
       .select(col("band"), col("sig"), col("doc_id")).as[(Int, Long, Long)]
       .groupByKey(r => (r._1, r._2))
@@ -480,7 +491,8 @@ object StreamingOps {
       implicit spark: SparkSession): Dataset[SigGroupSnapshot] = {
     import spark.implicits._
     import graft.operators.Dedup
-    val sigs = docs.select(col("doc_id") +: Dedup.signatureColumns(col("text")): _*)
+    val sigs = docs.filter(col("text").isNotNull) // ≡ batch (see lshBucketUpdates)
+      .select(col("doc_id") +: Dedup.signatureColumns(col("text")): _*)
     sigs.select(
       xxhash64((0 until Dedup.NumHashes).map(i => col(s"h$i")): _*).as("sigkey"),
       col("doc_id")).as[(Long, Long)]

