@@ -16,15 +16,33 @@ import graft.Tables
   * Scale shape: BPE learns over the DISTINCT-word frequency table, not the
   * token stream — at 100 TB the stream is trillions of rows but the word
   * table is tens of millions, and it is built with the engine's ordinary
-  * partial-aggregated count. The pair-count table is built in full once and
-  * then DELTA-MAINTAINED (Sennrich's incremental learner): each round is
-  * (a) a TakeOrdered(1) argmax over the carried pair table, (b) a retract/
-  * add pair delta computed from ONLY the words containing the winning pair,
-  * (c) one narrow re-encode map — the only driver-side data is the single
-  * winning pair per round. The re-encoded corpus and pair table are
-  * localCheckpoint'ed every round so round k applies merge k once to stored
-  * rows instead of replaying merges 1..k−1 through lineage (the same
-  * iterative-lineage rule as `Dedup.connectedComponents`).
+  * partial-aggregated count. The LEARNING loop is then a hybrid, keyed on
+  * the word table's size (the corpus-side word count and the corpus encode
+  * are always distributed):
+  *
+  *  - word table fits on the driver (≤ [[DriverVocabLimit]] rows): run
+  *    Sennrich's INDEXED incremental learner in memory
+  *    ([[learnMergesDriver]]) — one full pair count, then each round
+  *    touches only the words the inverted pair→word index names. No
+  *    per-round corpus scan, no per-round Spark job; the merge loop is
+  *    O(touched words) per round regardless of vocabulary size. This is
+  *    the shape every production BPE trainer uses (the word table is
+  *    vocab-scale even for trillion-token corpora), and it removes the
+  *    per-round job-launch floor that dominates the distributed form.
+  *  - word table larger than the driver bound: the distributed
+  *    delta-maintained form ([[learnMergesDistributed]]) — each round is
+  *    (a) a TakeOrdered(1) argmax over the carried pair table, (b) a
+  *    retract/add pair delta computed from ONLY the words containing the
+  *    winning pair, (c) one narrow re-encode map, with per-round lazy
+  *    localCheckpoints truncating lineage (the same iterative-lineage rule
+  *    as `Dedup.connectedComponents`). NOTE the per-round delta shrinks
+  *    SHUFFLE mass to the touched vocabulary, but the affected-word filter
+  *    and re-encode still SCAN the word table each round — the distributed
+  *    form is the memory-safety fallback, not the fast path.
+  *
+  * Both paths produce bit-identical merge sequences (BpeSketchSpec pins
+  * each against an independent sequential reference, including randomized
+  * corpora).
   *
   * Determinism: pair counts are exact long sums; the argmax tie-breaks
   * lexicographically on (left, right); the merge application is Java
@@ -38,22 +56,19 @@ object Bpe {
     * never cross word boundaries and word-final units stay distinct. */
   val EndOfWord = "</w>"
 
+  /** Word tables at or under this row count are collected and learned
+    * driver-side ([[learnMergesDriver]]); larger ones take the distributed
+    * path. 1M distinct words ≈ tens of MB on the driver — far under any
+    * real vocabulary-table size (even trillion-token corpora distill to a
+    * word table in the millions), so the distributed path is a
+    * memory-safety fallback for adversarial vocabularies, not the norm. */
+  val DriverVocabLimit: Int = 1 << 20
+
   /** Registry query (bp1): learn `numMerges` merges over the `documents`
     * word-frequency table. Output: one row per learned merge,
     * `(rank, left, right, merged, cnt)` in learning order. Iterative
     * engine-defined algorithm ⇒ rows-only driver check; BpeSpec holds the
-    * ground truth.
-    *
-    * Cost shape: the learner is Sennrich's INCREMENTAL form — the full
-    * corpus-wide pair count runs exactly once (round 1's input), and every
-    * later round adjusts the carried pair-count table by the delta from
-    * ONLY the words containing the merged pair (a merge of (a,b) changes
-    * counts of (x,a), (b,y) and (a,b) neighborhoods in those words alone).
-    * Per round the shuffle mass is |affected-word pair stream| + |distinct
-    * pair table|, not the whole corpus's pair stream — the difference
-    * between O(corpus) and O(touched vocabulary) per merge, which is what
-    * makes a real-vocab run (30k+ merges) data-feasible; the residual
-    * per-round floor is the argmax TakeOrdered(1) job launch. */
+    * ground truth. */
   def learnMerges(s: SparkSession, d: String, numMerges: Int = 12): DataFrame = {
     val words = Tables(s, d, "documents")
       .select(explode(split(col("text"), " ")).as("w"))
@@ -151,16 +166,113 @@ object Bpe {
     .agg(sum("freq").as("cnt"))
 
   /** Core learner over any `(w: string, freq: long)` word-frequency
-    * relation — Sennrich-incremental: the pair-count table is built in
+    * relation — the hybrid dispatcher (see the object doc for the scale
+    * argument). The size probe is a bounded `limit(n+1).collect()`: when
+    * the table is small it IS the collect the driver path needs; when it
+    * is large, CollectLimit short-circuits after `n+1` rows and the
+    * distributed path proceeds without a full materialization. */
+  def learnMergesFrom(
+      words: DataFrame,
+      numMerges: Int,
+      driverVocabLimit: Int = DriverVocabLimit): DataFrame = {
+    val s = words.sparkSession
+    import s.implicits._
+    val probe =
+      if (driverVocabLimit <= 0) Array.empty[(String, Long)]
+      else words.limit(driverVocabLimit + 1).collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+    if (driverVocabLimit > 0 && probe.length <= driverVocabLimit)
+      learnMergesDriver(probe.toSeq, numMerges)
+        .toDF("rank", "left", "right", "merged", "cnt")
+    else learnMergesDistributed(words, numMerges)
+  }
+
+  /** Sennrich's indexed incremental learner, in memory, over a collected
+    * word-frequency table. One full pair count up front; every round finds
+    * the argmax pair (exact long counts, (cnt DESC, left, right)
+    * tie-break — identical to the distributed form), re-encodes ONLY the
+    * words the inverted pair→word index lists for that pair, and
+    * retract/adds their pair counts. Index entries are never eagerly
+    * cleaned on retraction; a stale entry is skipped by the
+    * contains-the-pair recheck at use. A pair of two pre-existing symbols
+    * can never be newly CREATED by a merge (new adjacencies always involve
+    * the new merged symbol), so the index never misses a word.
+    *
+    * Complexity per round: O(touched words × their length) for the delta
+    * plus O(|pair table|) for the argmax scan — the same shape as the
+    * published subword-nmt trainer. No corpus scan, no Spark job. */
+  private[graft] def learnMergesDriver(
+      words: Seq[(String, Long)],
+      numMerges: Int): Seq[(Long, String, String, String, Long)] = {
+    import scala.collection.mutable
+    val corpus: Array[Vector[String]] = words.map { case (w, _) =>
+      w.map(_.toString).toVector :+ EndOfWord
+    }.toArray
+    val freq: Array[Long] = words.map(_._2).toArray
+
+    def pairsOf(syms: Vector[String]): Iterator[(String, String)] =
+      if (syms.length < 2) Iterator.empty
+      else syms.iterator.zip(syms.iterator.drop(1))
+
+    val counts = mutable.Map.empty[(String, String), Long]
+    val index = mutable.Map.empty[(String, String), mutable.Set[Int]]
+    def applyDelta(i: Int, syms: Vector[String], sign: Long): Unit =
+      for (p <- pairsOf(syms)) {
+        val c = counts.getOrElse(p, 0L) + sign * freq(i)
+        if (c == 0L) counts.remove(p) else counts(p) = c
+        if (sign > 0L) index.getOrElseUpdate(p, mutable.Set.empty) += i
+      }
+    for (i <- corpus.indices) applyDelta(i, corpus(i), 1L)
+
+    // greedy left-to-right non-overlapping replacement ≡ the distributed
+    // form's anchored regexp_replace ("a a a" under (a,a) → "aa a")
+    def applyMerge(syms: Vector[String], l: String, r: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    var rank = 1L
+    while (rank <= numMerges && counts.nonEmpty) {
+      val ((l, r), c) = counts.minBy { case ((a, b), n) => (-n, a, b) }
+      merges += ((rank, l, r, l + r, c))
+      for (i <- index.getOrElse((l, r), mutable.Set.empty[Int]).toArray.sorted) {
+        val old = corpus(i)
+        // stale-entry recheck: the word may have lost the pair since it
+        // was indexed (an earlier merge round rewrote it)
+        if (pairsOf(old).contains((l, r))) {
+          applyDelta(i, old, -1L)
+          corpus(i) = applyMerge(old, l, r)
+          applyDelta(i, corpus(i), 1L)
+        }
+      }
+      index.remove((l, r))
+      rank += 1
+    }
+    merges.result()
+  }
+
+  /** The distributed delta-maintained learner — the memory-safety fallback
+    * for word tables too large to collect. The pair-count table is built in
     * full ONCE and then carried across rounds, each round retracting the
     * pre-merge pairs of the affected words (those whose encoding contains
     * the winning pair) and adding their post-merge pairs. Exact long
     * arithmetic ⇒ the carried table equals a full recount at every round,
     * so the merge sequence (argmax with the (cnt DESC, left, right)
-    * tie-break) is bit-identical to the non-incremental form —
-    * BpeSketchSpec pins this against a sequential reference, including on
-    * randomized corpora. */
-  def learnMergesFrom(words: DataFrame, numMerges: Int): DataFrame = {
+    * tie-break) is bit-identical to the non-incremental form AND to
+    * [[learnMergesDriver]] — BpeSketchSpec pins both against a sequential
+    * reference, including on randomized corpora. Per-round SHUFFLE mass is
+    * |affected-word pair stream| + |distinct pair table|, but the
+    * affected-word filter and re-encode still scan the stored word table
+    * each round, and each round launches its own jobs — a real-vocab run
+    * (30k+ merges) needs the driver path's inverted index. */
+  private[graft] def learnMergesDistributed(words: DataFrame, numMerges: Int): DataFrame = {
     val s = words.sparkSession
     // initial encoding: space-separated characters plus the EOW symbol
     var cur = words

@@ -48,23 +48,32 @@ class BpeSketchSpec extends AnyFunSuite {
     merges.result()
   }
 
-  private def learned(words: Seq[(String, Long)], n: Int): Seq[(Long, String, String, Long)] = {
+  /** Run the learner through the public dispatcher. `driverVocabLimit = 0`
+    * forces the distributed delta-maintained path; the default takes the
+    * driver-side indexed path on these vocab-scale fixtures — every
+    * equality test below runs BOTH against the same sequential reference. */
+  private def learned(
+      words: Seq[(String, Long)], n: Int,
+      driverVocabLimit: Int = Bpe.DriverVocabLimit): Seq[(Long, String, String, Long)] = {
     import spark.implicits._
-    Bpe.learnMergesFrom(words.toDF("w", "freq"), n)
+    Bpe.learnMergesFrom(words.toDF("w", "freq"), n, driverVocabLimit)
       .collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(4)))
       .toSeq
   }
 
-  test("bp1 matches the sequential reference on the classic Sennrich corpus") {
+  private def learnedBoth(words: Seq[(String, Long)], n: Int): Seq[Seq[(Long, String, String, Long)]] =
+    Seq(learned(words, n), learned(words, n, driverVocabLimit = 0))
+
+  test("bp1 matches the sequential reference on the classic Sennrich corpus (both paths)") {
     val words = Seq("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
-    assert(learned(words, 8) == refBpe(words, 8))
+    for (got <- learnedBoth(words, 8)) assert(got == refBpe(words, 8))
   }
 
   test("bp1 merge application is greedy left-to-right on runs (aaa under (a,a) -> [aa, a])") {
     val words = Seq("aaa" -> 7L, "aa" -> 2L)
+    for (g <- learnedBoth(words, 3)) assert(g == refBpe(words, 3))
     val got = learned(words, 3)
-    assert(got == refBpe(words, 3))
     // merge 1: (a,a) seen twice in "aaa" (×7) and once in "aa" (×2) = 16.
     // Greedy application makes "aaa" [aa, a, </w>] — so round 2 counts
     // (aa,a):7 and (a,</w>):7, and the lexicographic tie-break picks
@@ -78,12 +87,13 @@ class BpeSketchSpec extends AnyFunSuite {
   test("bp1 stops when every word is a single symbol") {
     val words = Seq("ab" -> 3L)
     // a+b, ab+</w>: two merges exhaust the corpus; asking for 10 yields 2
-    assert(learned(words, 10).size == 2)
+    for (g <- learnedBoth(words, 10)) assert(g.size == 2)
   }
 
-  test("bp1 incremental pair-count maintenance matches the reference on random corpora") {
-    // the incremental learner carries the pair table across rounds by
-    // retract/add deltas; any drift from a full recount would change an
+  test("bp1 incremental pair-count maintenance matches the reference on random corpora (both paths)") {
+    // both incremental learners carry the pair table across rounds by
+    // retract/add deltas (the driver path additionally through a stale-able
+    // inverted index); any drift from a full recount would change an
     // argmax somewhere in a longer merge sequence. Randomized corpora over
     // a tiny alphabet maximize pair collisions, run-merges (aa on aaa) and
     // exhaustion — the delta math's hard cases.
@@ -94,7 +104,8 @@ class BpeSketchSpec extends AnyFunSuite {
         (1 to len).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
       }.distinct.map(w => w -> (1L + rnd.nextInt(9)))
       val n = 2 + rnd.nextInt(10)
-      assert(learned(words, n) == refBpe(words, n), s"trial $trial: $words, n=$n")
+      for (g <- learnedBoth(words, n))
+        assert(g == refBpe(words, n), s"trial $trial: $words, n=$n")
     }
   }
 
