@@ -492,10 +492,21 @@ object Dedup {
           col("label").as("old"))
         .localCheckpoint(false)
       changed = next.filter(col("label") =!= col("old")).count()
+      // the count() above materialized EVERY partition of `next`, so the
+      // previous round's label blocks are dead — release them now instead
+      // of holding O(rounds) superseded label sets in executor storage
+      // until the ContextCleaner's driver-GC-timed sweep
+      org.apache.spark.sql.GraftShim.unpersistCheckpoint(labels)
       labels = next.select("node", "label")
       rounds += 1
     }
-    if (changed == 0) labels else largeSmallStar(sym)
+    if (changed == 0) labels
+    else {
+      // handing off: the star phase reads only `sym`; the propagation
+      // labels are dead
+      org.apache.spark.sql.GraftShim.unpersistCheckpoint(labels)
+      largeSmallStar(sym)
+    }
   }
 
   /** Two-phase connected components: alternate large-star (route every
