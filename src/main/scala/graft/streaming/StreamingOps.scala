@@ -419,14 +419,62 @@ object StreamingOps {
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
     val hasStore = new java.io.File(fpDir).exists()
     val survivors =
-      (if (hasStore) inBatch.join(s.read.parquet(fpDir), Seq("fp"), "left_anti")
-       else inBatch)
+      // null-safe fp equality: md5(NULL text) is NULL, and a plain anti-join
+      // would re-admit a NULL-fp doc in EVERY later batch (NULL never
+      // equals), silently diverging from the batch keep-list
+      (if (hasStore) {
+        val store = s.read.parquet(fpDir)
+        inBatch.join(store, inBatch("fp") <=> store("fp"), "left_anti")
+      } else inBatch)
         .localCheckpoint() // materialize BEFORE the store swaps underneath
     survivors.drop("fp").write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
     val nextFps =
       if (hasStore) s.read.parquet(fpDir).unionByName(survivors.select("fp")).distinct()
       else survivors.select("fp").distinct()
     commitSwap(fpDir, nextFps, batchId)
+  }
+
+  /** Registry query (st1): dd2's fingerprint keep-list PRODUCED BY the
+    * streaming ingest machinery — the one registered query whose execution
+    * runs Structured Streaming end-to-end, so the driver's oracle hash
+    * checks the streaming path itself, not just its ScalaTest twin.
+    *
+    * Choreography: stage the corpus as three parquet files in doc_id-range
+    * order (ranges, not a global-window ntile — the registry bans
+    * unpartitioned windows), stream them through
+    * [[incrementalDedupIngest]] one file per micro-batch (FileStreamSource
+    * orders by mtime then path, and the files are written in range order),
+    * then read the surviving batches back and recompute each survivor's
+    * fingerprint from its text. Batches arriving in id order make
+    * first-arrival-wins ≡ min-doc_id-wins, so the result equals the batch
+    * dd2 keep-list — which is exactly what the oracle asserts. */
+  def dedupIngestKeepList(s: SparkSession, d: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft-st1-").toFile
+    val inDir = new java.io.File(base, "in").getPath
+    val fpDir = new java.io.File(base, "fp").getPath
+    val outDir = new java.io.File(base, "out").getPath
+    val docs = graft.Tables(s, d, "documents")
+    val Seq(lo, hi) = docs.agg(min("doc_id"), max("doc_id"))
+      .collect()(0).toSeq.map(_.asInstanceOf[Long])
+    val cut1 = lo + (hi - lo + 1) / 3
+    val cut2 = lo + 2 * ((hi - lo + 1) / 3)
+    Seq(
+      col("doc_id") < cut1,
+      col("doc_id") >= cut1 && col("doc_id") < cut2,
+      col("doc_id") >= cut2
+    ).zipWithIndex.foreach { case (range, i) =>
+      docs.filter(range).coalesce(1).write.parquet(s"$inDir/c$i.parquet")
+    }
+    val schema = s.read.parquet(s"$inDir/c0.parquet").schema
+    incrementalDedupIngest(
+      s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$inDir/*.parquet/*.parquet"),
+      fpDir, outDir).stop()
+    s.read.parquet(outDir)
+      .select(
+        md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("fp"),
+        col("doc_id").as("keep_id"))
+      .orderBy("keep_id")
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {

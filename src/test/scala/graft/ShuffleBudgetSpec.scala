@@ -96,7 +96,10 @@ class ShuffleBudgetSpec extends AnyFunSuite {
 
   private val eagerConstruction = Set(
     "ss4_ivf_kmeans", "ss6_pq_topk", "ss5_ivf_persisted",
-    "bp1_bpe_merges", "bp2_bpe_encode", "dd8_dup_clusters", "gr1_neardup_pagerank")
+    "bp1_bpe_merges", "bp2_bpe_encode", "dd8_dup_clusters", "gr1_neardup_pagerank",
+    // st1's construction stages files and runs the whole ingest stream;
+    // its returned plan is a plain scan+project+sort over the survivors
+    "st1_stream_dedup_ingest")
 
   test("no registered query plans a single-partition window") {
     val offenders = Registry.all
