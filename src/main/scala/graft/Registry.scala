@@ -28,6 +28,38 @@ object Registry {
   private def noOracle(name: String, fn: (SparkSession, String) => DataFrame) =
     RegisteredQuery(name, fn, None)
 
+  /** gr1's oracle: PageRank's 10 rounds UNROLLED as chained CTEs (DuckDB
+    * disallows aggregates over the recursive reference in WITH RECURSIVE,
+    * so a recursive CTE cannot carry the per-round inflow sum). The edge
+    * CTEs are dd3's oracle-exact pair derivation (shared with gr2); the
+    * recurrence is the same scaled-integer fixed point as
+    * `Graph.pageRank` — rank·10¹⁸ as integers, `//` everywhere Spark runs
+    * `div`, both truncating on non-negative operands, so the two engines
+    * agree bit-for-bit (GraphSpec pins the closed forms). */
+  private def gr1OracleSql: String = {
+    val edgeCtes =
+      "WITH m AS (SELECT greatest(1, count(*) // 500) AS mod FROM documents), " +
+        "d AS (SELECT doc_id, text FROM documents, m WHERE doc_id % m.mod = 0), " +
+        "toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM d), " +
+        "sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id), " +
+        "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c FROM toks a JOIN toks b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "e AS (SELECT id_a AS a, id_b AS b FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id WHERE c / (sa.n + sb.n - c) >= 0.85)"
+    val rankCtes =
+      "sym AS (SELECT DISTINCT a, b FROM (SELECT a, b FROM e UNION ALL SELECT b, a FROM e) WHERE a <> b), " +
+        "deg AS (SELECT a AS node, count(*) AS deg FROM sym GROUP BY a), " +
+        "nn AS (SELECT count(*) AS n FROM deg), " +
+        "tele AS (SELECT (CAST(15 AS HUGEINT) * 10000000000000000) // n AS t FROM nn), " +
+        "r0 AS (SELECT node, deg, 1000000000000000000 // (SELECT n FROM nn) AS s FROM deg)"
+    val iterations = (1 to 10).map { i =>
+      s"r$i AS (SELECT d.node, d.deg, (SELECT t FROM tele) + " +
+        "(CAST(85 AS HUGEINT) * COALESCE(i.inflow, 0)) // 100 AS s " +
+        "FROM deg d LEFT JOIN (SELECT s.b AS node, sum(r.s // r.deg) AS inflow " +
+        s"FROM sym s JOIN r${i - 1} r ON r.node = s.a GROUP BY s.b) i ON d.node = i.node)"
+    }.mkString(", ")
+    s"$edgeCtes, $rankCtes, $iterations " +
+      "SELECT node, CAST(s AS BIGINT) AS rank_fp FROM r10 ORDER BY node"
+  }
+
   val all: Seq[RegisteredQuery] = Seq(
     q("q01_pricing_summary", Relational.q01PricingSummary,
       "SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price, CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_disc_price, avg(l_quantity) AS avg_qty, count(*) AS count_order FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
@@ -335,8 +367,8 @@ object Registry {
     q("ev12_counter_rates", Events.counterRates,
       "WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events), w AS (SELECT event_id, user_id, ts_us, value, value - lag(value) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS delta, ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS dt_us FROM e) SELECT event_id, user_id, ts_us, value, delta, dt_us, CASE WHEN delta >= 0 AND dt_us > 0 THEN delta * 1000000 / dt_us END AS rate_per_s FROM w ORDER BY user_id, ts_us, event_id"),
 
-    // ---- graph analytics (decimal-deterministic iterative rank) ----
-    noOracle("gr1_neardup_pagerank", Graph.neardupPageRank),
+    // ---- graph analytics (fixed-point-deterministic iterative rank) ----
+    q("gr1_neardup_pagerank", Graph.neardupPageRank, gr1OracleSql),
 
     q("ev4_top_spenders", Events.topSpenders,
       "SELECT user_id, count(*) AS n_purchases, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS spend FROM events WHERE event_type = 'purchase' GROUP BY user_id ORDER BY spend DESC, user_id LIMIT 10"),

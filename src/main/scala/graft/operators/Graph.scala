@@ -19,29 +19,37 @@ import org.apache.spark.sql.functions._
   * either way, while the blocks materialize transitively inside the final
   * action instead of as 10 separate jobs).
   *
-  * Determinism: ranks accumulate in DECIMAL(20,18). Decimal addition is
-  * exact and order-independent (unlike float sums, whose grouping varies
-  * with partitioning), and decimal division is deterministic HALF_UP, so
-  * every run — any partitioning, any executor count — yields bit-identical
-  * ranks. The driver's rows-only check plus GraphSpec's closed-form and
-  * determinism tests cover what a cross-engine oracle can't (DuckDB's
-  * decimal division scale rules differ, so the same SQL there would NOT be
-  * bit-identical — documented, not hidden).
+  * Determinism: ranks accumulate in SCALED-INTEGER FIXED POINT — rank·10¹⁸
+  * carried as an integer, every division an explicit truncating integral
+  * division (`div` here, `//` in DuckDB — identical on non-negative
+  * operands). Integer addition is exact and order-independent (unlike
+  * float sums, whose grouping varies with partitioning), so every run —
+  * any partitioning, any executor count, and any ENGINE implementing the
+  * same recurrence — yields bit-identical ranks. That is what upgrades gr1
+  * from a rows-only check to a full cross-engine oracle: the earlier
+  * DECIMAL(20,18) form was partition-deterministic but not
+  * engine-portable (DuckDB's decimal-division scale rules differ); floor
+  * division of non-negative integers has no such freedom. Truncation
+  * loses < 10⁻¹⁸ per division, ~10⁻¹⁷ over 10 iterations — invisible at
+  * any reporting precision.
   */
 object Graph {
 
-  // Ranks live in [0, 1], so 2 integer digits suffice — and the headroom
-  // matters: at (38,18) a rank×damping product overflows precision 38 and
-  // Spark truncates the result scale to 6 (1e-6 drift per iteration,
-  // measured); at (20,18) products stay inside 38 digits with scale ≥ 33,
-  // so iteration error is ~1e-30 and the HALF_UP re-cast to (20,18) is the
-  // only rounding.
-  private val RankType = "decimal(20,18)"
+  /** Fixed-point scale: rank 1.0 ≡ 10¹⁸. Total mass is ≤ 10¹⁸ so every
+    * rank, inflow sum, and teleport term fits a 64-bit long; only the
+    * damping product (85 × inflow ≤ 8.5·10¹⁹) needs the transient
+    * DECIMAL(38,0)/HUGEINT widening before its `div 100`. */
+  val FpScale: Long = 1000000000000000000L
 
   /** Undirected PageRank on a pair relation (columns = two node ids).
-    * Returns (node, rank) with rank as DECIMAL(20,18) cast to double after
-    * a 1e-12 round (display only — iteration state never rounds). */
+    * Returns `(node, rank_fp, rank)`: the exact fixed-point integer and a
+    * display double (`rank_fp / 10¹⁸`). `damping` must be a whole
+    * percentage (the recurrence multiplies by `dampingPct` and
+    * integer-divides by 100). */
   def pageRank(pairs: DataFrame, damping: Double = 0.85, iterations: Int = 10): DataFrame = {
+    val dampingPct = math.round(damping * 100)
+    require(dampingPct >= 0 && dampingPct <= 100 && math.abs(dampingPct - damping * 100) < 1e-9,
+      s"damping must be a whole percentage, got $damping")
     val edges = pairs.toDF("a", "b")
     val sym = edges.unionByName(edges.select(col("b").as("a"), col("a").as("b")))
       .filter(col("a") =!= col("b")).distinct()
@@ -57,35 +65,40 @@ object Graph {
     val deg = sym.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
     val weightedEdges = sym.join(deg.withColumnRenamed("node", "a"), "a")
       .select(col("a"), col("b"), col("deg")).localCheckpoint()
-    val d = lit(damping).cast(RankType)
-    val teleport = (lit(1.0).cast(RankType) - d) / n
+    // teleport (1−d)/n in fixed point: (100−pct)·10¹⁶ is exact (10¹⁸/100),
+    // then one truncating division by n — mirrored verbatim in the oracle
+    val teleport = (100L - dampingPct) * (FpScale / 100L) / n
 
-    var ranks = nodes.withColumn("rank", (lit(1.0).cast(RankType) / n).cast(RankType))
+    var ranks = nodes.withColumn("s", lit(FpScale / n))
       .localCheckpoint()
     for (_ <- 1 to iterations) {
       val contribs = weightedEdges
         .join(ranks.withColumnRenamed("node", "a"), "a")
-        .select(col("b").as("node"), (col("rank") / col("deg")).cast(RankType).as("c"))
+        .select(col("b").as("node"), expr("s div deg").as("c"))
         .groupBy("node").agg(sum("c").as("inflow"))
       ranks = nodes
         .join(contribs, Seq("node"), "left")
         .select(col("node"),
-          (teleport + d * coalesce(col("inflow"), lit(0).cast(RankType))).cast(RankType).as("rank"))
+          expr(s"$teleport + (CAST($dampingPct AS DECIMAL(38,0)) * COALESCE(inflow, 0)) div 100")
+            .as("s"))
         // LAZY: the Catalyst plan is severed per iteration either way (the
         // checkpoint is a LogicalRDD, so analysis cost stays O(1) per
         // round); blocks materialize transitively inside the final action
         // — the 10 per-iteration checkpoint jobs collapse into one
         .localCheckpoint(false)
     }
-    ranks.select(col("node"), round(col("rank"), 12).cast("double").as("rank"))
+    ranks.select(col("node"), col("s").as("rank_fp"),
+      (col("s").cast("double") / FpScale.toDouble).as("rank"))
   }
 
   /** PageRank over the sampled Jaccard near-dup graph: rank within each
     * duplicate cluster = how central a variant is. Deterministic input
-    * (dd3's exact sampled pairs), deterministic iteration ⇒ stable row
-    * count AND values for the driver's rows-only check. */
+    * (dd3's exact sampled pairs), deterministic engine-portable iteration ⇒
+    * the exact fixed-point ranks hash-match the oracle's unrolled
+    * recurrence (Registry.gr1OracleSql). */
   def neardupPageRank(s: SparkSession, dir: String): DataFrame =
     pageRank(Dedup.jaccardPairs(s, dir).select("id_a", "id_b"))
+      .select("node", "rank_fp")
       .orderBy("node")
 
   /** Per-node triangle counts on an ordered pair relation (a < b on every

@@ -11,10 +11,10 @@ class GraphSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val sf = SparkTestSession.sf
 
-  private def ranksOf(pairs: Seq[(Long, Long)]): Map[Long, Double] = {
+  private def ranksOf(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
     import spark.implicits._
     Graph.pageRank(pairs.toDF("a", "b")).collect()
-      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
   test("star graph: center outranks leaves, leaves tie exactly, mass sums to 1") {
@@ -23,7 +23,14 @@ class GraphSpec extends AnyFunSuite {
     val leaves = Seq(r(1L), r(2L), r(3L), r(4L))
     assert(leaves.distinct.size == 1, "symmetric leaves must have identical rank")
     assert(r(0L) > r(1L))
-    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+    // truncating fixed point: each of the 10 rounds loses < 1 ulp (10^-18)
+    // per node to the two integral divisions, so total mass undershoots
+    // 10^18 by at most rounds × nodes × 2 ulps — never overshoots
+    val mass = r.values.sum
+    assert(mass <= Graph.FpScale && Graph.FpScale - mass < 100L)
+    // the closed-form fixed-point recurrence (independently derived in the
+    // registry's oracle PoC): bit-exact values, not just ordering
+    assert(r(0L) == 421402191235800780L && r(1L) == 144649452191049804L)
   }
 
   test("path graph: middle node outranks the tied endpoints") {
