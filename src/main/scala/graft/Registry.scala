@@ -373,8 +373,26 @@ object Registry {
     q("ev4_top_spenders", Events.topSpenders,
       "SELECT user_id, count(*) AS n_purchases, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS spend FROM events WHERE event_type = 'purchase' GROUP BY user_id ORDER BY spend DESC, user_id LIMIT 10"),
 
-    // ---- multimodal (binary payload columns; stub decode kernel) ----
-    noOracle("mm1_media_features", Multimodal.mediaFeaturesQuery),
+    // ---- multimodal (binary payload columns; codecs stubbed, kernel real) ----
+    // mm1's oracle recomputes the byte-intensity histogram from the
+    // payload's hex expansion: the high nibble of byte i is hex digit
+    // 2i−1, so each f_k is a FILTERed count over the odd hex positions;
+    // the REAL cast mirrors the kernel's Array[Float] storage
+    q("mm1_media_features", Multimodal.mediaFeaturesQuery,
+      "WITH d AS (SELECT doc_id, encode(text) AS p FROM documents), " +
+        "h AS (SELECT doc_id, octet_length(p) AS nb, hex(p) AS hx FROM d), " +
+        "c AS (SELECT doc_id, count(*) FILTER (WHERE substr(hx, 2*i-1, 1) = '0') AS c0, " +
+        "count(*) FILTER (WHERE substr(hx, 2*i-1, 1) = '7') AS c7, " +
+        "count(*) FILTER (WHERE substr(hx, 2*i-1, 1) = 'F') AS c15 " +
+        "FROM h, unnest(generate_series(1, nb)) AS t(i) GROUP BY doc_id) " +
+        "SELECT h.doc_id AS media_id, CAST(h.nb AS BIGINT) AS n_bytes, " +
+        "round(CAST(CAST(COALESCE(c.c0, 0) / greatest(h.nb, 1) AS REAL) AS DOUBLE), 6) AS f0, " +
+        "round(CAST(CAST(COALESCE(c.c7, 0) / greatest(h.nb, 1) AS REAL) AS DOUBLE), 6) AS f7, " +
+        "round(CAST(CAST(COALESCE(c.c15, 0) / greatest(h.nb, 1) AS REAL) AS DOUBLE), 6) AS f15 " +
+        "FROM h LEFT JOIN c ON h.doc_id = c.doc_id ORDER BY media_id"),
+    // mm4 stays rows-only: ranked float-cosine top-k over the 16-dim
+    // features — the float dot-product accumulation order is engine code
+    // (MultimodalSpec pins exact-duplicate recall and determinism)
     noOracle("mm4_media_neardup", Multimodal.mediaNearDupQuery),
     q("mm5_resize_audit", (s, d) => Multimodal.resizeAuditQuery(s, d),
       "SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS orig_bytes, CAST(least(octet_length(encode(text)), 256) AS BIGINT) AS resized_bytes FROM documents ORDER BY media_id"),

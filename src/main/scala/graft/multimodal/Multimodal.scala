@@ -8,13 +8,16 @@ import org.apache.spark.sql.functions._
   * (decode, feature-extract, frame-sample) runs as partition-local batch
   * transforms.
   *
-  * The actual media codecs are NOT available in this environment, so the
-  * decode kernel is a clearly-marked deterministic STUB (`fakeDecode`) — a
-  * rolling-hash byte histogram standing in for "decode + embed". Everything
-  * around it — the schema, the `Dataset[T]` encoders, the mapPartitions
-  * batch shape (one reusable buffer per partition, not per row), the
-  * pushdown-friendly metadata columns — is the real production plumbing
-  * and is what the tests exercise.
+  * The actual media CODECS (jpeg/png/flac…) are not available in this
+  * environment, so the fixture payloads are raw 8-bit samples
+  * (`fake/rgb8`) and "decode" is the identity — loudly stubbed. The
+  * feature kernel itself is REAL, though: a 16-bin byte-intensity
+  * histogram ([[decodeHistogram]]), the standard post-decode image feature,
+  * computed over the raw samples. Being pure byte arithmetic it is also
+  * ANSI-SQL-expressible, which buys mm1 a full cross-engine oracle — the
+  * kernel, the mapPartitions batch shape, the `Dataset[T]` encoders, and
+  * the pushdown-friendly metadata columns are all production plumbing
+  * under real verification; only the codec call is a swap-in point.
   *
   * At 100 TB: binaries stay columnar in parquet, metadata predicates
   * (format/width filters) prune row groups without touching payload bytes,
@@ -38,17 +41,18 @@ object Multimodal {
 
   val FeatureDim = 16
 
-  /** STUB decode kernel — deterministic byte-histogram "embedding" in place
-    * of a real image/audio decoder (libs unavailable offline; swap this
-    * body for the real codec in production). Pure function of the payload
-    * bytes, so tests are exact. */
-  def fakeDecode(payload: Array[Byte]): Array[Float] = {
+  /** Feature kernel: normalized 16-bin byte-intensity histogram — bin =
+    * high nibble (`value >> 4`), i.e. 16 equal intensity buckets over the
+    * 8-bit sample range. For the raw `fake/rgb8` fixture payloads the
+    * bytes ARE the samples, so this is the real post-decode feature an
+    * image pipeline computes; in production a codec call decodes the
+    * payload to samples first. Pure per-byte arithmetic ⇒ deterministic,
+    * engine-portable, and oracle-checked (mm1). */
+  def decodeHistogram(payload: Array[Byte]): Array[Float] = {
     val acc = new Array[Long](FeatureDim)
-    var h = 1125899906842597L // rolling hash seed
     var i = 0
     while (i < payload.length) {
-      h = h * 31 + (payload(i) & 0xff)
-      acc(((h % FeatureDim) + FeatureDim).toInt % FeatureDim) += 1
+      acc((payload(i) & 0xff) >>> 4) += 1
       i += 1
     }
     val n = math.max(payload.length, 1).toDouble
@@ -60,7 +64,7 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        MediaFeatures(r.media_id, r.payload.length.toLong, fakeDecode(r.payload))
+        MediaFeatures(r.media_id, r.payload.length.toLong, decodeHistogram(r.payload))
       }
     }
   }
@@ -99,11 +103,12 @@ object Multimodal {
       .orderBy("media_id")
 
   /** Registry query (mm1): decode/feature-extract over the documents-backed
-    * media fixture. The stub kernel is a pure function of the payload bytes,
-    * so the result is deterministic — the driver's rows-only check plus
-    * MultimodalSpec's exact-value tests cover it (no SQL oracle: the kernel
-    * is engine code, not ANSI SQL). Feature components are surfaced as
-    * scalar columns so the output parquet is flat. */
+    * media fixture, surfacing three histogram components as flat scalar
+    * columns. The kernel runs in the JVM (mapPartitions), but its
+    * arithmetic is per-byte counting — the oracle recomputes the same
+    * histogram in SQL from the payload's hex expansion (high nibble = the
+    * odd hex digit) and must hash-match, including the float32 cast the
+    * Array[Float] feature imposes. */
   def mediaFeaturesQuery(spark: SparkSession, dir: String): DataFrame = {
     extractFeatures(fixtureFromDocuments(spark, dir))
       .select(

@@ -53,7 +53,7 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     mm1.take(20).foreach { r =>
       // Spark round = HALF_UP over the shortest decimal repr — mirror it
       val expect = BigDecimal(
-        Multimodal.fakeDecode(byId(r.getAs[Long]("media_id")))(0).toDouble)
+        Multimodal.decodeHistogram(byId(r.getAs[Long]("media_id")))(0).toDouble)
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       assert(r.getAs[Double]("f0") == expect)
     }
