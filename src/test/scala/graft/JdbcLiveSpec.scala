@@ -80,6 +80,26 @@ class JdbcLiveSpec extends AnyFunSuite {
     assert(lines == List("ID,AMOUNT", "1,10", "2,20", "3,30"))
   }
 
+  test("spark-side filters are pushed down into Derby (PushedFilters + row probe)") {
+    // Catalyst filters over a JDBC relation must reach the database as
+    // WHERE clauses (JDBC V1 appends PushedFilters to the generated
+    // SELECT), not run Spark-side over a full-table fetch — on a real
+    // warehouse table that is the difference between shipping kilobytes
+    // and shipping the table
+    val df = Source.fromUrl(s"jdbc:derby:$dbPath")
+      .load(spark, "SELECT id, account_name, amount FROM payment")
+      .filter(col("amount") > 500 && col("id") <= 80)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:"), s"no pushdown section:\n${plan.take(600)}")
+    assert(plan.contains("GreaterThan(AMOUNT,500)") || plan.contains("GreaterThan(amount,500)"),
+      s"amount predicate not pushed:\n${plan.take(600)}")
+    assert(plan.contains("LessThanOrEqual(ID,80)") || plan.contains("LessThanOrEqual(id,80)"),
+      s"id predicate not pushed:\n${plan.take(600)}")
+    // and the pushed query returns exactly the Derby-filtered rows:
+    // amount = id·10 > 500 ⇒ id ≥ 51, capped at 80
+    assert(df.count() == 30)
+  }
+
   test("zero-row jdbc result yields an empty DataFrame with a real schema") {
     val df = Source.fromUrl(s"jdbc:derby:$dbPath")
       .load(spark, "SELECT id, account_name FROM payment WHERE id < 0")
