@@ -421,28 +421,31 @@ object Events {
       .orderBy("user_id")
   }
 
-  /** Exact per-group median of `__v` over a (tix, event_id, __v) relation,
-    * computed WITHOUT a per-group window: with only a handful of giant
-    * groups (5 event types here; the same at 100 TB), `row_number() OVER
-    * (PARTITION BY type)` puts a whole group in one task. Instead the
-    * global rank comes from [[Prefix.exclusiveSum]] under a composed pid
-    * (`tix·parts + value-bin` — weakly monotone w.r.t. (tix, __v) by
-    * construction, so group boundaries never interleave bins), and the
-    * within-group rank subtracts per-group start offsets obtained from the
-    * tiny per-group count relation via the same triangular broadcast join
-    * Prefix uses. Median = avg of the middle one/two ranked values —
-    * identical IEEE arithmetic on identical inputs in both engines. */
-  private def groupMedian(df: DataFrame, as: String): DataFrame = {
+  /** Exact per-group median of `__v` over a checkpointed (tix, event_id,
+    * __v) relation, computed WITHOUT a per-group window: with only a
+    * handful of giant groups (5 event types here; the same at 100 TB),
+    * `row_number() OVER (PARTITION BY type)` puts a whole group in one
+    * task. Instead the global rank comes from [[Prefix.exclusiveSum]]
+    * under a composed pid (`tix·parts + value-bin` — weakly monotone
+    * w.r.t. (tix, __v) by construction, so group boundaries never
+    * interleave bins), and the within-group rank subtracts the per-group
+    * `starts` offsets. Median = avg of the middle one/two ranked values —
+    * identical IEEE arithmetic on identical inputs in both engines.
+    *
+    * `stats` (1 row: mn, mx) and `starts` (one row per tix: n, start) are
+    * CALLER-SUPPLIED so a two-pass caller computes each once: the bin
+    * bounds only steer partition balance — any bounds enclosing the data
+    * yield the same global ranks (weak monotonicity), so pass 2 may derive
+    * its bounds from pass 1's stats instead of re-aggregating, and the
+    * group sizes are pass-invariant by construction (one dev row per value
+    * row). */
+  private def groupMedianCore(
+      in: DataFrame, stats: DataFrame, starts: DataFrame, as: String): DataFrame = {
     val parts = 8
-    // exclusiveSum consumes its input three times; materialize once
-    val in = df.select(col("tix"), col("event_id"), col("__v")).localCheckpoint()
-    val stats = in.agg(min("__v").as("mn"), max("__v").as("mx"))
     val binned = in.crossJoin(broadcast(stats))
     val pid = col("tix") * parts + Prefix.rangeBin(col("__v"), col("mn"), col("mx"), parts)
     val ranked = Prefix.exclusiveSum(
       binned, pid, Seq(col("tix"), col("__v"), col("event_id")), lit(1L), "rk0")
-    val counts = in.groupBy("tix").agg(count(lit(1)).as("n"))
-    val starts = Prefix.triangularOffsets(counts, "tix", "n", "start")
     ranked.join(broadcast(starts), "tix")
       .withColumn("rn", col("rk0") + lit(1L) - col("start"))
       .filter(col("rn") === floor((col("n") + lit(1)) / lit(2)) ||
@@ -465,20 +468,42 @@ object Events {
     madAnomaliesOf(t(s, d, "events").select(col("event_id"), col("event_type"), col("value")))
 
   /** Injectable core of ev18 over any (event_id, event_type, value) frame —
-    * RelationalSpec drives it with hand-computable odd/even group sizes. */
+    * RelationalSpec drives it with hand-computable odd/even group sizes.
+    *
+    * Shared-state shape: the tiny relations every stage reuses — the type
+    * index, the value stats, the per-group starts — are checkpointed ONCE
+    * (bytes each) and broadcast wherever needed; the deviation relation
+    * derives from pass 1's checkpointed input rather than a fresh event
+    * scan; and pass 2's bin bounds come from pass 1's stats (dev =
+    * |v − med| always lies in [0, mx − mn]), eliminating its stats pass.
+    * Net: two data-bearing pid shuffles (one per median pass — the
+    * inherent floor of two ranked passes over different orders), with
+    * every other exchange carrying per-type or per-bin rows. */
   def madAnomaliesOf(ev: DataFrame): DataFrame = {
     // dense type index without a window: 1-row sorted-list agg, exploded
     val tix = ev.select("event_type").distinct()
       .agg(sort_array(collect_list("event_type")).as("ts"))
       .select(posexplode(col("ts"))).toDF("tix", "event_type")
-    val typed = ev.join(broadcast(tix), "event_type")
-    val med = groupMedian(typed.withColumn("__v", col("value")), "med")
-    val dv = typed.join(broadcast(med), "tix")
-      .withColumn("dev", abs(col("value") - col("med")))
-    val mad = groupMedian(dv.withColumn("__v", col("dev")), "mad")
+      .localCheckpoint()
+    val in1 = ev.join(broadcast(tix), "event_type")
+      .select(col("tix"), col("event_id"), col("value").as("__v"))
+      .localCheckpoint() // exclusiveSum + dev + output all read these blocks
+    val stats1 = in1.agg(min("__v").as("mn"), max("__v").as("mx")).localCheckpoint()
+    val counts = in1.groupBy("tix").agg(count(lit(1)).as("n"))
+    val starts = Prefix.triangularOffsets(counts, "tix", "n", "start").localCheckpoint()
+    val med = groupMedianCore(in1, stats1, starts, "med")
+    val dv = in1.join(broadcast(med), "tix")
+      .withColumn("dev", abs(col("__v") - col("med")))
+    val in2 = dv.select(col("tix"), col("event_id"), col("dev").as("__v"))
+      .localCheckpoint()
+    // dev ∈ [0, mx − mn] for every group — derived bounds, no second agg
+    val stats2 = stats1.select(
+      lit(0.0).as("mn"), (col("mx") - col("mn")).cast("double").as("mx"))
+    val mad = groupMedianCore(in2, stats2, starts, "mad")
     dv.join(broadcast(mad), "tix")
+      .join(broadcast(tix), "tix")
       .filter(col("dev") > col("mad") * lit(4.4478))
-      .select(col("event_id"), col("event_type"), col("value"),
+      .select(col("event_id"), col("event_type"), col("__v").as("value"),
         round(col("med"), 4).as("med"), round(col("mad"), 4).as("mad"))
       .orderBy("event_type", "event_id")
   }

@@ -56,7 +56,7 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "dd11_chunk_dedup" -> 4,      // fp first-occurrence window + doc agg + sort
     "sj1_salted_join" -> 4,       // two salted join-side hashes + agg + sort (dim hinted off broadcast)
     "sj2_salted_topk" -> 3,       // (type,salt) window + type window over ≤k·f survivors + sort
-    "ev18_mad_anomaly" -> 21,     // two group-median passes (each: ckpt + stats + pid window + masses + offsets) + sort; data-bearing exchanges are the two pid shuffles
+    "ev18_mad_anomaly" -> 9,     // two group-median passes (each: pid window + bin masses + triangular agg + final avg agg) + sort; type index/stats/starts checkpointed once, pass-2 bounds derived from pass-1 stats — data-bearing exchanges are the two pid shuffles
     "dd13_quality_canonical" -> 7, // dd3 pair derivation + CC tail + quality join + argmax agg + sort
     "pp12_token_budget" -> 5,      // budget agg + doc-granular two-pass prefix (stats, pid window, masses, offsets) + sort
     "ev19_time_weighted_avg" -> 2, // ONE user-keyed window feeding the agg + sort
