@@ -115,8 +115,10 @@ object Registry {
     q("q23_count_distinct", Relational.q23CountDistinct,
       "SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_part, count(DISTINCT l_suppkey) AS nd_supp, count(*) AS n FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     noOracle("q24_approx_count_distinct", Relational.q24ApproxCountDistinct),
-    q("q25_big_join_agg", Relational.q25BigJoinAgg,
-      "SELECT o_orderpriority, count(*) AS n_items, CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    // q25 (fact-fact join + agg) is DEMOTED from the registry (fold-don't-
+    // grow): its join/agg machinery overlaps q03/q43, and RelationalSpec's
+    // "q25 fact-fact shuffle join" test carries both the result equivalence
+    // and the shuffle-regime plan assert; the operator stays in Relational.
     q("q38_table_profile", Relational.q38TableProfile,
       "SELECT count(*) AS n_rows, count(o_orderkey) AS nn_orderkey, count(DISTINCT o_orderkey) AS nd_orderkey, count(DISTINCT o_custkey) AS nd_custkey, count(DISTINCT o_orderstatus) AS nd_status, min(o_totalprice) AS min_price, max(o_totalprice) AS max_price, min(o_orderdate) AS min_date, max(o_orderdate) AS max_date FROM orders"),
     q("q39_integrity_checks", Relational.q39IntegrityChecks,
@@ -248,8 +250,11 @@ object Registry {
       "SELECT doc_id, lang, CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '1a' THEN 'holdout' ELSE 'train' END AS split FROM documents ORDER BY doc_id"),
     q("pp7_mix_corpus", Pipeline.mixCorpus,
       "SELECT lang, count(*) AS n_total, CAST(sum(CASE WHEN lang = 'en' THEN 1 WHEN lang = 'de' THEN CAST(md5(CAST(doc_id AS VARCHAR)) < '80' AS INT) WHEN lang = 'es' THEN CAST(md5(CAST(doc_id AS VARCHAR)) < '40' AS INT) WHEN lang = 'fr' THEN CAST(md5(CAST(doc_id AS VARCHAR)) < '20' AS INT) ELSE CAST(md5(CAST(doc_id AS VARCHAR)) < '1a' AS INT) END) AS BIGINT) AS n_kept FROM documents GROUP BY lang ORDER BY lang"),
-    q("pp6_decontaminate", (s, d) => Pipeline.decontaminate(s, d),
-      "WITH d AS (SELECT doc_id, string_split(text,' ') AS a, CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '1a' THEN 'holdout' ELSE 'train' END AS split FROM documents), s AS (SELECT doc_id, split, md5(array_to_string(a[i : i+4], ' ')) AS sh FROM d, UNNEST(generate_series(1, len(a)-4)) AS t(i) WHERE len(a) >= 5), tr AS (SELECT DISTINCT doc_id AS train_id, sh FROM s WHERE split='train'), ho AS (SELECT DISTINCT sh FROM s WHERE split='holdout') SELECT train_id, count(*) AS n_shared FROM tr JOIN ho ON tr.sh = ho.sh GROUP BY train_id ORDER BY train_id"),
+    // pp6 (exact decontamination) is DEMOTED from the registry (fold-don't-
+    // grow): bf1 runs the same shingle stream to the same oracle through
+    // the scale-relevant Bloom pre-pass, and SamplingLayoutSpec's
+    // "bf1 bloom-prefiltered decontamination = exact decontamination"
+    // equivalence carries pp6's semantics; the operator stays in Pipeline.
     q("pp5_outlier_filter", (s, d) => Pipeline.outlierFilter(s, d, fence = 0.25),
       "WITH d AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS DOUBLE) AS n_tokens FROM documents), q AS (SELECT quantile_cont(n_tokens, 0.25) AS q1, quantile_cont(n_tokens, 0.75) AS q3 FROM d) SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens FROM d, q WHERE n_tokens >= q1 - 0.25*(q3-q1) AND n_tokens <= q3 + 0.25*(q3-q1) ORDER BY doc_id"),
     q("pp3_chunk_documents", (s, d) => Pipeline.chunkDocuments(s, d),
@@ -411,10 +416,12 @@ object Registry {
     // rescore math is oracle-exact
     q("ss7_exact_rescore", Similarity.fixedCandidateRescore,
       "WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10), c AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings WHERE vec_id % 17 = 3), s AS (SELECT q_id, c_id, round(list_cosine_similarity(qv, cv), 6) AS cos FROM q JOIN c ON c_id <> q_id), r AS (SELECT q_id, c_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk FROM s) SELECT q_id, c_id, cos, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 5 ORDER BY q_id, rk"),
-    q("ss3_ivf_topk", Similarity.ivfTopK,
-      "WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv, label FROM embeddings WHERE vec_id < 10), s AS (SELECT q_id, CAST(q.label AS BIGINT) AS cell, e.vec_id AS c_id, round(list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[])), 6) AS cos FROM q JOIN embeddings e ON e.label = q.label AND e.vec_id <> q.q_id), r AS (SELECT q_id, cell, c_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk FROM s) SELECT q_id, cell, c_id, cos, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 5 ORDER BY q_id, rk"),
+    // ss3 (inline IVF probe) is DEMOTED from the registry (fold-don't-grow):
+    // ss5 runs the same cells/scoring through the persisted index and keeps
+    // the shared oracle; SimilaritySpec's persisted-vs-inline equality
+    // carries ss3's semantics; the operator stays in Similarity.
     // persisted-index probe: builds the cell-partitioned index in a temp
-    // dir, probes via the DPP join — result ≡ ss3, so it shares ss3's oracle
+    // dir, probes via the DPP join
     q("ss5_ivf_persisted", Similarity.persistedIvfTopK,
       "WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv, label FROM embeddings WHERE vec_id < 10), s AS (SELECT q_id, CAST(q.label AS BIGINT) AS cell, e.vec_id AS c_id, round(list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[])), 6) AS cos FROM q JOIN embeddings e ON e.label = q.label AND e.vec_id <> q.q_id), r AS (SELECT q_id, cell, c_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk FROM s) SELECT q_id, cell, c_id, cos, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 5 ORDER BY q_id, rk"))
 

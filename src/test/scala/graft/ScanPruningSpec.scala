@@ -64,7 +64,7 @@ class ScanPruningSpec extends AnyFunSuite {
     "hh1_heavy_hitters",
     // pipeline: quality/token-count/shingle stages
     "pp1_clean_corpus", "pp3_chunk_documents", "pp4_pack_sequences",
-    "pp5_outlier_filter", "pp6_decontaminate", "pp8_repetition_filter",
+    "pp5_outlier_filter", "pp8_repetition_filter",
     "pp10_curriculum_shards", "pp11_boilerplate", "bf1_bloom_decontaminate",
     // multimodal: text bytes are the deterministic payload substrate
     "mm1_media_features", "mm2_frame_sample", "mm3_binary_dedup",

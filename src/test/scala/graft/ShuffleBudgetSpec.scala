@@ -21,7 +21,6 @@ class ShuffleBudgetSpec extends AnyFunSuite {
   private val budgets = Seq(
     "q01_pricing_summary" -> 2,   // agg + output sort
     "q03_top_revenue_orders" -> 1, // broadcast joins; agg only (top-k needs no sort exchange)
-    "q25_big_join_agg" -> 2,      // fact-fact join keyed once + agg reuse
     "q43_selective_join" -> 2,
     "ev5_asof_join" -> 2,         // ONE shuffle for the union+window, + sort
     "ev1_tumbling_window" -> 2,
