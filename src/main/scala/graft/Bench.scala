@@ -27,7 +27,15 @@ object Bench {
     // is recorded NEGATIVE (time-to-failure) and its name+message land in an
     // "errors" object, excluded from the total.
     var errors = Map.empty[String, String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional isolation harness: SPARK_GRAFT_ONLY=tx6,tx7 retimes a subset
+    // under the exact same warmup/noop-write methodology as the full run —
+    // used for variance-vs-regression audits (BASELINE.md), never by the
+    // driver (unset ⇒ full registry).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name.takeWhile(_ != '_'))) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { run(fn); true }
