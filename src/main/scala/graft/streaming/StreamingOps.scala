@@ -487,8 +487,8 @@ object StreamingOps {
   final case class LshBucketState(nSeen: Long, dead: Boolean, members: Seq[Long])
   final case class LshBucketSnapshot(
       band: Int, sig: Long, nSeen: Long, dead: Boolean, members: Seq[Long])
-  final case class SigGroupState(nSeen: Long, members: Seq[Long])
-  final case class SigGroupSnapshot(sigkey: Long, nSeen: Long, members: Seq[Long])
+  final case class SigGroupState(nSeen: Long, canon: Long)
+  final case class SigGroupAssign(sigkey: Long, nSeen: Long, docId: Long, canon: Long)
 
   /** Streaming LSH bucket accumulation — the banded half of dd4 run
     * at-ingest: each arriving document is signed in ONE narrow projection
@@ -529,14 +529,20 @@ object StreamingOps {
   }
 
   /** Full-signature group accumulation — dd4's star-recovery half
-    * at-ingest. The group's pair set is (min member, every other member),
-    * a function of final membership alone, so the fold is
-    * merge-commutative like the buckets. State here keeps the member list
-    * for the spec's exact final-state comparison; a production store would
-    * keep only (canonical id, count) and emit (doc → canon) assignments as
-    * they arrive, reassigning the rare late-arriving smaller id. */
+    * at-ingest, in the production state shape: per group the store keeps
+    * ONLY (count, canonical id) — O(1) regardless of how hot a duplicate
+    * group runs — and each arriving document is emitted once as a
+    * (doc → current canon) assignment. The group's batch pair set is
+    * (min member, every other member), a function of final membership
+    * alone; membership is exactly the set of emitted docIds (each doc
+    * arrives once), so a consumer reconstructs the batch relation
+    * bit-exactly from the append log: members = distinct docIds per
+    * sigkey, canon = min. A late-arriving smaller id appears as an
+    * assignment that itself becomes the new canon; the min rule downstream
+    * re-points earlier members without any re-emission, which is why no
+    * member list ever needs to live in state. */
   def sigGroupUpdates(docs: DataFrame)(
-      implicit spark: SparkSession): Dataset[SigGroupSnapshot] = {
+      implicit spark: SparkSession): Dataset[SigGroupAssign] = {
     import spark.implicits._
     import graft.operators.Dedup
     val sigs = docs.filter(col("text").isNotNull) // ≡ batch (see lshBucketUpdates)
@@ -545,15 +551,16 @@ object StreamingOps {
       xxhash64((0 until Dedup.NumHashes).map(i => col(s"h$i")): _*).as("sigkey"),
       col("doc_id")).as[(Long, Long)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[SigGroupState, SigGroupSnapshot](
+      .flatMapGroupsWithState[SigGroupState, SigGroupAssign](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (sigkey: Long, rows: Iterator[(Long, Long)], state: GroupState[SigGroupState]) =>
-          val prev = state.getOption.getOrElse(SigGroupState(0L, Nil))
+          val prev = state.getOption.getOrElse(SigGroupState(0L, Long.MaxValue))
           val arrived = rows.map(_._2).toSeq
-          val members = (prev.members ++ arrived).distinct.sorted
-          val next = SigGroupState(prev.nSeen + arrived.size, members)
-          state.update(next)
-          Iterator.single(SigGroupSnapshot(sigkey, next.nSeen, members))
+          val canon = (prev.canon +: arrived).min
+          state.update(SigGroupState(prev.nSeen + arrived.size, canon))
+          arrived.zipWithIndex.iterator.map { case (id, i) =>
+            SigGroupAssign(sigkey, prev.nSeen + i + 1, id, canon)
+          }
       }
   }
 

@@ -317,16 +317,19 @@ class StreamingSpec extends AnyFunSuite {
           }.toSeq
       } finally q1.stop()
 
-    // full-signature star half: (min member, other) per multi-member group
+    // full-signature star half: state is O(1) per group (count, canon) and
+    // the output is an append log of per-arrival (doc → canon) assignments;
+    // membership = distinct emitted docIds per group, canon = min — the
+    // batch (min member, other) pair set reconstructed from the log alone
     val q2 = StreamingOps.runToMemory(
       StreamingOps.sigGroupUpdates(stream).toDF(), "stream_lsh_sigs", OutputMode.Append)
     val starPairs =
       try {
         val all = spark.table("stream_lsh_sigs")
-          .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
-        all.groupBy(_._1).values.map(_.maxBy(_._2))
-          .filter(_._3.length > 1)
-          .flatMap { case (_, _, ms) => ms.tail.map(m => (ms.head, m)) }.toSeq
+          .collect().map(r => (r.getLong(0), r.getLong(2)))
+        all.groupBy(_._1).values.map(_.map(_._2).distinct.sorted)
+          .filter(_.length > 1)
+          .flatMap(ms => ms.tail.map(m => (ms.head, m))).toSeq
       } finally q2.stop()
 
     val streamed = (bucketPairs ++ starPairs).distinct.sorted
