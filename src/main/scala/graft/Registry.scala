@@ -395,10 +395,26 @@ object Registry {
         "round(CAST(CAST(COALESCE(c.c7, 0) / greatest(h.nb, 1) AS REAL) AS DOUBLE), 6) AS f7, " +
         "round(CAST(CAST(COALESCE(c.c15, 0) / greatest(h.nb, 1) AS REAL) AS DOUBLE), 6) AS f15 " +
         "FROM h LEFT JOIN c ON h.doc_id = c.doc_id ORDER BY media_id"),
-    // mm4 stays rows-only: ranked float-cosine top-k over the 16-dim
-    // features — the float dot-product accumulation order is engine code
-    // (MultimodalSpec pins exact-duplicate recall and determinism)
-    noOracle("mm4_media_neardup", Multimodal.mediaNearDupQuery),
+    // mm4's oracle rebuilds the FULL 16-bin float32 histogram from the
+    // payload hex (mm1's recipe per bin: high nibble of byte i = hex digit
+    // 2i−1), widens to double, and takes the same cosine-ranked top-50;
+    // empty payloads excluded both sides (zero vector has no cosine), the
+    // sample modulus still over the full corpus
+    q("mm4_media_neardup", Multimodal.mediaNearDupQuery,
+      "WITH d AS (SELECT doc_id, encode(text) AS p FROM documents), " +
+        "md AS (SELECT greatest(1, count(*) // 500) AS m FROM d), " +
+        "h AS (SELECT doc_id, octet_length(p) AS nb, hex(p) AS hx FROM d, md " +
+        "WHERE doc_id % m = 0 AND octet_length(p) > 0), " +
+        "cnt AS (SELECT doc_id, substr(hx, 2*i-1, 1) AS dig, count(*) AS c " +
+        "FROM h, unnest(generate_series(1, nb)) AS t(i) GROUP BY 1, 2), " +
+        "bins AS (SELECT h.doc_id, g.k, CAST(CAST(COALESCE(cnt.c, 0) AS DOUBLE) / h.nb AS REAL) AS f " +
+        "FROM h CROSS JOIN unnest(generate_series(0, 15)) AS g(k) " +
+        "LEFT JOIN cnt ON cnt.doc_id = h.doc_id AND cnt.dig = substr('0123456789ABCDEF', CAST(g.k AS INT) + 1, 1)), " +
+        "vec AS (SELECT doc_id, list(CAST(f AS DOUBLE) ORDER BY k) AS v FROM bins GROUP BY doc_id), " +
+        "s AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, round(list_cosine_similarity(a.v, b.v), 6) AS cos " +
+        "FROM vec a JOIN vec b ON a.doc_id < b.doc_id), " +
+        "r AS (SELECT id_a, id_b, cos, row_number() OVER (ORDER BY cos DESC, id_a, id_b) AS rk FROM s) " +
+        "SELECT id_a, id_b, cos FROM r WHERE rk <= 50 ORDER BY cos DESC, id_a, id_b"),
     q("mm5_resize_audit", (s, d) => Multimodal.resizeAuditQuery(s, d),
       "SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS orig_bytes, CAST(least(octet_length(encode(text)), 256) AS BIGINT) AS resized_bytes FROM documents ORDER BY media_id"),
     q("mm2_frame_sample", (s, d) => Multimodal.frameSampleQuery(s, d),

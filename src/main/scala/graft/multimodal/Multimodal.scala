@@ -171,12 +171,20 @@ object Multimodal {
     * of a deterministic ~500-item sample (the dd6/dd3 sampling rule —
     * brute force stays the bounded oracle; the LSH/IVF paths in
     * `graft.operators.Similarity` are the unbounded-n route for real
-    * embeddings). Rows-only driver check (the feature kernel is engine
-    * code); exact-duplicate recall and determinism in MultimodalSpec. */
+    * embeddings). Oracle-checked since the kernel became the real
+    * histogram: each float32 bin is exactly recomputable in SQL (mm1's hex
+    * recipe, all 16 bins), widening to double is exact, and the
+    * double-accumulated cosine matches `list_cosine_similarity` at the
+    * 6dp rounding (the dd6/ss1-proven parity). Empty payloads are
+    * excluded on both sides — their zero vector has no defined cosine
+    * (0/0) — with the sample modulus still computed over the full corpus
+    * so the sampling rule is unchanged. */
   def mediaNearDupQuery(spark: SparkSession, dir: String): DataFrame = {
-    val all = extractFeaturesWithVec(fixtureFromDocuments(spark, dir))
-    val mod = math.max(1L, all.count() / 500)
-    mediaTopPairs(all.filter(col("media_id") % mod === 0))
+    val feats = extractFeatures(fixtureFromDocuments(spark, dir)).toDF()
+    val mod = math.max(1L, feats.count() / 500)
+    mediaTopPairs(
+      feats.filter(col("media_id") % mod === 0 && col("n_bytes") > 0)
+        .select(col("media_id"), col("feature")))
   }
 
   /** extractFeatures variant keeping the feature as a queryable column

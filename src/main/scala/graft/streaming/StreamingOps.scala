@@ -450,6 +450,9 @@ object StreamingOps {
     * dd2 keep-list — which is exactly what the oracle asserts. */
   def dedupIngestKeepList(s: SparkSession, d: String): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("graft-st1-").toFile
+    // the result DataFrame reads outDir lazily, so the staging tree must
+    // outlive this call — reclaim it at JVM exit instead
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(base)))
     val inDir = new java.io.File(base, "in").getPath
     val fpDir = new java.io.File(base, "fp").getPath
     val outDir = new java.io.File(base, "out").getPath
