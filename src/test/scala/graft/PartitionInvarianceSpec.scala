@@ -16,7 +16,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * accumulation order changes): decimal power-sum statistics (q41), the
   * two-pass median/MAD (ev18), decimal-exact TF-IDF dots (dd10), the
   * per-user EWMA fold (ev16), surprisal/cross-entropy sums (tx9/tx10),
-  * float rescoring (ss7), and the doc-granular prefix selection (pp12).
+  * float rescoring (ss7), the doc-granular prefix selection (pp12), and
+  * the three r06 oracle conversions: float32 payload histograms (mm1),
+  * the cosine ranking over them (mm4), and the scaled-integer fixed-point
+  * PageRank iteration (gr1) — fixed point exists precisely so the result
+  * is partition-count-independent; this is that claim as CI.
   * Integer-shaped q01 anchors the suite.
   */
 class PartitionInvarianceSpec extends AnyFunSuite {
@@ -26,7 +30,8 @@ class PartitionInvarianceSpec extends AnyFunSuite {
   private val queries = Seq(
     "q01_pricing_summary", "q41_corr_stats", "ev16_ewma", "ev18_mad_anomaly",
     "dd10_tfidf_cosine", "tx9_token_surprisal", "tx10_bigram_crossent",
-    "ss7_exact_rescore", "pp12_token_budget", "ev19_time_weighted_avg")
+    "ss7_exact_rescore", "pp12_token_budget", "ev19_time_weighted_avg",
+    "mm1_media_features", "mm4_media_neardup", "gr1_neardup_pagerank")
 
   private def rows(name: String)(configure: org.apache.spark.sql.SparkSession => Unit)
       : Seq[String] = {
