@@ -60,6 +60,59 @@ object Registry {
       "SELECT node, CAST(s AS BIGINT) AS rank_fp FROM r10 ORDER BY node"
   }
 
+  /** dd4/dd8's shared oracle CTEs: the FULL MinHash-LSH pipeline re-derived
+    * in DuckDB — possible because `Dedup.signatureColumns` uses the
+    * engine-portable md5-hex hash family (`min(md5('i:'||w))` is the same
+    * 32-char lowercase-hex string in both engines, and lexicographic min
+    * over it is the minhash). Mirrors, stage for stage: signatures → band
+    * keys (md5 of the "|"-joined band slice) → BucketCap bucket kill →
+    * bucket pairs → full-signature star recovery → candidate distinct →
+    * exact-Jaccard verification (dd3's machinery, candidates only).
+    * Ends in `vp(id_a, id_b, jacc)` — the verified-pair relation both
+    * consumers SELECT from. */
+  private def lshOracleCtes: String = {
+    import graft.operators.Dedup.{BandSize, BucketCap, NumBands, NumHashes}
+    val sigCols = (0 until NumHashes)
+      .map(i => s"min(md5('$i:'||w)) AS h$i").mkString(", ")
+    val bandRows = (0 until NumBands).map { b =>
+      val cat = (0 until BandSize).map(i => s"h${b * BandSize + i}").mkString("||'|'||")
+      s"SELECT doc_id, $b AS band, md5($cat) AS sig FROM sigs"
+    }.mkString(" UNION ALL ")
+    val sigkeyCat = (0 until NumHashes).map(i => s"h$i").mkString("||'|'||")
+    "docs AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL), " +
+      "toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM docs), " +
+      s"sigs AS (SELECT doc_id, $sigCols FROM toks GROUP BY doc_id), " +
+      s"bands AS ($bandRows), " +
+      s"ok AS (SELECT band, sig FROM bands GROUP BY band, sig HAVING count(*) <= $BucketCap), " +
+      "capped AS (SELECT b.* FROM bands b JOIN ok USING (band, sig)), " +
+      "bp AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b FROM capped x JOIN capped y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id), " +
+      s"keyed AS (SELECT doc_id, md5($sigkeyCat) AS sigkey FROM sigs), " +
+      "canon AS (SELECT sigkey, min(doc_id) AS id_a FROM keyed GROUP BY sigkey HAVING count(*) > 1), " +
+      "sp AS (SELECT c.id_a, k.doc_id AS id_b FROM keyed k JOIN canon c USING (sigkey) WHERE k.doc_id <> c.id_a), " +
+      "cand AS (SELECT DISTINCT id_a, id_b FROM (SELECT * FROM bp UNION ALL SELECT * FROM sp) u), " +
+      "sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id), " +
+      "inter AS (SELECT cand.id_a, cand.id_b, count(*) AS c FROM cand JOIN toks a ON a.doc_id = cand.id_a JOIN toks b ON b.doc_id = cand.id_b AND b.w = a.w GROUP BY 1, 2), " +
+      "vp AS (SELECT id_a, id_b, c / (sa.n + sb.n - c) AS jacc FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id)"
+  }
+
+  private def dd4OracleSql: String =
+    s"WITH $lshOracleCtes SELECT id_a, id_b, round(jacc, 4) AS jaccard " +
+      "FROM vp WHERE jacc >= 0.85 ORDER BY id_a, id_b"
+
+  /** dd8's oracle: the dd4 verified pairs closed transitively by the same
+    * recursive-CTE min-label closure dd12 uses, then left-joined onto ALL
+    * documents (NULL-text docs included — they are singleton clusters, as
+    * in `Dedup.dupClusters`). */
+  private def dd8OracleSql: String =
+    s"WITH RECURSIVE $lshOracleCtes, " +
+      "p AS (SELECT id_a, id_b FROM vp WHERE jacc >= 0.85), " +
+      "e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p), " +
+      "reach AS (SELECT u AS node, u AS label FROM e UNION SELECT e.u AS node, r.label FROM reach r JOIN e ON e.v = r.node), " +
+      "lab AS (SELECT node, min(label) AS label FROM reach GROUP BY node) " +
+      "SELECT d.doc_id, coalesce(lab.label, d.doc_id) AS cluster_id, " +
+      "d.doc_id = coalesce(lab.label, d.doc_id) AS is_canonical " +
+      "FROM documents d LEFT JOIN lab ON d.doc_id = lab.node ORDER BY doc_id"
+
   val all: Seq[RegisteredQuery] = Seq(
     q("q01_pricing_summary", Relational.q01PricingSummary,
       "SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price, CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_disc_price, avg(l_quantity) AS avg_qty, count(*) AS count_order FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
@@ -219,14 +272,18 @@ object Registry {
       "SELECT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp, min(doc_id) AS keep_id FROM documents GROUP BY fp ORDER BY keep_id"),
     q("dd3_jaccard_pairs", Dedup.jaccardPairs,
       "WITH m AS (SELECT greatest(1, count(*) // 500) AS mod FROM documents), d AS (SELECT doc_id, text FROM documents, m WHERE doc_id % m.mod = 0), toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM d), sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id), inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c FROM toks a JOIN toks b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT id_a, id_b, round(c / (sa.n + sb.n - c), 4) AS jaccard FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id WHERE c / (sa.n + sb.n - c) >= 0.85 ORDER BY id_a, id_b"),
-    noOracle("dd4_minhash_lsh", Dedup.minhashLsh),
+    // dd4/dd8 carry FULL oracles since the r06 switch to the
+    // engine-portable md5 hash family (see lshOracleCtes): DuckDB
+    // re-derives signatures, bands, cap, star recovery, verification —
+    // and for dd8 the recursive-CTE closure on top
+    q("dd4_minhash_lsh", Dedup.minhashLsh, dd4OracleSql),
     noOracle("dd5_simhash_pairs", Dedup.simhashPairs),
     noOracle("dd7_winnow_fingerprints", (s, d) => Dedup.winnowFingerprints(s, d)),
-    noOracle("dd8_dup_clusters", Dedup.dupClusters),
+    q("dd8_dup_clusters", Dedup.dupClusters, dd8OracleSql),
     // dd12: the dd8 connected-components engine on the ORACLE-EXACT dd3
     // edge set — labels/sizes/keep-list hash-checked via a recursive-CTE
-    // transitive closure (dd8 itself stays rows-only: its LSH hash family
-    // is engine-specific)
+    // transitive closure; kept alongside dd8's own oracle because its
+    // sampled exact edge set checks the CC math at a different input shape
     q("dd12_dup_clusters_exact", Dedup.dupClustersExact,
       "WITH RECURSIVE m AS (SELECT greatest(1, count(*) // 500) AS mod FROM documents), d AS (SELECT doc_id, text FROM documents, m WHERE doc_id % m.mod = 0), toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM d), sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id), inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c FROM toks a JOIN toks b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2), p AS (SELECT id_a, id_b FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id WHERE c / (sa.n + sb.n - c) >= 0.85), e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p), reach AS (SELECT u AS node, u AS label FROM e UNION SELECT e.u AS node, r.label FROM reach r JOIN e ON e.v = r.node), lab AS (SELECT node, min(label) AS label FROM reach GROUP BY node), cl AS (SELECT d.doc_id, coalesce(lab.label, d.doc_id) AS cluster_id FROM d LEFT JOIN lab ON d.doc_id = lab.node), sz AS (SELECT cluster_id, count(*) AS cluster_size FROM cl GROUP BY cluster_id) SELECT cl.doc_id, cl.cluster_id, CAST(sz.cluster_size AS BIGINT) AS cluster_size, cl.doc_id = cl.cluster_id AS is_canonical FROM cl JOIN sz USING (cluster_id) ORDER BY doc_id"),
     // dd13: per-cluster canonical = highest tx2 quality (not arbitrary

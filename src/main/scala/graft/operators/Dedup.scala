@@ -128,12 +128,17 @@ object Dedup {
   private[graft] val BucketCap = 150
 
   /** MinHash signatures: h_i(doc) = min over the doc's distinct tokens of
-    * xxhash64(i, token). One row per doc, NumHashes columns — a NARROW
+    * md5(i ":" token), a 32-char lowercase-hex string whose lexicographic
+    * min is a valid minhash (md5 is uniform; [0-9a-f] ordering is plain
+    * byte ordering). One row per doc, NumHashes columns — a NARROW
     * projection over [[signatureColumns]] (no explode, no shuffle), which
-    * also makes it directly legal in a streaming plan. NULL-text docs are
-    * omitted, matching the historical explode+groupBy form (explode of a
-    * NULL token array produced no rows) — the streaming twins apply the
-    * same filter so stream ≡ batch holds for NULL inputs too. */
+    * also makes it directly legal in a streaming plan. The hash family is
+    * deliberately ENGINE-PORTABLE — DuckDB's `md5` produces the identical
+    * hex string — which is what lets dd4/dd8 carry full SQL oracles
+    * instead of rows-only checks. NULL-text docs are omitted, matching
+    * the historical explode+groupBy form (explode of a NULL token array
+    * produced no rows) — the streaming twins apply the same filter so
+    * stream ≡ batch holds for NULL inputs too. */
   def minhashSignatures(docs: DataFrame): DataFrame =
     docs.filter(col("text").isNotNull)
       .select(col("doc_id") +: signatureColumns(col("text")): _*)
@@ -146,9 +151,19 @@ object Dedup {
     * those docs out; any new caller must do the same or handle NULLs). */
   def signatureColumns(text: Column): Seq[Column] =
     (0 until NumHashes).map { i =>
+      // init "~" (0x7E) sorts after every hex digit; split never yields an
+      // empty array for non-null text, so it can only survive as a bound
       aggregate(array_distinct(split(text, " ")),
-        lit(Long.MaxValue), (acc, w) => least(acc, xxhash64(lit(i), w))).as(s"h$i")
+        lit("~"), (acc, w) => least(acc, md5(concat(lit(s"$i:"), w)))).as(s"h$i")
     }
+
+  /** Full-signature key (the star-recovery group id): md5 over the
+    * "|"-joined signature columns. Shared by [[lshCandidates]] and the
+    * streaming at-ingest twin, and mirrored verbatim by dd4/dd8's oracle
+    * SQL (`h0||'|'||…` in DuckDB — concat_ws over non-NULL operands is the
+    * same string). */
+  def sigKeyColumn: Column =
+    md5(concat_ws("|", (0 until NumHashes).map(i => col(s"h$i")): _*))
 
   /** (doc_id, band, sig) band keys of a signature relation — each doc's
     * NumBands bucket coordinates. Shared by the batch candidate stage and
@@ -156,7 +171,7 @@ object Dedup {
   def bandKeys(sigs: DataFrame): DataFrame = {
     val bandCols = (0 until NumBands).map { b =>
       val hs = (0 until BandSize).map(i => col(s"h${b * BandSize + i}"))
-      struct(lit(b).as("band"), xxhash64(hs: _*).as("sig"))
+      struct(lit(b).as("band"), md5(concat_ws("|", hs: _*)).as("sig"))
     }
     sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
@@ -192,8 +207,7 @@ object Dedup {
     // fills a hot bucket) pair against their group's canonical doc as a
     // star, not pairwise. Still exact-verified below, so precision is
     // unaffected.
-    val keyed = sigs.withColumn("sigkey",
-      xxhash64((0 until NumHashes).map(i => col(s"h$i")): _*))
+    val keyed = sigs.withColumn("sigkey", sigKeyColumn)
     val canon = keyed.groupBy("sigkey")
       .agg(min("doc_id").as("id_a"), count(lit(1)).as("gsz"))
       .filter(col("gsz") > 1)
@@ -207,8 +221,10 @@ object Dedup {
   /** MinHash-LSH near-dup pairs over the FULL table, exact-verified.
     * Pipeline: signatures → band keys → bucket equi-join (capped) →
     * candidate pairs → exact Jaccard filter ≥ 0.85. Output is a subset of
-    * the brute-force pairs (verified in DedupSpec); no SQL oracle since the
-    * hash family is engine-specific.
+    * the brute-force pairs (verified in DedupSpec), and — because the hash
+    * family is the engine-portable md5 one — the whole pipeline is
+    * hash-checked against a DuckDB oracle that re-derives signatures,
+    * bands, cap, star recovery and exact verification from scratch.
     */
   def minhashLsh(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents")
@@ -373,9 +389,11 @@ object Dedup {
     *
     * Output: (doc_id, cluster_id=min reachable doc_id, is_canonical);
     * singleton docs (no near-dup edge) are included as their own cluster,
-    * so the keep-list is exactly `is_canonical`. Engine-specific hash
-    * family upstream ⇒ rows-only driver check; ground-truth union-find
-    * comparison in DedupSpec. */
+    * so the keep-list is exactly `is_canonical`. The portable md5 hash
+    * family upstream makes the full production pipeline (LSH candidates →
+    * CC) oracle-checkable: DuckDB re-derives the verified pair set and
+    * closes it with a recursive CTE. Ground-truth union-find comparison
+    * stays in DedupSpec. */
   def dupClusters(s: SparkSession, d: String): DataFrame = {
     val pairs = minhashLsh(s, d).select(col("id_a"), col("id_b")).localCheckpoint()
     val labels = connectedComponents(pairs)

@@ -489,9 +489,9 @@ object StreamingOps {
 
   final case class LshBucketState(nSeen: Long, dead: Boolean, members: Seq[Long])
   final case class LshBucketSnapshot(
-      band: Int, sig: Long, nSeen: Long, dead: Boolean, members: Seq[Long])
+      band: Int, sig: String, nSeen: Long, dead: Boolean, members: Seq[Long])
   final case class SigGroupState(nSeen: Long, canon: Long)
-  final case class SigGroupAssign(sigkey: Long, nSeen: Long, docId: Long, canon: Long)
+  final case class SigGroupAssign(sigkey: String, nSeen: Long, docId: Long, canon: Long)
 
   /** Streaming LSH bucket accumulation — the banded half of dd4 run
     * at-ingest: each arriving document is signed in ONE narrow projection
@@ -514,7 +514,7 @@ object StreamingOps {
     val sigs = docs.filter(col("text").isNotNull)
       .select(col("doc_id") +: Dedup.signatureColumns(col("text")): _*)
     Dedup.bandKeys(sigs)
-      .select(col("band"), col("sig"), col("doc_id")).as[(Int, Long, Long)]
+      .select(col("band"), col("sig"), col("doc_id")).as[(Int, String, Long)]
       .groupByKey(r => (r._1, r._2))
       .flatMapGroupsWithState[LshBucketState, LshBucketSnapshot](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
@@ -551,12 +551,12 @@ object StreamingOps {
     val sigs = docs.filter(col("text").isNotNull) // ≡ batch (see lshBucketUpdates)
       .select(col("doc_id") +: Dedup.signatureColumns(col("text")): _*)
     sigs.select(
-      xxhash64((0 until Dedup.NumHashes).map(i => col(s"h$i")): _*).as("sigkey"),
-      col("doc_id")).as[(Long, Long)]
+      Dedup.sigKeyColumn.as("sigkey"),
+      col("doc_id")).as[(String, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[SigGroupState, SigGroupAssign](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (sigkey: Long, rows: Iterator[(Long, Long)], state: GroupState[SigGroupState]) =>
+        (sigkey: String, rows: Iterator[(String, Long)], state: GroupState[SigGroupState]) =>
           val prev = state.getOption.getOrElse(SigGroupState(0L, Long.MaxValue))
           val arrived = rows.map(_._2).toSeq
           val canon = (prev.canon +: arrived).min

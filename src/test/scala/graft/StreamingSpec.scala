@@ -309,7 +309,7 @@ class StreamingSpec extends AnyFunSuite {
     val bucketPairs =
       try {
         val all = spark.table("stream_lsh_buckets")
-          .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2),
+          .collect().map(r => ((r.getInt(0), r.getString(1)), r.getLong(2),
             r.getBoolean(3), r.getSeq[Long](4)))
         all.groupBy(_._1).values.map(_.maxBy(_._2)).filterNot(_._3)
           .flatMap { case (_, _, _, ms) =>
@@ -326,7 +326,7 @@ class StreamingSpec extends AnyFunSuite {
     val starPairs =
       try {
         val all = spark.table("stream_lsh_sigs")
-          .collect().map(r => (r.getLong(0), r.getLong(2)))
+          .collect().map(r => (r.getString(0), r.getLong(2)))
         all.groupBy(_._1).values.map(_.map(_._2).distinct.sorted)
           .filter(_.length > 1)
           .flatMap(ms => ms.tail.map(m => (ms.head, m))).toSeq
