@@ -24,18 +24,42 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     ensureNanosReadable(spark)
-    normalizeNanos(spark.read.parquet(s"$dir/$name.parquet"))
+    normalizeTimestamps(spark.read.parquet(s"$dir/$name.parquet"))
   }
 
-  /** Rebuild a nanosAsLong-read `ts` column into a µs timestamp. The ns → µs
-    * truncation is exactly what DuckDB does reading the same file, so oracle
-    * comparisons on ts-derived values stay bit-exact. Applied on every read
-    * path (Tables and the engine's view registration) so `ts` has one type
-    * everywhere. */
-  def normalizeNanos(df: DataFrame): DataFrame =
-    df.schema.fields.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
-      .map(_ => df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)")))
-      .getOrElse(df)
+  /** Normalize timestamp representation drift across testdata generations —
+    * the corpus has been regenerated with three different parquet encodings
+    * so far, and every operator expects one type: TIMESTAMP in µs.
+    *
+    *  - TIMESTAMP(NANOS) (read as raw longs under the legacy conf above):
+    *    the `ts` column is rebuilt into a µs timestamp; the ns → µs
+    *    truncation is exactly what DuckDB does reading the same file.
+    *  - Unannotated TIMESTAMP(MICROS) (isAdjustedToUTC=false), which Spark 4
+    *    infers as TIMESTAMP_NTZ: converted to TIMESTAMP by treating the wall
+    *    clock as UTC. `timestampdiff` from the NTZ epoch is
+    *    session-timezone-independent (a bare cast is NOT — it reads the
+    *    session zone), so a driver-owned session in any local timezone sees
+    *    the same micros. DuckDB reads the same column as a naive timestamp
+    *    whose epoch_us equals exactly these micros, so oracle comparisons
+    *    are unaffected by the annotation drift.
+    *
+    * Applied on every read path (Tables, the engine's view registration, the
+    * file sources, and the streaming event reader) so timestamps have one
+    * type everywhere. */
+  def normalizeTimestamps(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    df.schema.fields.foldLeft(df) { (acc, f) =>
+      f.dataType match {
+        case LongType if f.name == "ts" =>
+          acc.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        case TimestampNTZType =>
+          acc.withColumn(f.name, expr(
+            s"timestamp_micros(timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', `${f.name}`))"))
+        case _ => acc
+      }
+    }
+  }
 
   /** Register every table in `dir` as a temp view so `spark.sql` queries
     * (the engine's verbatim-SQL path, ≈ reference src/main.rs:29) resolve.

@@ -77,13 +77,13 @@ object Source {
         case _     => spark.read
       }
       files.sortBy(_.getName).foreach { f =>
-        graft.Tables.normalizeNanos(reader.format(format).load(f.getAbsolutePath))
+        graft.Tables.normalizeTimestamps(reader.format(format).load(f.getAbsolutePath))
           .createOrReplaceTempView(f.getName.dropRight(ext.length))
       }
       dirTables.sortBy(_.getName).foreach { f =>
         val name = if (f.getName.toLowerCase.endsWith(ext))
           f.getName.dropRight(ext.length) else f.getName
-        graft.Tables.normalizeNanos(reader.format(format).load(f.getAbsolutePath))
+        graft.Tables.normalizeTimestamps(reader.format(format).load(f.getAbsolutePath))
           .createOrReplaceTempView(name)
       }
     }

@@ -26,10 +26,9 @@ object StreamingOps {
     // glob, not a bare file path: FileStreamSource requires basePath to be a
     // directory and derives it from the glob's parent
     val raw = spark.readStream.schema(schema).parquet(s"$dir/events.*")
-    if (schema.fields.exists(f => f.name == "ts" &&
-        f.dataType == org.apache.spark.sql.types.LongType)) {
-      raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-    } else raw
+    // same nanos-long / TIMESTAMP_NTZ drift handling as every batch read
+    // (withColumn conversions work identically on a streaming DataFrame)
+    Tables.normalizeTimestamps(raw)
   }
 
   /** Watermarked tumbling-window counts (streaming twin of
