@@ -113,6 +113,33 @@ object Registry {
       "d.doc_id = coalesce(lab.label, d.doc_id) AS is_canonical " +
       "FROM documents d LEFT JOIN lab ON d.doc_id = lab.node ORDER BY doc_id"
 
+  /** dd5's oracle: the FULL SimHash pipeline re-derived in DuckDB —
+    * possible because [[graft.operators.Dedup.simhash]] derives its 64
+    * per-token bits from the first 16 hex digits of md5(token) (bit b =
+    * (digitValue(b/4) >> (b%4)) & 1), the same engine-portable family the
+    * MinHash signatures use. Mirrors, stage for stage: per-token bit ±1
+    * votes → 64 per-doc bit sums → sign → 64-bit signature (bit 63 is the
+    * sign bit, emitted as long-min to keep the sum inside BIGINT on both
+    * engines) → 4×16-bit band keys (arithmetic shift + mask is
+    * fill-agnostic after the mask, so Spark's shiftright ≡ DuckDB's >>) →
+    * BucketCap bucket kill → band pairs → bit_count(xor) Hamming ≤ 3 →
+    * distinct. Validated against a bit-exact Python simulation at
+    * sf0.001 before registration. */
+  private def dd5OracleSql: String = {
+    import graft.operators.Dedup.BucketCap
+    "WITH docs AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL), " +
+      "toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM docs), " +
+      "th AS (SELECT doc_id, substr(md5(w), 1, 16) AS h FROM toks), " +
+      "bits AS (SELECT doc_id, t.b AS b, CASE WHEN (((strpos('0123456789abcdef', substr(h, (t.b // 4) + 1, 1)) - 1) >> (t.b % 4)) & 1) = 1 THEN 1 ELSE -1 END AS v FROM th, UNNEST(generate_series(0, 63)) AS t(b)), " +
+      "sums AS (SELECT doc_id, b, sum(v) AS s FROM bits GROUP BY doc_id, b), " +
+      "sh AS (SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (CASE WHEN b = 63 THEN (-9223372036854775807 - 1) ELSE (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) END) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash FROM sums GROUP BY doc_id), " +
+      "bands AS (SELECT doc_id, simhash, t.b AS band, (simhash >> (t.b * 16)) & 65535 AS bkey FROM sh, UNNEST(generate_series(0, 3)) AS t(b)), " +
+      s"okb AS (SELECT band, bkey FROM bands GROUP BY band, bkey HAVING count(*) <= $BucketCap), " +
+      "cb AS (SELECT b2.doc_id, b2.simhash, b2.band, b2.bkey FROM bands b2 JOIN okb USING (band, bkey)), " +
+      "hp AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b, CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming FROM cb x JOIN cb y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id WHERE bit_count(xor(x.simhash, y.simhash)) <= 3) " +
+      "SELECT id_a, id_b, hamming FROM hp ORDER BY id_a, id_b"
+  }
+
   val all: Seq[RegisteredQuery] = Seq(
     q("q01_pricing_summary", Relational.q01PricingSummary,
       "SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price, CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_disc_price, avg(l_quantity) AS avg_qty, count(*) AS count_order FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
@@ -277,7 +304,10 @@ object Registry {
     // re-derives signatures, bands, cap, star recovery, verification —
     // and for dd8 the recursive-CTE closure on top
     q("dd4_minhash_lsh", Dedup.minhashLsh, dd4OracleSql),
-    noOracle("dd5_simhash_pairs", Dedup.simhashPairs),
+    // dd5 joined them this round: SimHash bits now come from the same md5
+    // family (see dd5OracleSql), so the banded Hamming pipeline is
+    // DuckDB-re-derivable end to end
+    q("dd5_simhash_pairs", Dedup.simhashPairs, dd5OracleSql),
     noOracle("dd7_winnow_fingerprints", (s, d) => Dedup.winnowFingerprints(s, d)),
     q("dd8_dup_clusters", Dedup.dupClusters, dd8OracleSql),
     // dd12: the dd8 connected-components engine on the ORACLE-EXACT dd3

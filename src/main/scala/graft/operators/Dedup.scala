@@ -260,15 +260,26 @@ object Dedup {
   }
 
   /** 64-bit SimHash per document from token hashes: bit b of the signature
-    * is the sign of Σ_tokens (±1 from bit b of xxhash64(token)). One wide
+    * is the sign of Σ_tokens (±1 from bit b of the token hash). One wide
     * hash aggregation (64 sum columns over the token stream, map-side
     * combined) — a single shuffle of 64 longs per doc, no row explosion
-    * (the posexplode formulation shuffles 64× the token count). */
+    * (the posexplode formulation shuffles 64× the token count).
+    *
+    * The token hash is the first 16 hex digits of md5(token) — the same
+    * engine-portable family the MinHash signatures use ([[signatureColumns]]):
+    * hex digit i carries bits 4i..4i+3, so bit b = (digitValue(b/4) >> (b%4))
+    * & 1 is re-derivable in DuckDB from the identical md5 hex string. The 16
+    * digit values are projected once per token (one md5 evaluation), then the
+    * 64 sums are shift/mask arithmetic over those — codegen-friendly and the
+    * md5 is not re-evaluated per bit. */
   def simhash(docs: DataFrame): DataFrame = {
     val toks = tokens(docs)
-    val bitSums = (0 until 64).map(i =>
-      sum(shiftright(xxhash64(col("w")), i).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$i"))
-    toks.groupBy("doc_id")
+    val digits = toks.select(
+      col("doc_id") +: (0 until 16).map(i =>
+        conv(substring(md5(col("w")), i + 1, 1), 16, 10).cast("int").as(s"d$i")): _*)
+    val bitSums = (0 until 64).map(b =>
+      sum(shiftright(col(s"d${b / 4}"), b % 4).bitwiseAND(lit(1)) * 2 - 1).as(s"s$b"))
+    digits.groupBy("doc_id")
       .agg(bitSums.head, bitSums.tail: _*)
       .select(
         col("doc_id"),
