@@ -140,6 +140,78 @@ object Registry {
       "SELECT id_a, id_b, hamming FROM hp ORDER BY id_a, id_b"
   }
 
+  /** bp1/bp2's shared oracle CTEs: BPE merge learning UNROLLED as
+    * [[graft.operators.Bpe]]'s default 12 merge rounds of chained CTEs —
+    * the gr1 trick applied to Sennrich's loop. Each round recounts
+    * adjacent symbol pairs over the CURRENT word encoding (overlapping
+    * positions counted, freq-weighted exact BIGINT sums — equal to the
+    * learner's delta-maintained table by exactness), takes the argmax
+    * under the identical (cnt DESC, left, right) tie-break (ASCII corpus
+    * ⇒ Java UTF-16 and DuckDB UTF-8 orderings agree), and re-encodes.
+    *
+    * The re-encode reproduces greedy left-to-right NON-OVERLAPPING merge
+    * ("a a a" under (a,a) → "aa a") with plain `replace` and no regex:
+    * double every boundary space, pad the ends, then replace
+    * " l  r " with " lr " — every internal boundary carries two spaces, a
+    * match consumes one from each side, so back-to-back occurrences still
+    * match exactly like Java's anchored-regex scan, and symbols (which
+    * never contain spaces) can't be split mid-symbol. Collapse the doubled
+    * spaces afterwards. No escaping concerns because nothing is a pattern.
+    * Ends with b1..b{n} (the per-round winners) and enc{n} (the final
+    * word encoding); [[bp2OracleSql]] chains the same replaces over the
+    * doc-level symbol stream (merges never cross `</w>` word boundaries —
+    * no learned pair's left symbol contains the word-final marker).
+    * CTEs are MATERIALIZED: each round is referenced by the next round
+    * AND the final select, and DuckDB's inliner would otherwise expand the
+    * chain exponentially. Validated against a bit-exact Python simulation
+    * at sf0.001 and sf0.01 before registration. */
+  private val BpeOracleMerges = 12 // = Bpe.learnMerges/encodeCorpus default
+  private def bpeOracleCtes: String = {
+    val head =
+      "words AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS freq " +
+        "FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) " +
+        "WHERE len(w) > 0 GROUP BY w), " +
+        "enc0 AS MATERIALIZED (SELECT freq, " +
+        "array_to_string(string_split(w, ''), ' ') || ' </w>' AS sym FROM words)"
+    val rounds = (1 to BpeOracleMerges).map { i =>
+      val p = i - 1
+      s"pr$i AS MATERIALIZED (SELECT a[j] AS l, a[j+1] AS r, sum(freq) AS cnt " +
+        s"FROM (SELECT freq, string_split(sym, ' ') AS a FROM enc$p), " +
+        "UNNEST(generate_series(1, len(a)-1)) AS t(j) GROUP BY 1, 2), " +
+        s"b$i AS MATERIALIZED (SELECT l, r, l || r AS m, CAST(cnt AS BIGINT) AS cnt " +
+        s"FROM pr$i ORDER BY cnt DESC, l, r LIMIT 1), " +
+        s"enc$i AS MATERIALIZED (SELECT freq, ${mergeRound(i)} AS sym FROM enc$p)"
+    }.mkString(", ")
+    s"$head, $rounds"
+  }
+
+  /** One doubled-space merge application: rewrite the incoming `sym` by
+    * round `i`'s winning pair (see [[bpeOracleCtes]]). */
+  private def mergeRound(i: Int): String =
+    "replace(trim(replace(' ' || replace(sym, ' ', '  ') || ' ', " +
+      s"' ' || (SELECT l FROM b$i) || '  ' || (SELECT r FROM b$i) || ' ', " +
+      s"' ' || (SELECT m FROM b$i) || ' ')), '  ', ' ')"
+
+  private def bp1OracleSql: String = {
+    val sel = (1 to BpeOracleMerges).map { i =>
+      s"""SELECT CAST($i AS BIGINT) AS rank, l AS "left", r AS "right", m AS merged, cnt FROM b$i"""
+    }.mkString(" UNION ALL ")
+    s"WITH $bpeOracleCtes SELECT * FROM ($sel) ORDER BY rank"
+  }
+
+  private def bp2OracleSql: String = {
+    val docHead =
+      "docenc0 AS MATERIALIZED (SELECT doc_id, array_to_string(list_transform(" +
+        "list_filter(string_split(text, ' '), w -> len(w) > 0), " +
+        "w -> array_to_string(string_split(w, ''), ' ') || ' </w>'), ' ') AS sym FROM documents)"
+    val docRounds = (1 to BpeOracleMerges).map { i =>
+      s"docenc$i AS MATERIALIZED (SELECT doc_id, ${mergeRound(i)} AS sym FROM docenc${i - 1})"
+    }.mkString(", ")
+    s"WITH $bpeOracleCtes, $docHead, $docRounds " +
+      s"SELECT doc_id, CAST(len(string_split(sym, ' ')) AS BIGINT) AS n_subwords, " +
+      s"md5(sym) AS encoded_fp FROM docenc$BpeOracleMerges ORDER BY doc_id"
+  }
+
   val all: Seq[RegisteredQuery] = Seq(
     q("q01_pricing_summary", Relational.q01PricingSummary,
       "SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price, CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_disc_price, avg(l_quantity) AS avg_qty, count(*) AS count_order FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
@@ -433,10 +505,11 @@ object Registry {
     // returns exactly the direct group-by-and-filter's rows — exact oracle
     q("hh1_heavy_hitters", (s, d) => TextAnalysis.heavyHitterBigrams(s, d),
       "WITH toks AS (SELECT string_split(text,' ') AS a FROM documents WHERE len(string_split(text,' ')) >= 2), bi AS (SELECT a[i] || ' ' || a[i+1] AS bigram FROM toks, UNNEST(generate_series(1, len(a)-1)) AS t(i)), tot AS (SELECT count(*) AS total FROM bi) SELECT bigram, count(*) AS n FROM bi, tot GROUP BY bigram, total HAVING count(*) >= greatest(1, total // 800) ORDER BY bigram"),
-    // iterative engine-defined learner => rows-only; BpeSpec holds the
-    // sequential-reference ground truth
-    noOracle("bp1_bpe_merges", (s, d) => Bpe.learnMerges(s, d)),
-    noOracle("bp2_bpe_encode", (s, d) => Bpe.encodeCorpus(s, d)),
+    // the iterative learner, oracle-checked by UNROLLING its 12 rounds as
+    // chained DuckDB CTEs (gr1's trick) — see bpeOracleCtes for the
+    // no-regex doubled-space replication of greedy non-overlapping merge
+    q("bp1_bpe_merges", (s, d) => Bpe.learnMerges(s, d), bp1OracleSql),
+    q("bp2_bpe_encode", (s, d) => Bpe.encodeCorpus(s, d), bp2OracleSql),
 
     // ---- event streams (batch form; streaming twin in graft.streaming) ----
     q("ev1_tumbling_window", Events.tumbling,
