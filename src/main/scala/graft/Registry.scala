@@ -8,8 +8,9 @@ import graft.operators._
 /** Single source of truth for the engine's query surface: every operator
   * exposed to the driver, with its DuckDB oracle twin where the semantics
   * are ANSI-SQL-expressible (SURVEY.md §5). Queries without an oracle
-  * (engine-specific hash families, sketches) get the driver's rows-only
-  * check and are cross-validated in ScalaTest instead.
+  * (approximate sketches only, as of r06 — every deterministic operator
+  * carries one) get the driver's rows-only check and are cross-validated
+  * in ScalaTest instead.
   *
   * Oracle-parity rules (see Relational's scaladoc): identical aliases both
   * sides, total ORDER BY, integer-ratio arithmetic where possible, round(2)
@@ -138,6 +139,37 @@ object Registry {
       "cb AS (SELECT b2.doc_id, b2.simhash, b2.band, b2.bkey FROM bands b2 JOIN okb USING (band, bkey)), " +
       "hp AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b, CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming FROM cb x JOIN cb y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id WHERE bit_count(xor(x.simhash, y.simhash)) <= 3) " +
       "SELECT id_a, id_b, hamming FROM hp ORDER BY id_a, id_b"
+  }
+
+  /** dd7's oracle: the FULL winnowing pass re-derived in DuckDB — possible
+    * because [[graft.functions.WinnowKernel]] hashes k-grams with the
+    * engine-portable Karp–Rabin family (code-point Horner, base 1000003,
+    * mod the Mersenne prime 2⁶¹−1): `ord` = `ascii` = code point, and
+    * HUGEINT carries the Σ code·Base^(k−1−j) products (< 2^85) exactly.
+    * Mirrors, stage for stage: chars (parallel unnests zip the code list
+    * with its ordinals) → per-gram hash via `lead` over the doc's char
+    * stream → w-window ROWS min → distinct. Window counts replicate the
+    * kernel's length gates: grams n = chars−k+1, windows m = n−w+1, rows
+    * only where a full window exists. Validated against a bit-exact Python
+    * simulation at sf0.001/sf0.01 before registration. */
+  private def dd7OracleSql: String = {
+    import graft.functions.WinnowKernel.{Base, P}
+    val k = 5
+    val w = 4
+    val terms = (0 until k)
+      .map(j => s"CAST(lead(code, $j) OVER cw AS HUGEINT) * ${graft.functions.WinnowKernel.powmod(Base, k - 1 - j)}")
+      .mkString(" + ")
+    s"WITH docs AS (SELECT doc_id, text FROM documents WHERE len(text) >= ${k + w - 1}), " +
+      "cl AS (SELECT doc_id, string_split(text, '') AS cs FROM docs), " +
+      "chars AS (SELECT doc_id, unnest(list_transform(cs, c -> ord(c))) AS code, " +
+      "unnest(generate_series(1, len(cs))) AS i FROM cl), " +
+      s"hs AS (SELECT doc_id, i, CAST(($terms) % $P AS BIGINT) AS h, " +
+      "count(*) OVER (PARTITION BY doc_id) AS n " +
+      "FROM chars WINDOW cw AS (PARTITION BY doc_id ORDER BY i)), " +
+      s"g AS (SELECT doc_id, i, h, n - ${k - 1} AS ngrams FROM hs WHERE i <= n - ${k - 1}), " +
+      "wm AS (SELECT doc_id, i, min(h) OVER (PARTITION BY doc_id ORDER BY i " +
+      s"ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS fp, ngrams FROM g) " +
+      s"SELECT DISTINCT doc_id, fp FROM wm WHERE i <= ngrams - ${w - 1} ORDER BY doc_id, fp"
   }
 
   /** bp1/bp2's shared oracle CTEs: BPE merge learning UNROLLED as
@@ -380,7 +412,10 @@ object Registry {
     // family (see dd5OracleSql), so the banded Hamming pipeline is
     // DuckDB-re-derivable end to end
     q("dd5_simhash_pairs", Dedup.simhashPairs, dd5OracleSql),
-    noOracle("dd7_winnow_fingerprints", (s, d) => Dedup.winnowFingerprints(s, d)),
+    // dd7 joined too: the winnow kernel's Karp–Rabin family (code-point
+    // Horner mod 2^61-1) is exact-integer on both engines — see
+    // dd7OracleSql for the ord/HUGEINT re-derivation
+    q("dd7_winnow_fingerprints", (s, d) => Dedup.winnowFingerprints(s, d), dd7OracleSql),
     q("dd8_dup_clusters", Dedup.dupClusters, dd8OracleSql),
     // dd12: the dd8 connected-components engine on the ORACLE-EXACT dd3
     // edge set — labels/sizes/keep-list hash-checked via a recursive-CTE

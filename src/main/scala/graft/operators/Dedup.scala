@@ -326,8 +326,11 @@ object Dedup {
     * consecutive k-gram hashes. Guarantees any match of length ≥ w+k-1
     * shares a fingerprint, with ~2/(w+1) density — the standard
     * document-fingerprinting trade. Output: (doc_id, fp) distinct
-    * fingerprint set per doc; rows-only driver check (hash family is
-    * engine-specific), properties + kernel≡built-ins equality in DedupSpec.
+    * fingerprint set per doc. The hash family is the engine-portable
+    * Karp–Rabin of [[graft.functions.WinnowKernel]] (code-point Horner mod
+    * 2⁶¹−1), so the ENTIRE pass is re-derivable from DuckDB built-ins —
+    * dd7 carries a full hash-checked oracle; properties +
+    * kernel≡built-ins equality stay in DedupSpec.
     *
     * Winnowing is per-document sequential work with no cross-row
     * dependency, so the scale-correct plan is a narrow map: the
@@ -359,16 +362,27 @@ object Dedup {
     // (A nested transform-of-slices formulation gets its projections
     // collapsed by Catalyst and re-evaluates the k-gram array per window —
     // O(len²) interpreted evals; observed as a 15-minute single task.)
-    // explode bare positions, hash after: substr+xxhash64 then run inside
-    // whole-stage codegen per row instead of an interpreted transform lambda
+    // explode bare positions, hash after: the per-gram Karp–Rabin sum runs
+    // inside whole-stage codegen per row instead of an interpreted
+    // transform lambda. The gram hash is the EXACT kernel family —
+    // Σ code·Base^(k−1−j) mod 2⁶¹−1 — in DECIMAL(38,0) arithmetic
+    // (`ascii` = code point, products < 2^82, sum < 5·2^82 ≪ 10^38, all
+    // exact), so kernel ≡ composable stays a bit-identity.
+    val gramHash: Column => Column = start => {
+      import graft.functions.WinnowKernel
+      val terms = (0 until k).map { j =>
+        ascii(col("text").substr(start + j, lit(1))).cast("decimal(38,0)") *
+          lit(BigDecimal(WinnowKernel.powmod(WinnowKernel.Base, k - 1 - j)))
+      }
+      pmod(terms.reduce(_ + _), lit(BigDecimal(WinnowKernel.P))).cast("long")
+    }
     val kgrams = docs.select(
       col("doc_id"),
       length(col("text")).as("len"),
       col("text"),
       posexplode(sequence(lit(1), length(col("text")) - (k - 1))))
       .toDF("doc_id", "len", "text", "pos", "i")
-      .select(col("doc_id"), col("len"), col("pos"),
-        xxhash64(col("text").substr(col("i"), lit(k))).as("h"))
+      .select(col("doc_id"), col("len"), col("pos"), gramHash(col("i")).as("h"))
     // winnow = min hash of each w-window, as a sliding window-min per doc —
     // shuffles once on doc_id, linear work, scales to any corpus
     val win = Window.partitionBy("doc_id").orderBy("pos")
