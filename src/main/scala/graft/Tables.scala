@@ -14,13 +14,32 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Spark 4 refuses parquet TIMESTAMP(NANOS) columns outright
-    * ([PARQUET_TYPE_ILLEGAL]); with this legacy conf they read as raw
-    * nanosecond longs instead, which `apply` rebuilds into a µs timestamp.
-    * Runtime-settable, so it also works on a driver-owned session. */
-  def ensureNanosReadable(spark: SparkSession): Unit =
+  /** Read-path confs absorbing the testdata's parquet timestamp-annotation
+    * drift, set before every read (runtime-settable, so they also work on a
+    * driver-owned session):
+    *
+    *  - Spark 4 refuses parquet TIMESTAMP(NANOS) columns outright
+    *    ([PARQUET_TYPE_ILLEGAL]); with the legacy `nanosAsLong` conf they
+    *    read as raw nanosecond longs instead, which [[normalizeTimestamps]]
+    *    rebuilds into a µs timestamp.
+    *  - `inferTimestampNTZ.enabled=false` makes unannotated
+    *    TIMESTAMP(MICROS) (isAdjustedToUTC=false) columns read as plain
+    *    TIMESTAMP at the SCAN — the stored wall-clock micros become the
+    *    instant's micros, exactly the treat-wall-clock-as-UTC semantics of
+    *    [[normalizeTimestamps]]'s NTZ rewrite, but with a bare column
+    *    instead of a derived expression. That keeps predicate pushdown
+    *    alive: a filter on a `timestamp_micros(timestampdiff(...))`
+    *    rewrite reaches the parquet scan as IsNotNull only, while a filter
+    *    on the bare column pushes the comparison itself
+    *    (ScaleSpec's q01 PushedFilters assert is the canary). The NTZ
+    *    branch of [[normalizeTimestamps]] stays as the fallback for
+    *    sessions whose conf is pinned. */
+  def ensureNanosReadable(spark: SparkSession): Unit = {
     try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     catch { case _: Throwable => () }
+    try spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    catch { case _: Throwable => () }
+  }
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     ensureNanosReadable(spark)
