@@ -62,27 +62,39 @@ object Registry {
   }
 
   /** dd4/dd8's shared oracle CTEs: the FULL MinHash-LSH pipeline re-derived
-    * in DuckDB — possible because `Dedup.signatureColumns` uses the
-    * engine-portable md5-hex hash family (`min(md5('i:'||w))` is the same
-    * 32-char lowercase-hex string in both engines, and lexicographic min
-    * over it is the minhash). Mirrors, stage for stage: signatures → band
-    * keys (md5 of the "|"-joined band slice) → BucketCap bucket kill →
+    * in DuckDB — possible because `Dedup.minhashSignatures` uses the
+    * engine-portable Kirsch–Mitzenmacher md5 family: ONE md5 per token,
+    * h1/h2 = the digest's 60-bit halves (hex digits 1–15 / 17–31, parsed
+    * per digit — the dd5-proven trick), hash_i = (h1 + i·h2) mod 2⁶¹−1 in
+    * exact HUGEINT arithmetic, and the signature is the per-i min.
+    * Mirrors, stage for stage: signatures → band keys (md5 of the
+    * "|"-joined band slice, BIGINT→VARCHAR) → BucketCap bucket kill →
     * bucket pairs → full-signature star recovery → candidate distinct →
     * exact-Jaccard verification (dd3's machinery, candidates only).
     * Ends in `vp(id_a, id_b, jacc)` — the verified-pair relation both
     * consumers SELECT from. */
   private def lshOracleCtes: String = {
     import graft.operators.Dedup.{BandSize, BucketCap, NumBands, NumHashes}
+    import graft.functions.MinhashKernel.P
+    // value of the 15 hex digits of `h` starting at 1-based position start
+    def hexSlice(start: Int): String =
+      (0 until 15).map { j =>
+        s"CAST(strpos('0123456789abcdef', substr(h, ${start + j}, 1)) - 1 AS BIGINT) * ${1L << (4 * (14 - j))}"
+      }.mkString(" + ")
     val sigCols = (0 until NumHashes)
-      .map(i => s"min(md5('$i:'||w)) AS h$i").mkString(", ")
+      .map(i => s"min(CAST((h1 + CAST($i AS HUGEINT) * h2) % $P AS BIGINT)) AS h$i")
+      .mkString(", ")
     val bandRows = (0 until NumBands).map { b =>
-      val cat = (0 until BandSize).map(i => s"h${b * BandSize + i}").mkString("||'|'||")
+      val cat = (0 until BandSize).map(i => s"CAST(h${b * BandSize + i} AS VARCHAR)")
+        .mkString("||'|'||")
       s"SELECT doc_id, $b AS band, md5($cat) AS sig FROM sigs"
     }.mkString(" UNION ALL ")
-    val sigkeyCat = (0 until NumHashes).map(i => s"h$i").mkString("||'|'||")
+    val sigkeyCat = (0 until NumHashes).map(i => s"CAST(h$i AS VARCHAR)").mkString("||'|'||")
     "docs AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL), " +
       "toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM docs), " +
-      s"sigs AS (SELECT doc_id, $sigCols FROM toks GROUP BY doc_id), " +
+      "th AS (SELECT doc_id, md5(w) AS h FROM toks), " +
+      s"hp AS (SELECT doc_id, ${hexSlice(1)} AS h1, ${hexSlice(17)} AS h2 FROM th), " +
+      s"sigs AS (SELECT doc_id, $sigCols FROM hp GROUP BY doc_id), " +
       s"bands AS ($bandRows), " +
       s"ok AS (SELECT band, sig FROM bands GROUP BY band, sig HAVING count(*) <= $BucketCap), " +
       "capped AS (SELECT b.* FROM bands b JOIN ok USING (band, sig)), " +

@@ -127,50 +127,64 @@ object Dedup {
     * k² pairs; hot buckets are near-certainly stopword-like signatures). */
   private[graft] val BucketCap = 150
 
-  /** MinHash signatures: h_i(doc) = min over the doc's distinct tokens of
-    * md5(i ":" token), a 32-char lowercase-hex string whose lexicographic
-    * min is a valid minhash (md5 is uniform; [0-9a-f] ordering is plain
-    * byte ordering). One row per doc, NumHashes columns — a NARROW
-    * projection over [[signatureColumns]] (no explode, no shuffle), which
-    * also makes it directly legal in a streaming plan. The hash family is
-    * deliberately ENGINE-PORTABLE — DuckDB's `md5` produces the identical
-    * hex string — which is what lets dd4/dd8 carry full SQL oracles
-    * instead of rows-only checks. NULL-text docs are omitted, matching
-    * the historical explode+groupBy form (explode of a NULL token array
-    * produced no rows) — the streaming twins apply the same filter so
-    * stream ≡ batch holds for NULL inputs too. */
-  def minhashSignatures(docs: DataFrame): DataFrame =
+  /** MinHash signatures via the Kirsch–Mitzenmacher kernel
+    * ([[graft.functions.MinhashKernel]]): ONE md5 per distinct token, all
+    * NumHashes family members derived as (h1 + i·h2) mod 2⁶¹−1 from the
+    * digest's two 60-bit halves. One row per doc, NumHashes long columns —
+    * a NARROW two-projection chain (kernel array, then element_at fan-out;
+    * CollapseProject leaves the 16-times-referenced kernel alone), no
+    * explode, no shuffle, streaming-legal. The hash family stays
+    * ENGINE-PORTABLE — DuckDB re-derives the identical values from its own
+    * `md5` hex string via the dd5-proven per-digit hex parse plus HUGEINT
+    * Mersenne arithmetic — which is what lets dd4/dd8 carry full SQL
+    * oracles instead of rows-only checks (see Registry.lshOracleCtes).
+    * NULL-text docs are omitted, matching the historical explode+groupBy
+    * form (explode of a NULL token array produced no rows) — the streaming
+    * twins share this method so stream ≡ batch holds for NULL inputs too. */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftShim
     docs.filter(col("text").isNotNull)
-      .select(col("doc_id") +: signatureColumns(col("text")): _*)
+      .select(col("doc_id"),
+        GraftShim.column(graft.functions.MinhashSignature(
+          GraftShim.expression(col("text")), NumHashes)).as("sigarr"))
+      .select(col("doc_id") +: (0 until NumHashes).map(i =>
+        element_at(col("sigarr"), i + 1).as(s"h$i")): _*)
+  }
 
-  /** The signature as per-row columns: each h_i folded inside one
-    * projection by the `aggregate` HOF. min over the same token set as an
-    * explode+groupBy min (duplicates cannot change a min), so the two
-    * formulations are interchangeable — this one is shuffle-free. NOTE:
-    * over a NULL text this yields NULL columns (the batch relation filters
-    * those docs out; any new caller must do the same or handle NULLs). */
-  def signatureColumns(text: Column): Seq[Column] =
+  /** The kernel's built-ins cross-validation twin: the identical
+    * Kirsch–Mitzenmacher family folded with `transform`/`aggregate` HOFs
+    * in exact DECIMAL(38,0) arithmetic (h1 + i·h2 < 2⁶⁴ ≪ 10³⁸). Each
+    * column re-derives the md5 pair array, so this form pays the old
+    * per-(token, i) interpreted cost — kept ONLY as the kernel's spec
+    * oracle (DedupSpec asserts bit-identity), never on the query path. */
+  private[graft] def signatureColumnsComposable(text: Column): Seq[Column] = {
+    val p = lit(BigDecimal(graft.functions.MinhashKernel.P))
     (0 until NumHashes).map { i =>
-      // init "~" (0x7E) sorts after every hex digit; split never yields an
-      // empty array for non-null text, so it can only survive as a bound
-      aggregate(array_distinct(split(text, " ")),
-        lit("~"), (acc, w) => least(acc, md5(concat(lit(s"$i:"), w)))).as(s"h$i")
+      val pairs = transform(array_distinct(split(text, " ")),
+        w => struct(
+          conv(substring(md5(w), 1, 15), 16, 10).cast("decimal(38,0)").as("h1"),
+          conv(substring(md5(w), 17, 15), 16, 10).cast("decimal(38,0)").as("h2")))
+      aggregate(pairs, lit(graft.functions.MinhashKernel.P),
+        (acc, pr) => least(acc,
+          pmod(pr.getField("h1") + lit(i).cast("decimal(38,0)") * pr.getField("h2"), p)
+            .cast("long"))).as(s"h$i")
     }
+  }
 
   /** Full-signature key (the star-recovery group id): md5 over the
-    * "|"-joined signature columns. Shared by [[lshCandidates]] and the
-    * streaming at-ingest twin, and mirrored verbatim by dd4/dd8's oracle
-    * SQL (`h0||'|'||…` in DuckDB — concat_ws over non-NULL operands is the
-    * same string). */
+    * "|"-joined signature columns (longs cast to their plain decimal
+    * string form — identical to DuckDB's CAST(BIGINT AS VARCHAR)). Shared
+    * by [[lshCandidates]] and the streaming at-ingest twin, and mirrored
+    * verbatim by dd4/dd8's oracle SQL. */
   def sigKeyColumn: Column =
-    md5(concat_ws("|", (0 until NumHashes).map(i => col(s"h$i")): _*))
+    md5(concat_ws("|", (0 until NumHashes).map(i => col(s"h$i").cast("string")): _*))
 
   /** (doc_id, band, sig) band keys of a signature relation — each doc's
     * NumBands bucket coordinates. Shared by the batch candidate stage and
     * the streaming at-ingest twin. */
   def bandKeys(sigs: DataFrame): DataFrame = {
     val bandCols = (0 until NumBands).map { b =>
-      val hs = (0 until BandSize).map(i => col(s"h${b * BandSize + i}"))
+      val hs = (0 until BandSize).map(i => col(s"h${b * BandSize + i}").cast("string"))
       struct(lit(b).as("band"), md5(concat_ws("|", hs: _*)).as("sig"))
     }
     sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
@@ -266,7 +280,7 @@ object Dedup {
     * (the posexplode formulation shuffles 64× the token count).
     *
     * The token hash is the first 16 hex digits of md5(token) — the same
-    * engine-portable family the MinHash signatures use ([[signatureColumns]]):
+    * engine-portable family the MinHash signatures use ([[minhashSignatures]]):
     * hex digit i carries bits 4i..4i+3, so bit b = (digitValue(b/4) >> (b%4))
     * & 1 is re-derivable in DuckDB from the identical md5 hex string. The 16
     * digit values are projected once per token (one md5 evaluation), then the

@@ -494,7 +494,7 @@ object StreamingOps {
 
   /** Streaming LSH bucket accumulation — the banded half of dd4 run
     * at-ingest: each arriving document is signed in ONE narrow projection
-    * ([[graft.operators.Dedup.signatureColumns]] — no aggregation state),
+    * ([[graft.operators.Dedup.minhashSignatures]] — no aggregation state),
     * exploded to its band keys, and folded into bucket-keyed state.
     * Membership is a set union and the BucketCap kill is a monotone
     * predicate of final size, so the fold is MERGE-COMMUTATIVE: any batch
@@ -507,11 +507,10 @@ object StreamingOps {
       implicit spark: SparkSession): Dataset[LshBucketSnapshot] = {
     import spark.implicits._
     import graft.operators.Dedup
-    // NULL-text docs are omitted exactly as in batch minhashSignatures —
-    // without the filter they would all share the constant all-NULL
-    // signature and pair with each other, a stream-only artifact
-    val sigs = docs.filter(col("text").isNotNull)
-      .select(col("doc_id") +: Dedup.signatureColumns(col("text")): _*)
+    // shared batch signing path (kernel + NULL-text filter): without the
+    // filter NULL-text docs would all share a constant signature and pair
+    // with each other, a stream-only artifact
+    val sigs = Dedup.minhashSignatures(docs)
     Dedup.bandKeys(sigs)
       .select(col("band"), col("sig"), col("doc_id")).as[(Int, String, Long)]
       .groupByKey(r => (r._1, r._2))
@@ -547,8 +546,7 @@ object StreamingOps {
       implicit spark: SparkSession): Dataset[SigGroupAssign] = {
     import spark.implicits._
     import graft.operators.Dedup
-    val sigs = docs.filter(col("text").isNotNull) // ≡ batch (see lshBucketUpdates)
-      .select(col("doc_id") +: Dedup.signatureColumns(col("text")): _*)
+    val sigs = Dedup.minhashSignatures(docs) // ≡ batch (see lshBucketUpdates)
     sigs.select(
       Dedup.sigKeyColumn.as("sigkey"),
       col("doc_id")).as[(String, Long)]

@@ -64,6 +64,16 @@ class DedupSpec extends AnyFunSuite {
     assert(sigs(0).toSeq.tail == sigs(1).toSeq.tail)
   }
 
+  test("minhash kernel ≡ built-ins composable twin (Kirsch–Mitzenmacher family)") {
+    val docs = Tables(spark, sf, "documents").limit(50)
+    val kernel = Dedup.minhashSignatures(docs).orderBy("doc_id").collect()
+    val twin = docs.filter(col("text").isNotNull)
+      .select(col("doc_id") +: Dedup.signatureColumnsComposable(col("text")): _*)
+      .orderBy("doc_id").collect()
+    assert(kernel.length == twin.length && kernel.nonEmpty)
+    kernel.zip(twin).foreach { case (a, b) => assert(a.toSeq == b.toSeq) }
+  }
+
   test("minhash-LSH pairs are a subset of brute-force truth, with decent recall") {
     val lsh = Dedup.minhashLsh(spark, sf).collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
