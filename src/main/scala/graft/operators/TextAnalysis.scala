@@ -288,9 +288,12 @@ object TextAnalysis {
     val cms = bi.stat.countMinSketch("bigram", eps, 0.99, seed = 42)
     val threshold = math.max(1L, cms.totalCount() / denom)
     val sketch = s.sparkContext.broadcast(cms)
+    // codegen'd probe (graft.functions.CmsProbeAtLeast): a row-lambda here
+    // would deserialize every bigram and break WholeStageCodegen on the one
+    // path whose point is that the tail never reaches the shuffle
     bi
-      .filter((r: org.apache.spark.sql.Row) =>
-        sketch.value.estimateCount(r.getAs[String]("bigram")) >= threshold)
+      .filter(org.apache.spark.sql.GraftShim.column(graft.functions.CmsProbeAtLeast(
+        org.apache.spark.sql.GraftShim.expression(col("bigram")), sketch, threshold)))
       .groupBy("bigram")
       .agg(count(lit(1)).as("n"))
       .filter(col("n") >= threshold)
