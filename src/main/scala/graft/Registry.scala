@@ -204,7 +204,12 @@ object Registry {
     * Ends with b1..b{n} (the per-round winners) and enc{n} (the final
     * word encoding); [[bp2OracleSql]] chains the same replaces over the
     * doc-level symbol stream (merges never cross `</w>` word boundaries —
-    * no learned pair's left symbol contains the word-final marker).
+    * no learned pair's left symbol contains the word-final marker.
+    * ASSUMPTION: the corpus text never makes a learned symbol EQUAL the
+    * literal string "</w>" — possible only if documents contain the
+    * marker as ordinary text AND its characters win enough merges; on
+    * such a corpus switch the marker to a character outside the corpus
+    * alphabet, e.g. a control char, in learner and oracle together).
     * CTEs are MATERIALIZED: each round is referenced by the next round
     * AND the final select, and DuckDB's inliner would otherwise expand the
     * chain exponentially. Validated against a bit-exact Python simulation
@@ -230,11 +235,16 @@ object Registry {
   }
 
   /** One doubled-space merge application: rewrite the incoming `sym` by
-    * round `i`'s winning pair (see [[bpeOracleCtes]]). */
+    * round `i`'s winning pair (see [[bpeOracleCtes]]). If the corpus
+    * exhausts mergeable pairs before round [[BpeOracleMerges]], b$i is
+    * empty and the scalar subqueries are NULL — the coalesce turns the
+    * round into an identity rewrite (searching for chr(1), which never
+    * occurs in a space-joined symbol stream) instead of NULLing every
+    * later encoding, matching the Spark learner's early stop. */
   private def mergeRound(i: Int): String =
     "replace(trim(replace(' ' || replace(sym, ' ', '  ') || ' ', " +
-      s"' ' || (SELECT l FROM b$i) || '  ' || (SELECT r FROM b$i) || ' ', " +
-      s"' ' || (SELECT m FROM b$i) || ' ')), '  ', ' ')"
+      s"coalesce((SELECT ' ' || l || '  ' || r || ' ' FROM b$i), chr(1)), " +
+      s"coalesce((SELECT ' ' || m || ' ' FROM b$i), chr(1)))), '  ', ' ')"
 
   private def bp1OracleSql: String = {
     val sel = (1 to BpeOracleMerges).map { i =>
@@ -310,6 +320,9 @@ object Registry {
       "SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS n FROM events GROUP BY k ORDER BY k NULLS FIRST"),
     q("q23_count_distinct", Relational.q23CountDistinct,
       "SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_part, count(DISTINCT l_suppkey) AS nd_supp, count(*) AS n FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    // approximate by construction (HLL++ sketch): no SQL oracle can
+    // reproduce the estimate; error bound vs exact counts is asserted in
+    // RelationalSpec ("q24 approx distinct within HLL error of exact")
     noOracle("q24_approx_count_distinct", Relational.q24ApproxCountDistinct),
     // q25 (fact-fact join + agg) is DEMOTED from the registry (fold-don't-
     // grow): its join/agg machinery overlaps q03/q43, and RelationalSpec's
@@ -352,6 +365,8 @@ object Registry {
       "WITH kv AS (SELECT props, unnest(json_keys(props)) AS key FROM events) SELECT key, count(*) AS n, CAST(sum(CAST(json_extract_string(props, '$.\"' || key || '\"') AS BIGINT)) AS BIGINT) AS total FROM kv GROUP BY key ORDER BY key"),
     q("q31_percentiles", Relational.q31Percentiles,
       "SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS p50, quantile_cont(l_extendedprice, 0.95) AS p95, count(*) AS n FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    // approximate by construction (KLL/GK-style quantile sketch): bounded
+    // rank error vs q31's exact percentiles is asserted in RelationalSpec
     noOracle("q32_approx_percentiles", Relational.q32ApproxPercentiles),
     q("q30_correlated_subquery", Relational.q30CorrelatedSubquery,
       "SELECT c_custkey, (SELECT max(o_totalprice) FROM orders o WHERE o.o_custkey = c.c_custkey) AS max_order, (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders FROM customer c ORDER BY c_custkey"),
@@ -630,6 +645,11 @@ object Registry {
     // ---- similarity search ----
     q("ss1_topk_bruteforce", Similarity.bruteForceTopK,
       "WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10), s AS (SELECT q_id, e.vec_id AS c_id, round(list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[])), 6) AS cos FROM q JOIN embeddings e ON e.vec_id <> q.q_id), r AS (SELECT q_id, c_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk FROM s) SELECT q_id, c_id, cos, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 5 ORDER BY q_id, rk"),
+    // ss2/ss4/ss6 are approximate-by-construction ANN sketches: their
+    // candidate sets depend on float-geometry hash/centroid/codebook
+    // stages, so the driver runs rows-only checks; recall floors
+    // (0.86/0.74) and sketch-vs-exact agreement live in SimilaritySpec,
+    // and the shared exact-rescore stage carries ss7's full oracle
     noOracle("ss2_lsh_topk", Similarity.lshTopK),
     noOracle("ss4_ivf_kmeans", (s, d) => Similarity.ivfKMeansTopK(s, d)),
     noOracle("ss6_pq_topk", (s, d) => Similarity.pqTopK(s, d)),

@@ -35,11 +35,24 @@ object Tables {
     *    branch of [[normalizeTimestamps]] stays as the fallback for
     *    sessions whose conf is pinned. */
   def ensureNanosReadable(spark: SparkSession): Unit = {
-    try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    catch { case _: Throwable => () }
-    try spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    catch { case _: Throwable => () }
+    // AnalysisException = conf rejected/pinned by this session. Warn ONCE:
+    // correctness survives via normalizeTimestamps' NTZ fallback, but the
+    // pushdown restoration is silently lost otherwise — a session where
+    // these confs don't stick must be diagnosable (ScaleSpec's canary only
+    // runs in CI).
+    def trySet(key: String, value: String): Unit =
+      try spark.conf.set(key, value)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          if (warnedConfs.add(key))
+            System.err.println(s"[graft] conf $key=$value rejected (${e.getMessage.takeWhile(_ != '\n')}); " +
+              "timestamp reads fall back to the NTZ rewrite, losing parquet pushdown")
+      }
+    trySet("spark.sql.legacy.parquet.nanosAsLong", "true")
+    trySet("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
   }
+
+  private val warnedConfs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     ensureNanosReadable(spark)

@@ -40,7 +40,13 @@ object WinnowKernel {
   /** Mersenne prime 2⁶¹−1 — the hash modulus. */
   val P: Long = (1L << 61) - 1
 
-  /** Horner base (prime, > any Unicode code point). */
+  /** Horner base — prime, > any BASIC-plane code point (0xFFFF) but NOT
+    * above the full Unicode range (0x10FFFF > 1000003), so
+    * supplementary-plane code points can alias with two-gram prefixes; a
+    * theoretical extra-collision source only, NOT a correctness issue —
+    * kernel, composable twin and dd7's DuckDB oracle all share the exact
+    * formula, so cross-engine parity holds for any input. Kept at 1000003
+    * because changing it re-keys every recorded fingerprint. */
   val Base: Long = 1000003L
 
   /** (a·b) mod [[P]] for 0 ≤ a,b < P, in 64-bit arithmetic: split the
