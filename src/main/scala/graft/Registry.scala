@@ -266,6 +266,36 @@ object Registry {
       s"md5(sym) AS encoded_fp FROM docenc$BpeOracleMerges ORDER BY doc_id"
   }
 
+  /** ss2's oracle: the FULL sign-LSH pipeline re-derived in DuckDB —
+    * possible because `Similarity.lshPlaneSign` derives each hyperplane
+    * entry from md5 (±1 by the digest's top bit, which DuckDB recomputes
+    * itself from md5(p||':'||j)), and the bucket projection Σ ±x_j is a
+    * sequential double sum on both engines (FloatVectorDot's accumulation
+    * order ≡ the unrolled left-associated `+` chain below — each term is
+    * an exact FLOAT→DOUBLE cast, each add correctly-rounded IEEE on
+    * identical operands). Mirrors, stage for stage: buckets → 1-bit
+    * multi-probe → distinct candidates → ss1-proven round-6
+    * list_cosine_similarity rescore → per-query top-5. */
+  private def ss2OracleSql: String = {
+    import graft.operators.Similarity.{Dim, LshBits}
+    def proj(p: Int): String = (0 until Dim).map { j =>
+      s"CASE WHEN strpos('89abcdef', substr(md5('$p:$j'), 1, 1)) > 0 " +
+        s"THEN CAST(embedding[${j + 1}] AS DOUBLE) ELSE -CAST(embedding[${j + 1}] AS DOUBLE) END"
+    }.mkString(" + ")
+    val bucket = (0 until LshBits)
+      .map(p => s"(CASE WHEN (${proj(p)}) >= 0 THEN ${1L << p} ELSE 0 END)")
+      .mkString(" + ")
+    val probes = (0L +: (0 until LshBits).map(i => 1L << i)).mkString("[", ", ", "]")
+    s"WITH b AS (SELECT vec_id, ($bucket) AS bucket FROM embeddings), " +
+      "qb AS (SELECT vec_id AS q_id, bucket FROM b WHERE vec_id < 10), " +
+      s"pr AS (SELECT q_id, xor(bucket, CAST(t.v AS BIGINT)) AS bucket FROM qb, UNNEST($probes) AS t(v)), " +
+      "cand AS (SELECT DISTINCT pr.q_id, c.vec_id AS c_id FROM pr JOIN b c USING (bucket) WHERE c.vec_id <> pr.q_id), " +
+      "s AS (SELECT cand.q_id, cand.c_id, round(list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]), CAST(ce.embedding AS DOUBLE[])), 6) AS cos " +
+      "FROM cand JOIN embeddings qe ON qe.vec_id = cand.q_id JOIN embeddings ce ON ce.vec_id = cand.c_id), " +
+      "r AS (SELECT q_id, c_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk FROM s) " +
+      "SELECT q_id, c_id, cos, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 5 ORDER BY q_id, rk"
+  }
+
   val all: Seq[RegisteredQuery] = Seq(
     q("q01_pricing_summary", Relational.q01PricingSummary,
       "SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price, CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_disc_price, avg(l_quantity) AS avg_qty, count(*) AS count_order FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
@@ -645,12 +675,16 @@ object Registry {
     // ---- similarity search ----
     q("ss1_topk_bruteforce", Similarity.bruteForceTopK,
       "WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10), s AS (SELECT q_id, e.vec_id AS c_id, round(list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[])), 6) AS cos FROM q JOIN embeddings e ON e.vec_id <> q.q_id), r AS (SELECT q_id, c_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk FROM s) SELECT q_id, c_id, cos, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 5 ORDER BY q_id, rk"),
-    // ss2/ss4/ss6 are approximate-by-construction ANN sketches: their
-    // candidate sets depend on float-geometry hash/centroid/codebook
-    // stages, so the driver runs rows-only checks; recall floors
-    // (0.86/0.74) and sketch-vs-exact agreement live in SimilaritySpec,
-    // and the shared exact-rescore stage carries ss7's full oracle
-    noOracle("ss2_lsh_topk", Similarity.lshTopK),
+    // ss2 carries a FULL oracle since r07: the md5-derived hyperplanes
+    // make bucket assignment engine-exact (see ss2OracleSql) — the query
+    // stays approximate vs BRUTE-FORCE truth (recall in SimilaritySpec),
+    // but its own pipeline is now deterministic and hash-checked
+    q("ss2_lsh_topk", Similarity.lshTopK, ss2OracleSql),
+    // ss4/ss6 remain approximate-by-construction ANN sketches: their
+    // candidate sets depend on iterative float-geometry centroid/codebook
+    // training (k-means), which no SQL oracle can replay; recall floors
+    // and sketch-vs-exact agreement live in SimilaritySpec, and the
+    // shared exact-rescore stage carries ss7's full oracle
     noOracle("ss4_ivf_kmeans", (s, d) => Similarity.ivfKMeansTopK(s, d)),
     noOracle("ss6_pq_topk", (s, d) => Similarity.pqTopK(s, d)),
     // ss7: the exact-rescore stage the sketch variants (ss2/ss4/ss6) end

@@ -22,7 +22,8 @@ object Similarity {
 
   private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
 
-  private val Dim = 64
+  private[graft] val Dim = 64
+  private[graft] val LshBits = 6
 
   /** Exact top-k neighbors for query vectors (vec_id < 10), ranked on
     * rounded cosine with id tie-break for cross-engine determinism. */
@@ -43,13 +44,25 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
-  /** Deterministic pseudo-random hyperplanes: `nPlanes` rows of ±1 entries
-    * seeded from (plane, dim) — materialized as literal arrays so the
-    * bucketing expression is constant-folded into the scan. */
+  /** Deterministic ±1 hyperplane entry, ENGINE-PORTABLE: (p, j) is +1 iff
+    * the first hex digit of md5("p:j") is ≥ 8 (digest top bit set). DuckDB
+    * re-derives the identical sign — `strpos('89abcdef',
+    * substr(md5(p||':'||j), 1, 1)) > 0` — which is what gives ss2 a full
+    * oracle: the projection Σ ±x_j is a sequential double sum on both
+    * engines ([[graft.functions.FloatVectorDot]]'s accumulation order ≡ an
+    * unrolled left-associated `+` chain), so bucket assignment is
+    * bit-exact cross-engine. */
+  private[graft] def lshPlaneSign(p: Int, j: Int): Float = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$p:$j".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    if (((d(0) >> 4) & 0xf) >= 8) 1.0f else -1.0f
+  }
+
+  /** The hyperplanes as literal ±1 arrays ([[lshPlaneSign]] entries), so
+    * the bucketing expression is constant-folded into the scan. */
   private def planes(nPlanes: Int): Seq[Column] =
     (0 until nPlanes).map { p =>
-      val rng = new scala.util.Random(42L * (p + 1))
-      array((0 until Dim).map(_ => lit(if (rng.nextBoolean()) 1.0f else -1.0f)): _*)
+      array((0 until Dim).map(j => lit(lshPlaneSign(p, j))): _*)
     }
 
   private def bucketOf(v: Column, ps: Seq[Column]): Column =
@@ -57,32 +70,40 @@ object Similarity {
       when(dotFast(v, p) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** ANN via sign-LSH bucketing (6 hyperplanes → 64 buckets) with
-    * multi-probe: each query also probes every 1-bit-flipped bucket (the
-    * standard recall/cost knob — candidates ≈ (1+bits)·n/2^bits per query),
-    * then exact cosine rescores candidates. Approximate by design — recall
-    * measured in SimilaritySpec; rows-only driver check. */
+  /** ANN via sign-LSH bucketing ([[LshBits]] hyperplanes → 64 buckets)
+    * with multi-probe: each query also probes every 1-bit-flipped bucket
+    * (the standard recall/cost knob — candidates ≈ (1+bits)·n/2^bits per
+    * query), then exact cosine rescores the DISTINCT candidate set (a
+    * candidate reachable through several probe buckets scores once, which
+    * also makes the rank deterministic). The md5-derived hyperplanes
+    * ([[lshPlaneSign]]) make the ENTIRE pipeline — buckets, probes,
+    * candidates, ss1-style round-6 cosine, top-k — re-derivable in DuckDB,
+    * so ss2 carries a full hash-checked oracle; recall vs brute force
+    * stays a SimilaritySpec property (approximate by design). */
   def lshTopK(s: SparkSession, d: String): DataFrame = {
-    val Bits = 6
-    val ps = planes(Bits)
+    val ps = planes(LshBits)
     val e = t(s, d, "embeddings")
     val withBucket = e.withColumn("bucket", bucketOf(col("embedding"), ps))
-    val probeCols = lit(0L) +: (0 until Bits).map(i => lit(1L << i))
+    val probeCols = lit(0L) +: (0 until LshBits).map(i => lit(1L << i))
     val q = withBucket.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("bucket"),
-        normFast(col("embedding")).as("qn"))
+      .select(col("vec_id").as("q_id"), col("bucket"))
       .withColumn("bucket", explode(array(probeCols.map(col("bucket").bitwiseXOR(_)): _*)))
-    val c = withBucket
-      .select(col("vec_id").as("c_id"), col("embedding").as("cv"), col("bucket"),
-        normFast(col("embedding")).as("cn"))
-    val scored = q.join(c, Seq("bucket"))
+    val c = withBucket.select(col("vec_id").as("c_id"), col("bucket"))
+    val cand = q.join(c, Seq("bucket"))
       .filter(col("q_id") =!= col("c_id"))
+      .select("q_id", "c_id").distinct()
+    val qv = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        normFast(col("embedding")).as("qn"))
+    val cv = e.select(col("vec_id").as("c_id"), col("embedding").as("cv"),
+      normFast(col("embedding")).as("cn"))
+    val scored = cand.join(broadcast(qv), "q_id").join(cv, "c_id")
       .withColumn("cos",
         round(dotFast(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
     scored.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= 5)
-      .select("q_id", "bucket", "c_id", "cos", "rk")
+      .select("q_id", "c_id", "cos", "rk")
       .orderBy("q_id", "rk")
   }
 
