@@ -296,6 +296,77 @@ object Registry {
       "SELECT q_id, c_id, cos, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 5 ORDER BY q_id, rk"
   }
 
+  /** ss4's oracle: the FULL 3-iteration Lloyd k-means + IVF probe pipeline
+    * unrolled as chained CTEs — possible because every arithmetic step in
+    * `Similarity.ivfKMeansTopK` is engine-portable by construction:
+    *
+    *  - seeds: the k lowest vec_ids, embeddings cast float→double (exact);
+    *  - assignment: argmin over `|c|² − 2·x·c` where |c|² is a left-
+    *    associated double square sum and x·c is FloatVectorDot's
+    *    accumulation (float→double casts exact, left-associated double
+    *    adds — the centroid entry is float-cast first, exactly as
+    *    `centLit` does), ties to the lower cell id;
+    *  - means: scaled-integer fixed point — round(x·10⁹) BIGINT sums are
+    *    exact on both engines (HUGEINT / decimal(38,0)), and the mean
+    *    replays the driver's IEEE op sequence verbatim
+    *    (s/cnt/1e9 → ·1e6 → +0.5 → floor → /1e6); empty cells keep the
+    *    previous centroid (LEFT JOIN + CASE ≡ the driver's `cents.clone()`);
+    *  - probe: each query's 2 nearest cells (row_number ≡ array_sort on
+    *    (dist, cell) structs), then the ss1-proven round-6
+    *    list_cosine_similarity rescore and per-query top-5. */
+  private def ss4OracleSql: String = {
+    import graft.operators.Similarity.Dim
+    val k = 8
+    val iters = 3
+    val nprobe = 2
+    // x·c with c float-cast per entry — FloatVectorDot's exact op sequence
+    def dot(v: String, c: String): String = (0 until Dim).map { j =>
+      s"CAST($v[${j + 1}] AS DOUBLE)*CAST(CAST($c[${j + 1}] AS FLOAT) AS DOUBLE)"
+    }.mkString(" + ")
+    // |c|² over the RAW double entries (centLit only float-casts the dot
+    // side), left-associated like Scala's Array.sum
+    def csq(c: String): String =
+      (0 until Dim).map(j => s"$c[${j + 1}]*$c[${j + 1}]").mkString(" + ")
+    def dist(v: String, c: String): String = s"(${csq(c)}) - 2.0*(${dot(v, c)})"
+    // the 64-term distance evaluates in a PROJECTION, then the window
+    // sorts a plain double — a giant expression inside the window ORDER BY
+    // makes DuckDB's parallel sort allocate per-thread evaluator state
+    // (observed allocator thrash/OOM on the one-level form)
+    def distRel(cent: String): String =
+      s"SELECT e.vec_id, c.cell, ${dist("e.embedding", "c.m")} AS d " +
+        s"FROM embeddings e CROSS JOIN $cent c"
+    def assign(cent: String, name: String): String =
+      s"$name AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, " +
+        "row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn " +
+        s"FROM (${distRel(cent)}) t0) t1 WHERE rn = 1)"
+    val meanCols = (0 until Dim).map { j =>
+      s"floor((CAST(sum(CAST(floor(CAST(e.embedding[${j + 1}] AS DOUBLE)*1.0E9 + 0.5) AS BIGINT)) AS DOUBLE)" +
+        s"/CAST(count(*) AS DOUBLE)/1.0E9)*1.0E6 + 0.5)/1.0E6 AS m${j + 1}"
+    }.mkString(", ")
+    val meanList = (1 to Dim).map(j => s"mn.m$j").mkString("[", ", ", "]")
+    val iterCtes = (1 to iters).map { i =>
+      assign(s"cent${i - 1}", s"a$i") + ", " +
+        s"mean$i AS (SELECT a.cell, $meanCols FROM a$i a JOIN embeddings e USING (vec_id) GROUP BY a.cell), " +
+        s"cent$i AS (SELECT p.cell, CASE WHEN mn.cell IS NULL THEN p.m ELSE $meanList END AS m " +
+        s"FROM cent${i - 1} p LEFT JOIN mean$i mn USING (cell))"
+    }.mkString(", ")
+    s"WITH sd AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $k), " +
+      "seeds AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cell FROM sd), " +
+      "cent0 AS (SELECT s.cell, CAST(e.embedding AS DOUBLE[]) AS m FROM seeds s JOIN embeddings e USING (vec_id)), " +
+      s"$iterCtes, " +
+      assign(s"cent$iters", "corp") + ", " +
+      s"qpr AS (SELECT vec_id AS q_id, cell FROM (SELECT vec_id, cell, " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn " +
+      s"FROM (${distRel(s"cent$iters")} WHERE e.vec_id < 10) t0) t1 WHERE rn <= $nprobe), " +
+      "sc AS (SELECT q.q_id, cp.cell, cp.vec_id AS c_id, " +
+      "round(list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]), CAST(ce.embedding AS DOUBLE[])), 6) AS cos " +
+      "FROM qpr q JOIN corp cp USING (cell) " +
+      "JOIN embeddings qe ON qe.vec_id = q.q_id JOIN embeddings ce ON ce.vec_id = cp.vec_id " +
+      "WHERE cp.vec_id <> q.q_id), " +
+      "r AS (SELECT q_id, cell, c_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk FROM sc) " +
+      "SELECT q_id, CAST(cell AS BIGINT) AS cell, c_id, cos, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 5 ORDER BY q_id, rk"
+  }
+
   val all: Seq[RegisteredQuery] = Seq(
     q("q01_pricing_summary", Relational.q01PricingSummary,
       "SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price, CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_disc_price, avg(l_quantity) AS avg_qty, count(*) AS count_order FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
@@ -680,12 +751,19 @@ object Registry {
     // stays approximate vs BRUTE-FORCE truth (recall in SimilaritySpec),
     // but its own pipeline is now deterministic and hash-checked
     q("ss2_lsh_topk", Similarity.lshTopK, ss2OracleSql),
-    // ss4/ss6 remain approximate-by-construction ANN sketches: their
-    // candidate sets depend on iterative float-geometry centroid/codebook
-    // training (k-means), which no SQL oracle can replay; recall floors
-    // and sketch-vs-exact agreement live in SimilaritySpec, and the
-    // shared exact-rescore stage carries ss7's full oracle
-    noOracle("ss4_ivf_kmeans", (s, d) => Similarity.ivfKMeansTopK(s, d)),
+    // ss4 carries a FULL oracle since r07: the scaled-integer centroid
+    // means make the whole Lloyd loop engine-portable (see ss4OracleSql),
+    // so the iterative k-means training the r06 comment called
+    // un-replayable is now unrolled as chained CTEs, bp1/bp2-style.
+    // Recall vs brute force stays a SimilaritySpec property.
+    q("ss4_ivf_kmeans", (s, d) => Similarity.ivfKMeansTopK(s, d), ss4OracleSql),
+    // ss6 remains an approximate-by-construction ANN sketch path whose
+    // PER-SUBSPACE codebook training is the same portable k-means — but
+    // the ADC scoring chain (per-candidate LUT sums + reconstructed-norm
+    // sqrt) adds float-op sequences with no ss1-style proven DuckDB
+    // equivalent yet; recall floors and determinism live in
+    // SimilaritySpec, and the exact-rescore stage it ends in carries
+    // ss7's full oracle
     noOracle("ss6_pq_topk", (s, d) => Similarity.pqTopK(s, d)),
     // ss7: the exact-rescore stage the sketch variants (ss2/ss4/ss6) end
     // in, run over a FIXED deterministic candidate rule so the stage gets

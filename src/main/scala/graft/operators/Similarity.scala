@@ -118,14 +118,21 @@ object Similarity {
     * collects. Search is the IVF shape: candidates come from an equi-join
     * on cell id, so each query scans ~nprobe/k of the corpus.
     *
-    * Determinism: seeds are the k lowest vec_ids, argmin ties break on cell
-    * id via struct ordering, and centroid means come from exact DECIMAL
-    * accumulation (summation-order-independent, unlike float avg()), so the
-    * centroids — and every assignment derived from them — are bit-stable
-    * across runs and partitionings; the 1e-6 rounding merely keeps the
-    * literals compact.
-    * No SQL oracle (k-means is iterative); recall/agreement in
-    * SimilaritySpec. */
+    * Determinism AND portability: seeds are the k lowest vec_ids, argmin
+    * ties break on cell id via struct ordering, and centroid means come
+    * from scaled-integer fixed point (the gr1-proven pattern): each
+    * coordinate is quantized to round(x·10⁹) BIGINT, summed exactly
+    * (order-independent, unlike float avg()), and the mean is re-derived
+    * driver-side with a fixed IEEE op sequence — so the centroids, and
+    * every assignment derived from them, are bit-stable across runs,
+    * partitionings AND engines. That last property is what gives ss4 a
+    * FULL DuckDB oracle (Registry.ss4OracleSql): the whole 3-iteration
+    * Lloyd loop unrolls as chained CTEs, every arithmetic step
+    * reproducible bit-for-bit (float→double casts exact, left-associated
+    * double dot = FloatVectorDot's accumulation order, exact integer
+    * means). Recall vs brute force stays a SimilaritySpec property
+    * (approximate by design — the oracle checks the pipeline, not ANN
+    * quality). */
   def ivfKMeansTopK(
       s: SparkSession, d: String,
       k: Int = 8, iters: Int = 3, nprobe: Int = 2): DataFrame = {
@@ -153,18 +160,30 @@ object Similarity {
         .withColumn("cell", cellOf(cents, col("embedding")))
         .select(col("cell"), posexplode(col("embedding")))
         .toDF("cell", "pos", "x")
-        // decimal accumulation, not avg(float): decimal sums are exact and
-        // therefore independent of partition/merge order, so the mean (and
-        // every downstream cell assignment) is bit-stable across runs —
-        // float avg() could straddle the 1e-6 rounding boundary below
+        // scaled-integer accumulation, not avg(float): quantize each
+        // coordinate to round(x·10⁹) and sum EXACTLY (decimal(38,0) —
+        // long sums could overflow at corpus scale), so the sum is
+        // independent of partition/merge order AND engine — float avg()
+        // could straddle the 1e-6 rounding boundary below, and decimal
+        // DIVISION rounding rules differ across engines. The mean itself
+        // is re-derived below with a fixed IEEE double op sequence that
+        // the DuckDB oracle mirrors verbatim.
         .groupBy("cell", "pos")
-        .agg((sum(col("x").cast("decimal(20,10)")) / count(lit(1)))
-          .cast("double").as("m"))
+        .agg(
+          sum(floor(col("x").cast("double") * lit(1e9) + lit(0.5))
+            .cast("decimal(38,0)")).as("s"),
+          count(lit(1)).as("cnt"))
         .collect() // k×dim rows — metadata scale
       val next = cents.clone()
       means.groupBy(_.getAs[Int]("cell")).foreach { case (cell, rows) =>
         val c = new Array[Double](Dim)
-        rows.foreach(r => c(r.getAs[Int]("pos")) = math.rint(r.getAs[Double]("m") * 1e6) / 1e6)
+        rows.foreach { r =>
+          // EXACT integer → double (correctly rounded), then the fixed op
+          // sequence the oracle replays: /cnt, /1e9, ·1e6, +0.5, floor, /1e6
+          val m = r.getAs[java.math.BigDecimal]("s").doubleValue /
+            r.getAs[Long]("cnt").toDouble / 1e9
+          c(r.getAs[Int]("pos")) = math.floor(m * 1e6 + 0.5) / 1e6
+        }
         next(cell) = c
       }
       cents = next
