@@ -367,6 +367,82 @@ object Registry {
       "SELECT q_id, CAST(cell AS BIGINT) AS cell, c_id, cos, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 5 ORDER BY q_id, rk"
   }
 
+  /** ss6's oracle: the FULL product-quantization pipeline — per-subspace
+    * codebook training (2 Lloyd iterations over the deterministic hash
+    * sample), corpus encode, ADC shortlist, exact rescore — unrolled as
+    * chained CTEs. Same portability contract as ss4OracleSql, plus the
+    * ADC specifics:
+    *
+    *  - all 8 subspaces train in ONE assignment relation (cent carries a
+    *    `j` column; the 8-term sub-vector dot indexes `embedding[j·8+i]`);
+    *  - the query LUT and the centroid-norm table flatten to ONE
+    *    (j, cell)-ordered 128-entry list each, so the ADC sum replays
+    *    Spark's `reduce(_ + _)` left-associated j = 0..7 lookup order
+    *    exactly (a SQL `sum()` over a group would be order-unspecified);
+    *  - approx = adc / (qn · sqrt(Σ reconstructed norms)) with the same
+    *    IEEE op sequence, shortlist ties on c_id, then the ss7-proven
+    *    round-6 exact rescore.
+    *
+    * The `ksub` literal in the LUT indexing assumes the corpus has ≥ ksub
+    * training vectors (true of every driver fixture); the tiny-corpus
+    * seed-clamp path stays spec-only (SimilaritySpec). */
+  private def ss6OracleSql: String = {
+    import graft.operators.Similarity.Dim
+    val m = 8
+    val sub = Dim / m
+    val ksub = 16
+    val iters = 2
+    val shortlist = 40
+    def dot8(vbase: String, c: String): String = (0 until sub).map { i =>
+      s"CAST($vbase[c.j*$sub+${i + 1}] AS DOUBLE)*CAST(CAST($c[${i + 1}] AS FLOAT) AS DOUBLE)"
+    }.mkString(" + ")
+    def csq8(c: String): String =
+      (0 until sub).map(i => s"$c[${i + 1}]*$c[${i + 1}]").mkString(" + ")
+    def distRel(rel: String, cent: String): String =
+      s"SELECT e.vec_id, c.j, c.cell, (${csq8("c.m")}) - 2.0*(${dot8("e.embedding", "c.m")}) AS d " +
+        s"FROM $rel e CROSS JOIN $cent c"
+    def assign(rel: String, cent: String, name: String): String =
+      s"$name AS (SELECT vec_id, j, cell FROM (SELECT vec_id, j, cell, " +
+        "row_number() OVER (PARTITION BY vec_id, j ORDER BY d, cell) AS rn " +
+        s"FROM (${distRel(rel, cent)}) t0) t1 WHERE rn = 1)"
+    val meanCols = (0 until sub).map { i =>
+      s"floor((CAST(sum(CAST(floor(CAST(e.embedding[a.j*$sub+${i + 1}] AS DOUBLE)*1.0E9 + 0.5) AS BIGINT)) AS DOUBLE)" +
+        s"/CAST(count(*) AS DOUBLE)/1.0E9)*1.0E6 + 0.5)/1.0E6 AS m${i + 1}"
+    }.mkString(", ")
+    val meanList = (1 to sub).map(i => s"mn.m$i").mkString("[", ", ", "]")
+    val iterCtes = (1 to iters).map { i =>
+      assign("trn", s"cent${i - 1}", s"a$i") + ", " +
+        s"mean$i AS (SELECT a.j, a.cell, $meanCols FROM a$i a JOIN embeddings e USING (vec_id) GROUP BY a.j, a.cell), " +
+        s"cent$i AS (SELECT p.j, p.cell, CASE WHEN mn.cell IS NULL THEN p.m ELSE $meanList END AS m " +
+        s"FROM cent${i - 1} p LEFT JOIN mean$i mn ON mn.j = p.j AND mn.cell = p.cell)"
+    }.mkString(", ")
+    val seedList = (0 until sub)
+      .map(i => s"CAST(e.embedding[t.j*$sub+${i + 1}] AS DOUBLE)").mkString("[", ", ", "]")
+    val qn64 = (0 until Dim)
+      .map(i => s"CAST(e.embedding[${i + 1}] AS DOUBLE)*CAST(e.embedding[${i + 1}] AS DOUBLE)")
+      .mkString(" + ")
+    val adc = (0 until m).map(j => s"q.lall[$j*$ksub + cd.cl[${j + 1}] + 1]").mkString(" + ")
+    val recon = (0 until m).map(j => s"na.n[$j*$ksub + cd.cl[${j + 1}] + 1]").mkString(" + ")
+    s"WITH trn AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % (SELECT greatest(1, count(*)//4096) FROM embeddings) = 0), " +
+      s"sd AS (SELECT vec_id FROM trn ORDER BY vec_id LIMIT $ksub), " +
+      "seeds AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cell FROM sd), " +
+      s"cent0 AS (SELECT t.j, s.cell, $seedList AS m FROM seeds s JOIN embeddings e USING (vec_id) CROSS JOIN range($m) t(j)), " +
+      s"$iterCtes, " +
+      assign("embeddings", s"cent$iters", "cf") + ", " +
+      "codes AS (SELECT vec_id, list(cell ORDER BY j) AS cl FROM cf GROUP BY vec_id), " +
+      s"nall AS (SELECT list(${csq8("m")} ORDER BY j, cell) AS n FROM cent$iters), " +
+      s"qrel AS (SELECT e.vec_id AS q_id, e.embedding, sqrt($qn64) AS qn FROM embeddings e WHERE e.vec_id < 10), " +
+      s"qlut AS (SELECT e.q_id, e.qn, list(${dot8("e.embedding", "c.m")} ORDER BY c.j, c.cell) AS lall " +
+      s"FROM qrel e CROSS JOIN cent$iters c GROUP BY e.q_id, e.qn), " +
+      "sl AS (SELECT q_id, c_id FROM (SELECT q.q_id, cd.vec_id AS c_id, " +
+      s"row_number() OVER (PARTITION BY q.q_id ORDER BY ($adc) / (q.qn * sqrt($recon)) DESC, cd.vec_id) AS ark " +
+      s"FROM qlut q CROSS JOIN codes cd CROSS JOIN nall na WHERE cd.vec_id <> q.q_id) t WHERE ark <= $shortlist), " +
+      "sc AS (SELECT sl.q_id, sl.c_id, round(list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]), CAST(ce.embedding AS DOUBLE[])), 6) AS cos " +
+      "FROM sl JOIN embeddings qe ON qe.vec_id = sl.q_id JOIN embeddings ce ON ce.vec_id = sl.c_id), " +
+      "r AS (SELECT q_id, c_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk FROM sc) " +
+      "SELECT q_id, c_id, cos, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 5 ORDER BY q_id, rk"
+  }
+
   val all: Seq[RegisteredQuery] = Seq(
     q("q01_pricing_summary", Relational.q01PricingSummary,
       "SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price, CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_disc_price, avg(l_quantity) AS avg_qty, count(*) AS count_order FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
@@ -757,14 +833,15 @@ object Registry {
     // un-replayable is now unrolled as chained CTEs, bp1/bp2-style.
     // Recall vs brute force stays a SimilaritySpec property.
     q("ss4_ivf_kmeans", (s, d) => Similarity.ivfKMeansTopK(s, d), ss4OracleSql),
-    // ss6 remains an approximate-by-construction ANN sketch path whose
-    // PER-SUBSPACE codebook training is the same portable k-means — but
-    // the ADC scoring chain (per-candidate LUT sums + reconstructed-norm
-    // sqrt) adds float-op sequences with no ss1-style proven DuckDB
-    // equivalent yet; recall floors and determinism live in
-    // SimilaritySpec, and the exact-rescore stage it ends in carries
-    // ss7's full oracle
-    noOracle("ss6_pq_topk", (s, d) => Similarity.pqTopK(s, d)),
+    // ss6 carries a FULL oracle since r07 too: the per-subspace codebook
+    // training is the same portable k-means, and the ADC scoring chain
+    // replays as ordered 128-entry LUT lookups (see ss6OracleSql) — so
+    // every ANN variant's complete pipeline is now hash-checked, and the
+    // registry's no-oracle set is exactly the two sketch ESTIMATORS
+    // (q24 HLL, q32 approx-percentile), which are irreducible: their
+    // outputs are the sketch's approximation itself, not a deterministic
+    // function any exact engine can reproduce.
+    q("ss6_pq_topk", (s, d) => Similarity.pqTopK(s, d), ss6OracleSql),
     // ss7: the exact-rescore stage the sketch variants (ss2/ss4/ss6) end
     // in, run over a FIXED deterministic candidate rule so the stage gets
     // its own hash-checked row — sketch recall stays a ScalaTest property,

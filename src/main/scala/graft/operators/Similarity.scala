@@ -270,9 +270,12 @@ object Similarity {
     * subspaces at once: posexplode puts every (dim, value) on its own row,
     * `pos div sub` recovers the subspace, and the (subspace, cell, dim)
     * means come back at metadata scale (m·ksub·sub = 1024 rows). The same
-    * determinism contract as [[ivfKMeansTopK]]: lowest-vec_id seeds, exact
-    * decimal means rounded to 1e-6, argmin ties on cell id — so codes,
-    * shortlists, and results are bit-stable across runs and partitionings.
+    * determinism-and-portability contract as [[ivfKMeansTopK]]:
+    * lowest-vec_id seeds, scaled-integer exact means rounded to 1e-6,
+    * argmin ties on cell id — so codes, shortlists, and results are
+    * bit-stable across runs, partitionings and engines, which is what
+    * gives ss6 a FULL DuckDB oracle (Registry.ss6OracleSql) covering
+    * training, encode, ADC shortlist and rescore end to end.
     *
     * Search: asymmetric distance (ADC). Each query precomputes, per
     * subspace, the dot of its sub-vector with every centroid (plus the
@@ -280,8 +283,8 @@ object Similarity {
     * cosine is 8 array lookups per candidate — no vector math on the
     * corpus side. The ADC shortlist (top `shortlist` per query) is then
     * rescored EXACTLY against the raw embeddings and the top k of that is
-    * returned. No SQL oracle (k-means is iterative); recall and
-    * determinism in SimilaritySpec. */
+    * returned. Recall floors stay in SimilaritySpec (approximate by
+    * design — the oracle checks the pipeline, not ANN quality). */
   def pqTopK(
       s: SparkSession, d: String,
       m: Int = 8, ksub: Int = 16, iters: Int = 2, shortlist: Int = 40): DataFrame =
@@ -341,14 +344,21 @@ object Similarity {
         .select(col("j"), col("pos"),
           element_at(col("cells"), col("j").cast("int") + 1).as("cell"), col("x"))
         .groupBy("j", "cell", "pos")
-        .agg((sum(col("x").cast("decimal(20,10)")) / count(lit(1)))
-          .cast("double").as("mval"))
+        // same scaled-integer portable means as ivfKMeansTopK: exact
+        // order-independent integer sums, mean re-derived with a fixed
+        // IEEE op sequence the ss6 oracle replays verbatim
+        .agg(
+          sum(floor(col("x").cast("double") * lit(1e9) + lit(0.5))
+            .cast("decimal(38,0)")).as("s"),
+          count(lit(1)).as("cnt"))
         .collect() // m·ksub·sub rows — metadata scale
       val next = books.map(_.map(_.clone()))
       means.foreach { r =>
+        val mv = r.getAs[java.math.BigDecimal]("s").doubleValue /
+          r.getAs[Long]("cnt").toDouble / 1e9
         // `div` yields LONG regardless of operand width
         next(r.getAs[Long]("j").toInt)(r.getAs[Int]("cell"))(r.getAs[Int]("pos") % sub) =
-          math.rint(r.getAs[Double]("mval") * 1e6) / 1e6
+          math.floor(mv * 1e6 + 0.5) / 1e6
       }
       books = next
     }
