@@ -529,8 +529,16 @@ object Dedup {
       .toDF("u", "v")
       .filter(col("u") =!= col("v"))
       .localCheckpoint()
-    var labels = sym.select(col("u").as("node")).distinct()
-      .withColumn("label", col("node"))
+    // Initial labels = least(u, min(N(u))): round 1 of min-label
+    // propagation FUSED into the init — against identity labels the
+    // per-round edge join is a no-op (label(v) = v), so starting from the
+    // one-round-advanced state saves a full join+agg+join round AND
+    // replaces the node-distinct shuffle with the same-cost groupBy. The
+    // fixpoint is unchanged: labels start ≥ the component min and node-
+    // consistent, and propagation is monotone decreasing. Star-shaped
+    // components (the LSH canon groups) converge in the init itself.
+    var labels = sym.groupBy(col("u").as("node")).agg(min("v").as("nl"))
+      .select(col("node"), least(col("node"), col("nl")).as("label"))
       .localCheckpoint()
     var changed = 1L
     var rounds = 0
