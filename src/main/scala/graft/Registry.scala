@@ -6,11 +6,12 @@ import graft.multimodal.Multimodal
 import graft.operators._
 
 /** Single source of truth for the engine's query surface: every operator
-  * exposed to the driver, with its DuckDB oracle twin where the semantics
-  * are ANSI-SQL-expressible (SURVEY.md §5). Queries without an oracle
-  * (approximate sketches only, as of r06 — every deterministic operator
-  * carries one) get the driver's rows-only check and are cross-validated
-  * in ScalaTest instead.
+  * exposed to the driver, with its DuckDB oracle twin (SURVEY.md §5).
+  * Since r07 EVERY registered query carries a full oracle — the last
+  * approximate sketches (HLL, approx-percentile, LSH/IVF/PQ ANN) were
+  * re-expressed over engine-portable md5-derived hashes so their complete
+  * pipelines replay in DuckDB; approximation QUALITY (error/recall
+  * bounds) stays asserted in ScalaTest, where it belongs.
   *
   * Oracle-parity rules (see Relational's scaladoc): identical aliases both
   * sides, total ORDER BY, integer-ratio arithmetic where possible, round(2)
@@ -26,8 +27,6 @@ object Registry {
 
   private def q(name: String, fn: (SparkSession, String) => DataFrame, oracle: String) =
     RegisteredQuery(name, fn, Some(oracle))
-  private def noOracle(name: String, fn: (SparkSession, String) => DataFrame) =
-    RegisteredQuery(name, fn, None)
 
   /** gr1's oracle: PageRank's 10 rounds UNROLLED as chained CTEs (DuckDB
     * disallows aggregates over the recursive reference in WITH RECURSIVE,
@@ -59,6 +58,62 @@ object Registry {
     }.mkString(", ")
     s"$edgeCtes, $rankCtes, $iterations " +
       "SELECT node, CAST(s AS BIGINT) AS rank_fp FROM r10 ORDER BY node"
+  }
+
+  /** q24's oracle: the portable HLL replayed stage for stage — same md5
+    * hash, same 15-hex-digit parse (the dd5-proven per-digit trick), same
+    * bucket/rho split, EXACT integer register sums (1<<(52−mx), summed as
+    * HUGEINT — the Spark side stays inside BIGINT, values identical), and
+    * the identical e-notation double-literal estimator text so both
+    * engines run the same IEEE op sequence (DuckDB parses bare decimals as
+    * DECIMAL — e-notation forces DOUBLE). The sum goes double via VARCHAR
+    * (q41's rule: HUGEINT→DOUBLE may double-round; strtod is one
+    * correctly-rounded step on both engines). */
+  private def q24OracleSql: String = {
+    val hex15 = (0 until 15).map { j =>
+      s"CAST(strpos('0123456789abcdef', substr(h, ${1 + j}, 1)) - 1 AS BIGINT) * ${1L << (4 * (14 - j))}"
+    }.mkString(" + ")
+    "WITH pairs AS (" +
+      "SELECT l_returnflag, 'p' AS cid, CAST(l_partkey AS VARCHAR) AS v FROM lineitem " +
+      "UNION ALL SELECT l_returnflag, 'o', CAST(l_orderkey AS VARCHAR) FROM lineitem), " +
+      "hh AS (SELECT l_returnflag, cid, md5(v) AS h FROM pairs), " +
+      s"hp AS (SELECT l_returnflag, cid, $hex15 AS hv FROM hh), " +
+      "rb AS (SELECT l_returnflag, cid, hv // 2251799813685248 AS bucket, hv % 2251799813685248 AS r FROM hp), " +
+      "rr AS (SELECT l_returnflag, cid, bucket, CASE WHEN r = 0 THEN 52 ELSE 52 - length(bin(r)) END AS rho FROM rb), " +
+      "regs AS (SELECT l_returnflag, cid, bucket, max(rho) AS mx FROM rr GROUP BY 1, 2, 3), " +
+      "agg AS (SELECT l_returnflag, cid, sum(CAST(1 AS BIGINT) << (52 - mx)) AS sp, count(*) AS nb FROM regs GROUP BY 1, 2), " +
+      "fin AS (SELECT l_returnflag, cid, sp + (512 - nb) * 4503599627370496 AS s, 512 - nb AS vz FROM agg), " +
+      "ee AS (SELECT l_returnflag, cid, vz, 0.7213e0 / (1.0e0 + 1.079e0 / 512.0e0) * 262144.0e0 * 4503599627370496.0e0 / CAST(CAST(s AS VARCHAR) AS DOUBLE) AS eraw FROM fin), " +
+      "ef AS (SELECT l_returnflag, cid, CAST(floor(CASE WHEN eraw <= 1280.0e0 AND vz > 0 THEN 512.0e0 * ln(512.0e0 / CAST(vz AS DOUBLE)) ELSE eraw END + 0.5e0) AS BIGINT) AS est FROM ee) " +
+      "SELECT l_returnflag, max(CASE WHEN cid = 'p' THEN est END) AS approx_nd_part, " +
+      "max(CASE WHEN cid = 'o' THEN est END) AS approx_nd_order " +
+      "FROM ef GROUP BY l_returnflag ORDER BY l_returnflag"
+  }
+
+  /** q32's oracle: the deterministic hash-sample percentile replayed — same
+    * md5 row-key sample membership (15-hex-digit parse, % 10), same
+    * (x, rk)-ordered row_number and group count over one partition pass,
+    * and the identical fixed-order interpolation arithmetic in e-notation
+    * double literals. */
+  private def q32OracleSql: String = {
+    val hex15 = (0 until 15).map { j =>
+      s"CAST(strpos('0123456789abcdef', substr(h, ${1 + j}, 1)) - 1 AS BIGINT) * ${1L << (4 * (14 - j))}"
+    }.mkString(" + ")
+    "WITH sr AS (SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS x, " +
+      "CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR) AS rk FROM lineitem), " +
+      "hs AS (SELECT l_returnflag, x, rk, md5(rk) AS h FROM sr), " +
+      s"kept AS (SELECT l_returnflag, x, rk FROM hs WHERE ($hex15) % 10 = 0), " +
+      "rn AS (SELECT l_returnflag, x, row_number() OVER (PARTITION BY l_returnflag ORDER BY x, rk) AS rn, " +
+      "count(*) OVER (PARTITION BY l_returnflag) AS n FROM kept), " +
+      "ix AS (SELECT *, CAST(n - 1 AS DOUBLE) * 0.5e0 AS i50, CAST(floor(CAST(n - 1 AS DOUBLE) * 0.5e0) AS BIGINT) AS lo50, " +
+      "CAST(n - 1 AS DOUBLE) * 0.95e0 AS i95, CAST(floor(CAST(n - 1 AS DOUBLE) * 0.95e0) AS BIGINT) AS lo95 FROM rn), " +
+      "ag AS (SELECT l_returnflag, max(CASE WHEN rn = lo50 + 1 THEN x END) AS a50, " +
+      "max(CASE WHEN rn = lo50 + 2 THEN x END) AS b50, max(i50 - CAST(lo50 AS DOUBLE)) AS f50, " +
+      "max(CASE WHEN rn = lo95 + 1 THEN x END) AS a95, " +
+      "max(CASE WHEN rn = lo95 + 2 THEN x END) AS b95, max(i95 - CAST(lo95 AS DOUBLE)) AS f95 " +
+      "FROM ix GROUP BY l_returnflag) " +
+      "SELECT l_returnflag, a50 + (coalesce(b50, a50) - a50) * f50 AS ap50, " +
+      "a95 + (coalesce(b95, a95) - a95) * f95 AS ap95 FROM ag ORDER BY l_returnflag"
   }
 
   /** dd4/dd8's shared oracle CTEs: the FULL MinHash-LSH pipeline re-derived
@@ -497,10 +552,10 @@ object Registry {
       "SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS n FROM events GROUP BY k ORDER BY k NULLS FIRST"),
     q("q23_count_distinct", Relational.q23CountDistinct,
       "SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_part, count(DISTINCT l_suppkey) AS nd_supp, count(*) AS n FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
-    // approximate by construction (HLL++ sketch): no SQL oracle can
-    // reproduce the estimate; error bound vs exact counts is asserted in
-    // RelationalSpec ("q24 approx distinct within HLL error of exact")
-    noOracle("q24_approx_count_distinct", Relational.q24ApproxCountDistinct),
+    // HLL sketch with engine-portable md5 registers (the ss2/ss4 conversion
+    // pattern): the full estimator replays in DuckDB; error bounds vs exact
+    // counts AND vs Spark's built-in HLL++ are asserted in RelationalSpec
+    q("q24_approx_count_distinct", Relational.q24ApproxCountDistinct, q24OracleSql),
     // q25 (fact-fact join + agg) is DEMOTED from the registry (fold-don't-
     // grow): its join/agg machinery overlaps q03/q43, and RelationalSpec's
     // "q25 fact-fact shuffle join" test carries both the result equivalence
@@ -542,9 +597,10 @@ object Registry {
       "WITH kv AS (SELECT props, unnest(json_keys(props)) AS key FROM events) SELECT key, count(*) AS n, CAST(sum(CAST(json_extract_string(props, '$.\"' || key || '\"') AS BIGINT)) AS BIGINT) AS total FROM kv GROUP BY key ORDER BY key"),
     q("q31_percentiles", Relational.q31Percentiles,
       "SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS p50, quantile_cont(l_extendedprice, 0.95) AS p95, count(*) AS n FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
-    // approximate by construction (KLL/GK-style quantile sketch): bounded
-    // rank error vs q31's exact percentiles is asserted in RelationalSpec
-    noOracle("q32_approx_percentiles", Relational.q32ApproxPercentiles),
+    // deterministic hash-sample percentile estimator (engine-portable, so
+    // fully oracle-replayed); error bound vs q31's exact percentiles AND
+    // the native approx_percentile sketch are asserted in RelationalSpec
+    q("q32_approx_percentiles", Relational.q32ApproxPercentiles, q32OracleSql),
     q("q30_correlated_subquery", Relational.q30CorrelatedSubquery,
       "SELECT c_custkey, (SELECT max(o_totalprice) FROM orders o WHERE o.o_custkey = c.c_custkey) AS max_order, (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders FROM customer c ORDER BY c_custkey"),
     q("q46_avgqty_subquery", Relational.q46AvgQtySubquery,
@@ -836,11 +892,11 @@ object Registry {
     // ss6 carries a FULL oracle since r07 too: the per-subspace codebook
     // training is the same portable k-means, and the ADC scoring chain
     // replays as ordered 128-entry LUT lookups (see ss6OracleSql) — so
-    // every ANN variant's complete pipeline is now hash-checked, and the
-    // registry's no-oracle set is exactly the two sketch ESTIMATORS
-    // (q24 HLL, q32 approx-percentile), which are irreducible: their
-    // outputs are the sketch's approximation itself, not a deterministic
-    // function any exact engine can reproduce.
+    // every ANN variant's complete pipeline is now hash-checked. The last
+    // two no-oracle rows (q24 HLL, q32 approx-percentile) fell later in
+    // r07 by the same move: engine-portable md5-derived sketches replace
+    // the engine-internal ones, so the registry's no-oracle set is EMPTY —
+    // every registered query carries a full DuckDB oracle.
     q("ss6_pq_topk", (s, d) => Similarity.pqTopK(s, d), ss6OracleSql),
     // ss7: the exact-rescore stage the sketch variants (ss2/ss4/ss6) end
     // in, run over a FIXED deterministic candidate rule so the stage gets

@@ -295,13 +295,59 @@ object Relational {
   /** HLL sketch count-distinct — the 100 TB path where exact is too
     * expensive. No oracle (sketch values are engine-specific); driver
     * records a rows-only check. */
-  def q24ApproxCountDistinct(s: SparkSession, d: String): DataFrame =
-    t(s, d, "lineitem")
-      .groupBy("l_returnflag")
+  /** HyperLogLog distinct-count sketch, engine-portable (the ss2/ss4/dd4
+    * conversion pattern applied to HLL): instead of Spark's built-in
+    * `approx_count_distinct` (whose HLL++ register layout and bias tables
+    * are engine-internal, so no SQL oracle can replay the estimate), the
+    * registers derive from md5 — bucket = top 9 bits of the digest's first
+    * 60 bits, rho = leading-zero rank of the remaining 51 (via
+    * `length(bin(r))`, exact integer on both engines) — and the estimator
+    * is the textbook Flajolet HLL: E = alpha_m·m²/Σ2^−M_j with linear
+    * counting below 2.5m. Σ2^−M_j is computed EXACTLY as the integer
+    * Σ2^(52−M_j) (≤512·2^52 < 2^63), so the only float ops are one
+    * division chain and (in the small-range branch) one ln — both
+    * bit-identical cross-engine on identical inputs (tx9/tx10 precedent
+    * for ln), and the final floor(+0.5)→BIGINT washes sub-ulp risk.
+    *
+    * 100 TB shape: ONE scan; partial aggregation combines to ≤
+    * groups×2×512 register rows per task before the only shuffle —
+    * exactly how a distributed HLL merge works (register-wise max). The
+    * built-in sketch remains bounds-asserted against this and the exact
+    * counts in RelationalSpec. */
+  def q24ApproxCountDistinct(s: SparkSession, d: String): DataFrame = {
+    val pairs = t(s, d, "lineitem").select(
+      col("l_returnflag"),
+      explode(array(
+        struct(lit("p").as("cid"), col("l_partkey").cast("string").as("v")),
+        struct(lit("o").as("cid"), col("l_orderkey").cast("string").as("v"))
+      )).as("x"))
+      .select(col("l_returnflag"), col("x.cid").as("cid"), col("x.v").as("v"))
+    val regs = pairs
+      .withColumn("h", expr("CAST(conv(substr(md5(v), 1, 15), 16, 10) AS BIGINT)"))
+      .withColumn("bucket", expr("h DIV 2251799813685248")) // 2^51 → top 9 of 60 bits
+      .withColumn("r", expr("h % 2251799813685248"))
+      .withColumn("rho", expr("CASE WHEN r = 0 THEN 52 ELSE 52 - length(bin(r)) END"))
+      .groupBy("l_returnflag", "cid", "bucket")
+      .agg(max("rho").as("mx"))
+    val ests = regs
+      .groupBy("l_returnflag", "cid")
       .agg(
-        approx_count_distinct(col("l_partkey")).as("approx_nd_part"),
-        approx_count_distinct(col("l_orderkey")).as("approx_nd_order"))
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 52 - mx)")).as("sp"),
+        count(lit(1)).as("nb"))
+      .withColumn("vz", lit(512L) - col("nb"))
+      .withColumn("s", col("sp") + col("vz") * lit(4503599627370496L)) // absent regs: 2^52 each
+      .withColumn("eraw", expr(
+        "0.7213e0 / (1.0e0 + 1.079e0 / 512.0e0) * 262144.0e0 * 4503599627370496.0e0" +
+          " / CAST(CAST(s AS STRING) AS DOUBLE)"))
+      .withColumn("est", expr(
+        "CAST(floor(CASE WHEN eraw <= 1280.0e0 AND vz > 0 " +
+          "THEN 512.0e0 * ln(512.0e0 / CAST(vz AS DOUBLE)) ELSE eraw END + 0.5e0) AS BIGINT)"))
+    ests.groupBy("l_returnflag")
+      .agg(
+        max(when(col("cid") === "p", col("est"))).as("approx_nd_part"),
+        max(when(col("cid") === "o", col("est"))).as("approx_nd_order"))
       .orderBy("l_returnflag")
+  }
 
   /** The big fact-fact equi-join: lineitem⋈orders on orderkey. At bench SF
     * AQE may broadcast orders; at 100 TB this is the canonical shuffle
@@ -339,16 +385,52 @@ object Relational {
   /** Sketch percentiles (KLL-style approx_percentile) — the 100 TB path
     * where an exact global sort is off the table. Engine-specific sketch ⇒
     * rows-only driver check; bounds asserted in RelationalSpec. */
-  def q32ApproxPercentiles(s: SparkSession, d: String): DataFrame =
-    t(s, d, "lineitem")
-      .groupBy("l_returnflag")
-      // one sketch per group serving both fractions (see q31's note)
-      .agg(expr("approx_percentile(l_extendedprice, array(0.5D, 0.95D), 1000)").as("aps"))
+  /** Approximate percentiles via a DETERMINISTIC hash sample (the ss2/q24
+    * conversion pattern applied to quantiles): instead of Spark's built-in
+    * `approx_percentile` (a KLL/GK-style sketch whose compaction schedule
+    * is engine-internal — no SQL oracle can replay it), a 10% sample is
+    * selected by md5 of the unique row key (retry/partition-invariant, the
+    * sm1/sm2 membership rule) and the interpolated percentile is computed
+    * EXACTLY on the sample with a fixed IEEE op sequence — idx=(n−1)·p,
+    * v_lo + (v_hi − v_lo)·frac — that DuckDB replays verbatim.
+    *
+    * 100 TB shape: the sample predicate is a scan-side codegen'd filter (at
+    * scale you shrink the fraction so f·N per group fits a sort); ONE
+    * shuffle on the group key feeds both the ranked window and the
+    * group-count window (same partitioning, no extra exchange), and both
+    * fractions share the single sorted pass — the same "one sketch, many
+    * quantiles" economics as the built-in (q31's note). Error bound vs
+    * q31's exact percentiles stays asserted in RelationalSpec; the native
+    * sketch is cross-checked there too. */
+  def q32ApproxPercentiles(s: SparkSession, d: String): DataFrame = {
+    val samp = t(s, d, "lineitem")
       .select(
         col("l_returnflag"),
-        element_at(col("aps"), 1).as("ap50"),
-        element_at(col("aps"), 2).as("ap95"))
+        col("l_extendedprice").cast("double").as("x"),
+        concat(col("l_orderkey"), lit("_"), col("l_linenumber")).as("rk"))
+      .where(expr("CAST(conv(substr(md5(rk), 1, 15), 16, 10) AS BIGINT) % 10 = 0"))
+    val byGrp = Window.partitionBy("l_returnflag")
+    val ranked = samp
+      .withColumn("rn", row_number().over(byGrp.orderBy("x", "rk")))
+      .withColumn("n", count(lit(1)).over(byGrp))
+      .withColumn("i50", expr("CAST(n - 1 AS DOUBLE) * 0.5e0"))
+      .withColumn("lo50", expr("CAST(floor(i50) AS BIGINT)"))
+      .withColumn("i95", expr("CAST(n - 1 AS DOUBLE) * 0.95e0"))
+      .withColumn("lo95", expr("CAST(floor(i95) AS BIGINT)"))
+    ranked.groupBy("l_returnflag")
+      .agg(
+        max(when(expr("rn = lo50 + 1"), col("x"))).as("a50"),
+        max(when(expr("rn = lo50 + 2"), col("x"))).as("b50"),
+        max(expr("i50 - CAST(lo50 AS DOUBLE)")).as("f50"),
+        max(when(expr("rn = lo95 + 1"), col("x"))).as("a95"),
+        max(when(expr("rn = lo95 + 2"), col("x"))).as("b95"),
+        max(expr("i95 - CAST(lo95 AS DOUBLE)")).as("f95"))
+      .select(
+        col("l_returnflag"),
+        expr("a50 + (coalesce(b50, a50) - a50) * f50").as("ap50"),
+        expr("a95 + (coalesce(b95, a95) - a95) * f95").as("ap95"))
       .orderBy("l_returnflag")
+  }
 
   /** Correlated scalar subquery — Catalyst decorrelates it into a left
     * outer aggregate join (no per-row execution; same query text runs on
