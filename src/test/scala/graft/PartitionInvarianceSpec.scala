@@ -20,8 +20,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * the three r06 oracle conversions: float32 payload histograms (mm1),
   * the cosine ranking over them (mm4), and the scaled-integer fixed-point
   * PageRank iteration (gr1) — fixed point exists precisely so the result
-  * is partition-count-independent; this is that claim as CI.
-  * Integer-shaped q01 anchors the suite.
+  * is partition-count-independent; this is that claim as CI — plus the
+  * two r07 portable sketches: the md5-register HLL (q24, exact integer
+  * register sums make the estimator order-free) and the hash-sample
+  * percentile (q32, content-hashed membership + rank-selected
+  * interpolation). Integer-shaped q01 anchors the suite.
   */
 class PartitionInvarianceSpec extends AnyFunSuite {
   private lazy val base = SparkTestSession.spark
@@ -31,7 +34,8 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q01_pricing_summary", "q41_corr_stats", "ev16_ewma", "ev18_mad_anomaly",
     "dd10_tfidf_cosine", "tx9_token_surprisal", "tx10_bigram_crossent",
     "ss7_exact_rescore", "pp12_token_budget", "ev19_time_weighted_avg",
-    "mm1_media_features", "mm4_media_neardup", "gr1_neardup_pagerank")
+    "mm1_media_features", "mm4_media_neardup", "gr1_neardup_pagerank",
+    "q24_approx_count_distinct", "q32_approx_percentiles")
 
   private def rows(name: String)(configure: org.apache.spark.sql.SparkSession => Unit)
       : Seq[String] = {
