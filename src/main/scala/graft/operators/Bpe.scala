@@ -66,9 +66,9 @@ object Bpe {
 
   /** Registry query (bp1): learn `numMerges` merges over the `documents`
     * word-frequency table. Output: one row per learned merge,
-    * `(rank, left, right, merged, cnt)` in learning order. Iterative
-    * engine-defined algorithm ⇒ rows-only driver check; BpeSpec holds the
-    * ground truth. */
+    * `(rank, left, right, merged, cnt)` in learning order. Full DuckDB
+    * oracle since r06 (12 unrolled merge-round CTEs — see
+    * Registry.bpeOracleCtes); BpeSpec holds the ground truth. */
   def learnMerges(s: SparkSession, d: String, numMerges: Int = 12): DataFrame = {
     val words = Tables(s, d, "documents")
       .select(explode(split(col("text"), " ")).as("w"))
@@ -88,7 +88,8 @@ object Bpe {
     * residual dominated by the shared learn phase), bit-identical output.
     *
     * Deterministic given the corpus (learner determinism + deterministic
-    * replacement), so the rows-only driver check is stable; BpeSketchSpec
+    * replacement) — full DuckDB oracle since r06 (the bp1 merge CTEs plus
+    * a doc-stream replace chain, see Registry); BpeSketchSpec
     * proves kernel ≡ regex chain ≡ sequentially applying the reference
     * merges word by word. */
   def encodeCorpus(s: SparkSession, d: String, numMerges: Int = 12): DataFrame =

@@ -451,11 +451,11 @@ object Dedup {
     * engine-independent — so the cluster labels (min reachable doc_id),
     * cluster sizes and the `is_canonical` keep-list are all
     * DuckDB-checkable (recursive-CTE transitive closure), giving the
-    * connected-components engine a hash-green CORRECTNESS row. dd8 keeps
-    * exercising the full production pipeline (LSH candidates → CC) under
-    * the rows-only check; this query isolates the CC math under the exact
-    * one. Same scale shape as dd8: iteration moves (node, label) pairs
-    * only. */
+    * connected-components engine a hash-green CORRECTNESS row. dd8
+    * exercises the full production pipeline (LSH candidates → CC) under
+    * its own full oracle (since the r07 md5-family switch); this query
+    * isolates the CC math under the exact edge set. Same scale shape as
+    * dd8: iteration moves (node, label) pairs only. */
   def dupClustersExact(s: SparkSession, d: String): DataFrame = {
     val withLabel = exactClusterLabels(s, d)
     val sizes = withLabel.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))

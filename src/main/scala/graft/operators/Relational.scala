@@ -292,9 +292,6 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
-  /** HLL sketch count-distinct — the 100 TB path where exact is too
-    * expensive. No oracle (sketch values are engine-specific); driver
-    * records a rows-only check. */
   /** HyperLogLog distinct-count sketch, engine-portable (the ss2/ss4/dd4
     * conversion pattern applied to HLL): instead of Spark's built-in
     * `approx_count_distinct` (whose HLL++ register layout and bias tables
@@ -382,9 +379,6 @@ object Relational {
         col("n"))
       .orderBy("l_returnflag")
 
-  /** Sketch percentiles (KLL-style approx_percentile) — the 100 TB path
-    * where an exact global sort is off the table. Engine-specific sketch ⇒
-    * rows-only driver check; bounds asserted in RelationalSpec. */
   /** Approximate percentiles via a DETERMINISTIC hash sample (the ss2/q24
     * conversion pattern applied to quantiles): instead of Spark's built-in
     * `approx_percentile` (a KLL/GK-style sketch whose compaction schedule
