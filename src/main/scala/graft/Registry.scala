@@ -159,7 +159,13 @@ object Registry {
       "sp AS (SELECT c.id_a, k.doc_id AS id_b FROM keyed k JOIN canon c USING (sigkey) WHERE k.doc_id <> c.id_a), " +
       "cand AS (SELECT DISTINCT id_a, id_b FROM (SELECT * FROM bp UNION ALL SELECT * FROM sp) u), " +
       "sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id), " +
-      "inter AS (SELECT cand.id_a, cand.id_b, count(*) AS c FROM cand JOIN toks a ON a.doc_id = cand.id_a JOIN toks b ON b.doc_id = cand.id_b AND b.w = a.w GROUP BY 1, 2), " +
+      // MATERIALIZED pins the join ORDER: cand→toks(id_a) first, THEN
+      // toks(id_b, w). Left free, DuckDB may start from toks⋈toks on w —
+      // Σ df(w)² pairs, which at the 10× duplicate-heavy stress corpus
+      // spilled >26 GB before dying; candidate-first is linear in
+      // |cand|·avg_doc_len (observed: the same query finishes in seconds)
+      "ca AS MATERIALIZED (SELECT cand.id_a, cand.id_b, a.w FROM cand JOIN toks a ON a.doc_id = cand.id_a), " +
+      "inter AS (SELECT ca.id_a, ca.id_b, count(*) AS c FROM ca JOIN toks b ON b.doc_id = ca.id_b AND b.w = ca.w GROUP BY 1, 2), " +
       "vp AS (SELECT id_a, id_b, c / (sa.n + sb.n - c) AS jacc FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id)"
   }
 
