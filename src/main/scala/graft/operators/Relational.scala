@@ -312,18 +312,26 @@ object Relational {
     * built-in sketch remains bounds-asserted against this and the exact
     * counts in RelationalSpec. */
   def q24ApproxCountDistinct(s: SparkSession, d: String): DataFrame = {
-    val pairs = t(s, d, "lineitem").select(
-      col("l_returnflag"),
-      explode(array(
-        struct(lit("p").as("cid"), col("l_partkey").cast("string").as("v")),
-        struct(lit("o").as("cid"), col("l_orderkey").cast("string").as("v"))
-      )).as("x"))
-      .select(col("l_returnflag"), col("x.cid").as("cid"), col("x.v").as("v"))
+    val li = t(s, d, "lineitem")
+    // two pruned scan branches instead of an explode: no 2×-row struct
+    // materialization, each branch partial-aggregates its own registers
+    val pairs = li.select(col("l_returnflag"), lit("p").as("cid"),
+        col("l_partkey").cast("string").as("v"))
+      .unionAll(li.select(col("l_returnflag"), lit("o").as("cid"),
+        col("l_orderkey").cast("string").as("v")))
     val regs = pairs
       .withColumn("h", expr("CAST(conv(substr(md5(v), 1, 15), 16, 10) AS BIGINT)"))
       .withColumn("bucket", expr("h DIV 2251799813685248")) // 2^51 → top 9 of 60 bits
       .withColumn("r", expr("h % 2251799813685248"))
-      .withColumn("rho", expr("CASE WHEN r = 0 THEN 52 ELSE 52 - length(bin(r)) END"))
+      // exact integer bit-length without bin()'s per-row string: the float
+      // log2 may misround near powers of two, the shiftleft comparisons
+      // correct it exactly either way (rho ≡ 52 − length(bin(r)))
+      .withColumn("bl0", expr("CAST(floor(log(2.0e0, CAST(r AS DOUBLE))) AS INT)"))
+      .withColumn("rho", expr(
+        "CASE WHEN r = 0 THEN 52 ELSE 52 - (CASE " +
+          "WHEN shiftleft(CAST(1 AS BIGINT), bl0 + 1) <= r THEN bl0 + 2 " +
+          "WHEN shiftleft(CAST(1 AS BIGINT), bl0) > r THEN bl0 " +
+          "ELSE bl0 + 1 END) END"))
       .groupBy("l_returnflag", "cid", "bucket")
       .agg(max("rho").as("mx"))
     val ests = regs
