@@ -739,7 +739,7 @@ object Registry {
       // pp3's chunk CTE + one fp-keyed cross-doc distinct count
       "WITH t AS (SELECT doc_id, string_split(text,' ') AS a, CAST(len(string_split(text,' ')) AS BIGINT) AS n FROM documents), c AS (SELECT doc_id, a, unnest(generate_series(0, CAST(greatest(ceil((n - 32)/24.0), 0) AS BIGINT))) AS ci FROM t), ch AS (SELECT doc_id, md5(array_to_string(a[ci*24+1 : ci*24+32], ' ')) AS chunk_fp FROM c), x AS (SELECT chunk_fp FROM ch GROUP BY chunk_fp HAVING count(DISTINCT doc_id) > 1) SELECT ch.doc_id, count(*) AS n_chunks, CAST(sum(CASE WHEN x.chunk_fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks, round(sum(CASE WHEN x.chunk_fp IS NOT NULL THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 4) AS boilerplate_frac FROM ch LEFT JOIN x ON ch.chunk_fp = x.chunk_fp GROUP BY ch.doc_id ORDER BY ch.doc_id"),
     q("pp8_repetition_filter", (s, d) => Pipeline.repetitionFilter(s, d),
-      "WITH t AS (SELECT doc_id, string_split(text,' ') AS a FROM documents WHERE len(string_split(text,' ')) >= 2), base AS (SELECT doc_id, CAST(len(a) AS BIGINT) AS n_tokens, 1.0 - len(list_distinct(a)) / CAST(len(a) AS DOUBLE) AS dup_word_frac FROM t), fg AS (SELECT doc_id, md5(array_to_string(a[i:i+4],' ')) AS g FROM t, UNNEST(generate_series(1, len(a)-4)) AS u(i) WHERE len(a) >= 5), fd AS (SELECT doc_id, 1.0 - count(DISTINCT g) / CAST(count(*) AS DOUBLE) AS dup5 FROM fg GROUP BY doc_id), bi AS (SELECT doc_id, a[i] || ' ' || a[i+1] AS bg FROM t, UNNEST(generate_series(1, len(a)-1)) AS u(i)), bc AS (SELECT doc_id, bg, count(*) AS c FROM bi GROUP BY doc_id, bg), tb AS (SELECT doc_id, max(c) / CAST(sum(c) AS DOUBLE) AS top_bigram_frac FROM bc GROUP BY doc_id) SELECT b.doc_id, b.n_tokens, round(b.dup_word_frac, 4) AS dup_word_frac, round(coalesce(fd.dup5, 0.0), 4) AS dup_5gram_frac, round(tb.top_bigram_frac, 4) AS top_bigram_frac FROM base b JOIN tb ON b.doc_id = tb.doc_id LEFT JOIN fd ON b.doc_id = fd.doc_id WHERE tb.top_bigram_frac <= 0.08 ORDER BY b.doc_id"),
+      "WITH t AS (SELECT doc_id, string_split(text,' ') AS a FROM documents WHERE len(string_split(text,' ')) >= 2), base AS (SELECT doc_id, CAST(len(a) AS BIGINT) AS n_tokens, 1.0 - len(list_distinct(a)) / CAST(len(a) AS DOUBLE) AS dup_word_frac FROM t), fg AS (SELECT doc_id, array_to_string(a[i:i+4],' ') AS g FROM t, UNNEST(generate_series(1, len(a)-4)) AS u(i) WHERE len(a) >= 5),fd AS (SELECT doc_id, 1.0 - count(DISTINCT g) / CAST(count(*) AS DOUBLE) AS dup5 FROM fg GROUP BY doc_id), bi AS (SELECT doc_id, a[i] || ' ' || a[i+1] AS bg FROM t, UNNEST(generate_series(1, len(a)-1)) AS u(i)), bc AS (SELECT doc_id, bg, count(*) AS c FROM bi GROUP BY doc_id, bg), tb AS (SELECT doc_id, max(c) / CAST(sum(c) AS DOUBLE) AS top_bigram_frac FROM bc GROUP BY doc_id) SELECT b.doc_id, b.n_tokens, round(b.dup_word_frac, 4) AS dup_word_frac, round(coalesce(fd.dup5, 0.0), 4) AS dup_5gram_frac, round(tb.top_bigram_frac, 4) AS top_bigram_frac FROM base b JOIN tb ON b.doc_id = tb.doc_id LEFT JOIN fd ON b.doc_id = fd.doc_id WHERE tb.top_bigram_frac <= 0.08 ORDER BY b.doc_id"),
     q("pp9_redact_pii", Pipeline.redactEvents,
       "WITH p AS (SELECT event_id, event_type || ' uid=' || CAST(user_id AS VARCHAR) || ' ' || props AS payload FROM events) SELECT event_id, regexp_replace(payload, '[0-9]+', '<NUM>', 'g') AS redacted, CAST(len(regexp_extract_all(payload, '[0-9]+')) AS BIGINT) AS n_redactions FROM p ORDER BY event_id"),
 

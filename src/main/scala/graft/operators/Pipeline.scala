@@ -385,9 +385,13 @@ object Pipeline {
       (lit(1.0) - size(array_distinct(col("a"))).cast("double") / size(col("a")))
         .as("dup_word_frac"),
       when(size(col("a")) >= 5,
+        // distinct over the joined 5-gram strings directly — an earlier
+        // form md5'd each one first, which was pure added cost (the string
+        // is built either way) plus a collision assumption; counts are
+        // identical and the oracle mirrors the no-hash form
         lit(1.0) - size(array_distinct(transform(
           sequence(lit(0), size(col("a")) - 5),
-          i => md5(array_join(slice(col("a"), i + 1, lit(5)), " ").cast("binary")))))
+          i => array_join(slice(col("a"), i + 1, lit(5)), " "))))
           .cast("double") / (size(col("a")) - 4))
         .otherwise(lit(0.0)).as("dup_5gram_frac"))
     val topBigram = docs
