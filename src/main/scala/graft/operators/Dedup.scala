@@ -288,11 +288,24 @@ object Dedup {
     * md5 is not re-evaluated per bit. */
   def simhash(docs: DataFrame): DataFrame = {
     val toks = tokens(docs)
+    // ONE 15-digit conv + one 1-digit conv per token instead of 16
+    // substring+conv pairs (subexpression elimination already shared the
+    // md5; the 14 extra substring allocs and base-16 parses were not
+    // free). Bit b of digit i (hex digit i+1 of the digest) is
+    // (digit >> (b%4)) & 1 — for i<15 the digit is (h60 >> 4*(14−i)) & 15,
+    // so the two shifts fold into one; digit 15 rides separately. Values
+    // are bit-identical to the per-digit form (the dd5 oracle still
+    // derives them digit-by-digit and stays hash-exact).
     val digits = toks.select(
-      col("doc_id") +: (0 until 16).map(i =>
-        conv(substring(md5(col("w")), i + 1, 1), 16, 10).cast("int").as(s"d$i")): _*)
-    val bitSums = (0 until 64).map(b =>
-      sum(shiftright(col(s"d${b / 4}"), b % 4).bitwiseAND(lit(1)) * 2 - 1).as(s"s$b"))
+      col("doc_id"),
+      expr("CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT)").as("h60"),
+      expr("CAST(conv(substr(md5(w), 16, 1), 16, 10) AS BIGINT)").as("d15"))
+    val bitSums = (0 until 64).map { b =>
+      val bit =
+        if (b / 4 < 15) shiftright(col("h60"), 4 * (14 - b / 4) + b % 4)
+        else shiftright(col("d15"), b % 4)
+      sum(bit.bitwiseAND(lit(1L)) * 2 - 1).as(s"s$b")
+    }
     digits.groupBy("doc_id")
       .agg(bitSums.head, bitSums.tail: _*)
       .select(
