@@ -27,6 +27,25 @@ class ScaleSpec extends AnyFunSuite {
     assert(!p.contains("l_shipdate"))
   }
 
+  test("q24: each HLL scan branch prunes lineitem to its 2 columns") {
+    // the portable HLL reads lineitem twice (union'd branches, one per
+    // hashed column); each branch must prune to (l_returnflag + its own
+    // key) — a branch reading both keys, or any other column, pays the
+    // full-width scan twice at 100 TB
+    val p = plan("q24_approx_count_distinct")
+    assert(p.contains("ReadSchema: struct<l_partkey:bigint,l_returnflag:string>"),
+      "partkey branch not pruned to its 2 columns")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_returnflag:string>"),
+      "orderkey branch not pruned to its 2 columns")
+  }
+
+  test("q32: the sample percentile scan prunes to the 4 needed columns") {
+    val p = plan("q32_approx_percentiles")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int," +
+      "l_extendedprice:double,l_returnflag:string>"),
+      "sample-percentile scan reads more than (rowkey cols, value, group)")
+  }
+
   test("q03: top-k plans TakeOrderedAndProject (no global sort) over broadcast joins") {
     val p = plan("q03_top_revenue_orders")
     assert(p.contains("TakeOrderedAndProject"))
