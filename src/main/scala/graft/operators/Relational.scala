@@ -311,15 +311,26 @@ object Relational {
     * exactly how a distributed HLL merge works (register-wise max). The
     * built-in sketch remains bounds-asserted against this and the exact
     * counts in RelationalSpec. */
-  def q24ApproxCountDistinct(s: SparkSession, d: String): DataFrame = {
-    val li = t(s, d, "lineitem")
+  def q24ApproxCountDistinct(s: SparkSession, d: String): DataFrame =
+    hllEstimateFromRegisters(
+      hllRegisterRows(t(s, d, "lineitem"))
+        .groupBy("l_returnflag", "cid", "bucket")
+        .agg(max("rho").as("mx")))
+
+  /** The per-row half of the portable HLL: (group, column-id, bucket, rho)
+    * rows from lineitem's two hashed key columns. A NARROW projection —
+    * no shuffle, no state — which is what makes the sketch streaming-legal
+    * (StreamingSpec proves register max-merge across micro-batches ≡ the
+    * batch aggregation; register-wise max is associative and commutative,
+    * the same property the 1000-executor merge relies on). */
+  private[graft] def hllRegisterRows(li: DataFrame): DataFrame = {
     // two pruned scan branches instead of an explode: no 2×-row struct
     // materialization, each branch partial-aggregates its own registers
     val pairs = li.select(col("l_returnflag"), lit("p").as("cid"),
         col("l_partkey").cast("string").as("v"))
       .unionAll(li.select(col("l_returnflag"), lit("o").as("cid"),
         col("l_orderkey").cast("string").as("v")))
-    val regs = pairs
+    pairs
       .withColumn("h", expr("CAST(conv(substr(md5(v), 1, 15), 16, 10) AS BIGINT)"))
       .withColumn("bucket", expr("h DIV 2251799813685248")) // 2^51 → top 9 of 60 bits
       .withColumn("r", expr("h % 2251799813685248"))
@@ -332,8 +343,13 @@ object Relational {
           "WHEN shiftleft(CAST(1 AS BIGINT), bl0 + 1) <= r THEN bl0 + 2 " +
           "WHEN shiftleft(CAST(1 AS BIGINT), bl0) > r THEN bl0 " +
           "ELSE bl0 + 1 END) END"))
-      .groupBy("l_returnflag", "cid", "bucket")
-      .agg(max("rho").as("mx"))
+      .select("l_returnflag", "cid", "bucket", "rho")
+  }
+
+  /** The estimator half: from materialized registers (l_returnflag, cid,
+    * bucket, mx) to the pivoted per-group estimates. Pure closed-form math
+    * over ≤ groups×2×512 rows. */
+  private[graft] def hllEstimateFromRegisters(regs: DataFrame): DataFrame = {
     val ests = regs
       .groupBy("l_returnflag", "cid")
       .agg(

@@ -366,6 +366,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(keeps == batchKeeps)
   }
 
+  test("streaming HLL register maxes across micro-batches equal batch q24 exactly") {
+    // The portable HLL is the canonical STREAMING sketch: the register
+    // derivation is a narrow per-row projection (no state), and the only
+    // aggregation is a register-wise max — associative + commutative, so
+    // a complete-mode streaming agg over arbitrary micro-batch slices must
+    // land on the identical register table a 1000-executor batch merge
+    // would. The estimator then runs on the final registers; outputs must
+    // be BIT-identical to batch q24 (integer register sums ⇒ no float
+    // order sensitivity to hide behind).
+    val base = java.nio.file.Files.createTempDirectory("graft-hll").toString
+    val inDir = s"$base/in"
+    Tables(spark, sf, "lineitem")
+      .select("l_returnflag", "l_partkey", "l_orderkey")
+      .repartition(4).write.parquet(inDir) // four files => four micro-batches
+    val schema = spark.read.parquet(inDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val q = StreamingOps.runToMemory(
+      graft.operators.Relational.hllRegisterRows(stream)
+        .groupBy("l_returnflag", "cid", "bucket")
+        .agg(max("rho").as("mx")),
+      "stream_hll_regs", OutputMode.Complete)
+    try {
+      val streamed = graft.operators.Relational
+        .hllEstimateFromRegisters(spark.table("stream_hll_regs"))
+        .collect().map(_.toString).sorted.toSeq
+      val batch = Registry.queries("q24_approx_count_distinct")(spark, sf)
+        .collect().map(_.toString).sorted.toSeq
+      assert(batch.nonEmpty && streamed == batch)
+    } finally q.stop()
+  }
+
   test("stateful per-user totals equal batch groupBy") {
     val q = StreamingOps.runToMemory(
       StreamingOps.statefulUserTotals(StreamingOps.eventStream(spark, sf)).toDF(),
