@@ -3,9 +3,11 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   /** Per-query reference seconds — the minimum of the two most recent
-    * recorded driver benches (r05/r06) per short code; queries without
-    * history default to 1.0 s. Used ONLY by the outlier re-time rule
-    * below, never as a pass/fail gate. */
+    * recorded driver benches per short code (r05/r06 for the original
+    * entries; q24/q32 re-referenced from r07 warm readings after their
+    * portable-sketch conversions changed their cost class); queries
+    * without history default to 1.0 s. Used ONLY by the outlier re-time
+    * rule below, never as a pass/fail gate. */
   private val RefSeconds: Map[String, Double] = Map(
     "bf1" -> 3.87, "bp1" -> 0.64, "bp2" -> 1.61, "dd1" -> 0.45, "dd10" -> 5.24,
     "dd11" -> 1.39, "dd12" -> 4.13, "dd13" -> 3.44, "dd2" -> 1.75, "dd3" -> 1.18,

@@ -28,6 +28,17 @@ object Registry {
   private def q(name: String, fn: (SparkSession, String) => DataFrame, oracle: String) =
     RegisteredQuery(name, fn, Some(oracle))
 
+  /** DuckDB text for the 60-bit value of 15 hex digits of column `h`
+    * starting at 1-based position `start` — the oracle-side twin of
+    * [[graft.functions.PortableHash.md5Hex60]] (and of the MinhashKernel
+    * digest halves, which read slices at 1 and 17). ONE definition so the
+    * parse rule can never drift between the oracles that share it
+    * (lshOracleCtes, q24, q32). */
+  private def hexSlice(start: Int, h: String = "h"): String =
+    (0 until 15).map { j =>
+      s"CAST(strpos('0123456789abcdef', substr($h, ${start + j}, 1)) - 1 AS BIGINT) * ${1L << (4 * (14 - j))}"
+    }.mkString(" + ")
+
   /** gr1's oracle: PageRank's 10 rounds UNROLLED as chained CTEs (DuckDB
     * disallows aggregates over the recursive reference in WITH RECURSIVE,
     * so a recursive CTE cannot carry the per-round inflow sum). The edge
@@ -70,14 +81,12 @@ object Registry {
     * (q41's rule: HUGEINT→DOUBLE may double-round; strtod is one
     * correctly-rounded step on both engines). */
   private def q24OracleSql: String = {
-    val hex15 = (0 until 15).map { j =>
-      s"CAST(strpos('0123456789abcdef', substr(h, ${1 + j}, 1)) - 1 AS BIGINT) * ${1L << (4 * (14 - j))}"
-    }.mkString(" + ")
-    "WITH pairs AS (" +
+    "WITH pairs AS (SELECT * FROM (" +
       "SELECT l_returnflag, 'p' AS cid, CAST(l_partkey AS VARCHAR) AS v FROM lineitem " +
-      "UNION ALL SELECT l_returnflag, 'o', CAST(l_orderkey AS VARCHAR) FROM lineitem), " +
+      "UNION ALL SELECT l_returnflag, 'o', CAST(l_orderkey AS VARCHAR) FROM lineitem) " +
+      "WHERE v IS NOT NULL), " + // NULL keys contribute no register (q24's filter)
       "hh AS (SELECT l_returnflag, cid, md5(v) AS h FROM pairs), " +
-      s"hp AS (SELECT l_returnflag, cid, $hex15 AS hv FROM hh), " +
+      s"hp AS (SELECT l_returnflag, cid, ${hexSlice(1)} AS hv FROM hh), " +
       "rb AS (SELECT l_returnflag, cid, hv // 2251799813685248 AS bucket, hv % 2251799813685248 AS r FROM hp), " +
       "rr AS (SELECT l_returnflag, cid, bucket, CASE WHEN r = 0 THEN 52 ELSE 52 - length(bin(r)) END AS rho FROM rb), " +
       "regs AS (SELECT l_returnflag, cid, bucket, max(rho) AS mx FROM rr GROUP BY 1, 2, 3), " +
@@ -96,13 +105,10 @@ object Registry {
     * and the identical fixed-order interpolation arithmetic in e-notation
     * double literals. */
   private def q32OracleSql: String = {
-    val hex15 = (0 until 15).map { j =>
-      s"CAST(strpos('0123456789abcdef', substr(h, ${1 + j}, 1)) - 1 AS BIGINT) * ${1L << (4 * (14 - j))}"
-    }.mkString(" + ")
     "WITH sr AS (SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS x, " +
       "CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR) AS rk FROM lineitem), " +
       "hs AS (SELECT l_returnflag, x, rk, md5(rk) AS h FROM sr), " +
-      s"kept AS (SELECT l_returnflag, x, rk FROM hs WHERE ($hex15) % 10 = 0), " +
+      s"kept AS (SELECT l_returnflag, x, rk FROM hs WHERE (${hexSlice(1)}) % 10 = 0), " +
       "rn AS (SELECT l_returnflag, x, row_number() OVER (PARTITION BY l_returnflag ORDER BY x, rk) AS rn, " +
       "count(*) OVER (PARTITION BY l_returnflag) AS n FROM kept), " +
       "ix AS (SELECT *, CAST(n - 1 AS DOUBLE) * 0.5e0 AS i50, CAST(floor(CAST(n - 1 AS DOUBLE) * 0.5e0) AS BIGINT) AS lo50, " +
@@ -131,11 +137,6 @@ object Registry {
   private def lshOracleCtes: String = {
     import graft.operators.Dedup.{BandSize, BucketCap, NumBands, NumHashes}
     import graft.functions.MinhashKernel.P
-    // value of the 15 hex digits of `h` starting at 1-based position start
-    def hexSlice(start: Int): String =
-      (0 until 15).map { j =>
-        s"CAST(strpos('0123456789abcdef', substr(h, ${start + j}, 1)) - 1 AS BIGINT) * ${1L << (4 * (14 - j))}"
-      }.mkString(" + ")
     val sigCols = (0 until NumHashes)
       .map(i => s"min(CAST((h1 + CAST($i AS HUGEINT) * h2) % $P AS BIGINT)) AS h$i")
       .mkString(", ")

@@ -298,8 +298,8 @@ object Dedup {
     // derives them digit-by-digit and stays hash-exact).
     val digits = toks.select(
       col("doc_id"),
-      expr("CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT)").as("h60"),
-      expr("CAST(conv(substr(md5(w), 16, 1), 16, 10) AS BIGINT)").as("d15"))
+      graft.functions.PortableHash.md5Hex60("w").as("h60"),
+      graft.functions.PortableHash.md5HexDigit16("w").as("d15"))
     val bitSums = (0 until 64).map { b =>
       val bit =
         if (b / 4 < 15) shiftright(col("h60"), 4 * (14 - b / 4) + b % 4)

@@ -330,8 +330,13 @@ object Relational {
         col("l_partkey").cast("string").as("v"))
       .unionAll(li.select(col("l_returnflag"), lit("o").as("cid"),
         col("l_orderkey").cast("string").as("v")))
+      // NULL keys contribute no register — matching approx_count_distinct's
+      // null handling; without this a null bucket would inflate nb and
+      // corrupt the empty-register count vz (review finding, latent on the
+      // non-null TPC-H keys; the oracle filters identically)
+      .where(col("v").isNotNull)
     pairs
-      .withColumn("h", expr("CAST(conv(substr(md5(v), 1, 15), 16, 10) AS BIGINT)"))
+      .withColumn("h", graft.functions.PortableHash.md5Hex60("v"))
       .withColumn("bucket", expr("h DIV 2251799813685248")) // 2^51 → top 9 of 60 bits
       .withColumn("r", expr("h % 2251799813685248"))
       // exact integer bit-length without bin()'s per-row string: the float
@@ -426,7 +431,7 @@ object Relational {
         col("l_returnflag"),
         col("l_extendedprice").cast("double").as("x"),
         concat(col("l_orderkey"), lit("_"), col("l_linenumber")).as("rk"))
-      .where(expr("CAST(conv(substr(md5(rk), 1, 15), 16, 10) AS BIGINT) % 10 = 0"))
+      .where(graft.functions.PortableHash.md5Hex60("rk") % 10 === 0)
     val byGrp = Window.partitionBy("l_returnflag")
     val ranked = samp
       .withColumn("rn", row_number().over(byGrp.orderBy("x", "rk")))

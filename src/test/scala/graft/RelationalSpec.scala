@@ -131,7 +131,9 @@ class RelationalSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     // 3×rsd for m=512 registers: 3·1.04/√512 ≈ 0.138
     val bound = 0.15
-    Registry.queries("q24_approx_count_distinct")(spark, sf).collect().foreach { r =>
+    val q24rows = Registry.queries("q24_approx_count_distinct")(spark, sf).collect()
+    assert(q24rows.nonEmpty, "q24 returned no rows — bound loop would pass vacuously")
+    q24rows.foreach { r =>
       val (p, o) = exact(r.getString(0))
       assert(math.abs(r.getLong(1) - p).toDouble / p < bound,
         s"${r.getString(0)}: portable HLL nd_part ${r.getLong(1)} vs exact $p")
@@ -161,7 +163,9 @@ class RelationalSpec extends AnyFunSuite {
         s"""SELECT CAST(count(CASE WHEN l_extendedprice <= $v THEN 1 END) AS DOUBLE)
            |/ count(*) FROM lineitem WHERE l_returnflag = '$flag'""".stripMargin)
         .collect()(0).getDouble(0)
-    Registry.queries("q32_approx_percentiles")(spark, sf).collect().foreach { r =>
+    val q32rows = Registry.queries("q32_approx_percentiles")(spark, sf).collect()
+    assert(q32rows.nonEmpty, "q32 returned no rows — bound loop would pass vacuously")
+    q32rows.foreach { r =>
       assert(math.abs(rankOf(r.getString(0), r.getDouble(1)) - 0.5) < 0.11,
         s"${r.getString(0)}: ap50 rank off")
       assert(math.abs(rankOf(r.getString(0), r.getDouble(2)) - 0.95) < 0.05,
