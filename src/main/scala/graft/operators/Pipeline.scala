@@ -355,8 +355,13 @@ object Pipeline {
     val bloom = s.sparkContext.broadcast(holdout.stat.bloomFilter("sh", expected, fpp))
     val train = shingles.filter(col("split") === "train")
       .select(col("doc_id").as("train_id"), col("sh"))
-    val surviving = train.filter((r: org.apache.spark.sql.Row) =>
-      bloom.value.mightContainString(r.getAs[String]("sh")))
+    // codegen'd probe (graft.functions.BloomMightContainString): a
+    // row-lambda here would deserialize every train shingle and break
+    // WholeStageCodegen on the one path whose point is that non-matches
+    // never reach the shuffle (the hh1/CmsProbe pattern)
+    val surviving = train.filter(
+      org.apache.spark.sql.GraftShim.column(graft.functions.BloomMightContainString(
+        org.apache.spark.sql.GraftShim.expression(col("sh")), bloom)))
     surviving.join(holdout, "sh")
       .groupBy("train_id").agg(countDistinct("sh").as("n_shared"))
       .orderBy("train_id")
