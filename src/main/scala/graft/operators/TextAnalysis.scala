@@ -96,13 +96,16 @@ object TextAnalysis {
   /** Character-n-gram language ID — the n-gram-heuristic family proper
     * (tx3 is its marker-WORD sibling): per language, sum the occurrence
     * counts of a small characteristic trigram profile, argmax with fixed
-    * priority on ties. Occurrences are counted with the replace trick
-    * `(len(text) − len(replace(text, tri))) / 3` — pure codegen'd string
-    * ops, one linear pass per profile trigram, identical semantics in any
-    * engine (no regex dialect in play). */
+    * priority on ties. Occurrences are counted in place by the codegen'd
+    * [[graft.functions.CountOccurrences]] kernel — the oracle keeps the
+    * equivalent replace trick `(len(text) − len(replace(text, tri))) / 3`
+    * (same non-overlapping left-to-right match set), which previously ran
+    * here too: 12 probed trigrams meant 12 full text copies per document
+    * for counts that need zero allocation. */
   def charNgramLanguageId(s: SparkSession, d: String): DataFrame = {
     def hits(tris: Seq[String]): Column = tris.map { tri =>
-      (length(col("text")) - length(expr(s"replace(text, '$tri', '')"))) / tri.length
+      org.apache.spark.sql.GraftShim.column(graft.functions.CountOccurrences(
+        org.apache.spark.sql.GraftShim.expression(col("text")), tri))
     }.reduce(_ + _).cast("long")
     val scores = TrigramProfiles.map { case (lang, tris) => lang -> hits(tris) }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
