@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Stream the forked program's stdout/stderr RAW instead of through sbt's
+// logger: the driver parses Bench's one-line JSON from the output tail,
+// and the default LoggedOutput strategy prefixes every line with
+// "[info] ", which breaks a line-anchored JSON parse (BENCH_r04–r07 all
+// recorded parsed:null for exactly this reason).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -60,7 +60,11 @@ object Bench {
     try {
       spark.range(1000000).selectExpr("sum(id)").collect()
       SparkEntry.queries.get("q01_pricing_summary").foreach(run)
-    } catch { case _: Throwable => () }
+    } catch {
+      // a warm-up failure (e.g. unreadable sfDir) must be diagnosable —
+      // silently swallowed it would surface only as uniformly-cold firsts
+      case e: Throwable => println(s"[bench] warm-up failed: ${e.getMessage}")
+    }
     // A query that throws must not masquerade as a fast success: its timing
     // is recorded NEGATIVE (time-to-failure) and its name+message land in an
     // "errors" object, excluded from the total.

@@ -109,7 +109,7 @@ object Registry {
       "CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR) AS rk FROM lineitem), " +
       "hs AS (SELECT l_returnflag, x, rk, md5(rk) AS h FROM sr), " +
       s"kept AS (SELECT l_returnflag, x, rk FROM hs WHERE (${hexSlice(1)}) % 10 = 0), " +
-      "rn AS (SELECT l_returnflag, x, row_number() OVER (PARTITION BY l_returnflag ORDER BY x, rk) AS rn, " +
+      "rn AS (SELECT l_returnflag, x, row_number() OVER (PARTITION BY l_returnflag ORDER BY x NULLS FIRST, rk NULLS FIRST) AS rn, " +
       "count(*) OVER (PARTITION BY l_returnflag) AS n FROM kept), " +
       "ix AS (SELECT *, CAST(n - 1 AS DOUBLE) * 0.5e0 AS i50, CAST(floor(CAST(n - 1 AS DOUBLE) * 0.5e0) AS BIGINT) AS lo50, " +
       "CAST(n - 1 AS DOUBLE) * 0.95e0 AS i95, CAST(floor(CAST(n - 1 AS DOUBLE) * 0.95e0) AS BIGINT) AS lo95 FROM rn), " +

@@ -306,11 +306,23 @@ object Relational {
     * bit-identical cross-engine on identical inputs (tx9/tx10 precedent
     * for ln), and the final floor(+0.5)→BIGINT washes sub-ulp risk.
     *
-    * 100 TB shape: ONE scan; partial aggregation combines to ≤
-    * groups×2×512 register rows per task before the only shuffle —
-    * exactly how a distributed HLL merge works (register-wise max). The
-    * built-in sketch remains bounds-asserted against this and the exact
-    * counts in RelationalSpec. */
+    * 100 TB shape: TWO pruned 2-column scans (one per hashed key — the
+    * union'd branches each read exactly (l_returnflag, key); an explode
+    * from one scan was measured slower, see hllRegisterRows); partial
+    * aggregation combines each branch to ≤ groups×512 register rows per
+    * task before the only shuffle — exactly how a distributed HLL merge
+    * works (register-wise max). The built-in sketch remains
+    * bounds-asserted against this and the exact counts in RelationalSpec.
+    *
+    * Platform assumption (oracle hash-equality): the estimator's ln() and
+    * division chain must be bit-identical cross-engine. Division is IEEE
+    * correctly-rounded everywhere; ln is libm-dependent, and glibc's ln is
+    * correctly rounded for these inputs (verified on this platform —
+    * tx9/tx10 carry the same dependency). floor(x+0.5) then absorbs
+    * sub-ulp drift except exactly at half-integer boundaries; on a libm
+    * whose ln differs in the last ulp the linear-counting branch could in
+    * principle flip a count by 1. The register table itself is fully
+    * integer and portable unconditionally. */
   def q24ApproxCountDistinct(s: SparkSession, d: String): DataFrame =
     hllEstimateFromRegisters(
       hllRegisterRows(t(s, d, "lineitem"))
@@ -433,8 +445,12 @@ object Relational {
         concat(col("l_orderkey"), lit("_"), col("l_linenumber")).as("rk"))
       .where(graft.functions.PortableHash.md5Hex60("rk") % 10 === 0)
     val byGrp = Window.partitionBy("l_returnflag")
+    // null ordering pinned explicitly on BOTH sides (Spark defaults NULLS
+    // FIRST, DuckDB NULLS LAST — identical here only because lineitem's
+    // columns are non-null; the pin keeps the pattern safe on nullable data)
     val ranked = samp
-      .withColumn("rn", row_number().over(byGrp.orderBy("x", "rk")))
+      .withColumn("rn", row_number().over(
+        byGrp.orderBy(col("x").asc_nulls_first, col("rk").asc_nulls_first)))
       .withColumn("n", count(lit(1)).over(byGrp))
       .withColumn("i50", expr("CAST(n - 1 AS DOUBLE) * 0.5e0"))
       .withColumn("lo50", expr("CAST(floor(i50) AS BIGINT)"))
