@@ -668,7 +668,7 @@ object Registry {
     // oracle row whose evidence runs through graft.streaming, not around it
     q("st1_stream_dedup_ingest", graft.streaming.StreamingOps.dedupIngestKeepList,
       "SELECT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp, min(doc_id) AS keep_id FROM documents GROUP BY fp ORDER BY keep_id"),
-    q("dd3_jaccard_pairs", Dedup.jaccardPairs,
+    q("dd3_jaccard_pairs", (s, d) => Dedup.jaccardPairs(s, d),
       "WITH m AS (SELECT greatest(1, count(*) // 500) AS mod FROM documents), d AS (SELECT doc_id, text FROM documents, m WHERE doc_id % m.mod = 0), toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM d), sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id), inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c FROM toks a JOIN toks b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT id_a, id_b, round(c / (sa.n + sb.n - c), 4) AS jaccard FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id WHERE c / (sa.n + sb.n - c) >= 0.85 ORDER BY id_a, id_b"),
     // dd4/dd8 carry FULL oracles since the r06 switch to the
     // engine-portable md5 hash family (see lshOracleCtes): DuckDB

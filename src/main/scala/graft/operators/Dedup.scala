@@ -49,8 +49,19 @@ object Dedup {
     * adapts to corpus size (target ≈500 docs: m = max(1, n/500), the same
     * arithmetic the oracle SQL computes). Jaccard is a ratio of integer
     * counts ⇒ bit-identical across engines.
-    */
-  def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+    *
+    * `dfCap` (prefix-filtering): tokens whose document frequency exceeds
+    * the cap are dropped from the PAIR JOIN only — set sizes stay exact —
+    * which bounds the join input to Σ_{df≤K} df² ≤ K·(total tokens),
+    * LINEAR in the corpus instead of quadratic in the hottest token. The
+    * capped intersection is a lower bound of |A∩B| and j(c)=c/(na+nb−c)
+    * is increasing in c, so the reported jaccard is a lower bound and the
+    * ≥-threshold output a SUBSET of the exact result (stopword-only
+    * overlap is what gets forgone — exactly the pairs near-dup detection
+    * doesn't want). The default ∞ keeps the oracle plan untouched; at
+    * scale beyond the sample bound, set a cap (ScaleSpec pins the capped
+    * shape and the subset/lower-bound contract). */
+  def jaccardPairs(s: SparkSession, d: String, dfCap: Long = Long.MaxValue): DataFrame = {
     val all = t(s, d, "documents")
     val m = math.max(1L, all.count() / 500)
     val docs = all.filter(col("doc_id") % m === 0)
@@ -62,8 +73,14 @@ object Dedup {
     // + sizes) without re-deriving the scan+split+explode per branch.
     val toks = tokens(docs).localCheckpoint()
     val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = toks.as("a")
-      .join(toks.as("b"), col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
+    // pair-join input: df-capped when requested; sizes above stay exact
+    val joinToks =
+      if (dfCap == Long.MaxValue) toks
+      else toks.join(
+        toks.groupBy("w").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= dfCap).select("w"), "w")
+    val inter = joinToks.as("a")
+      .join(joinToks.as("b"), col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("c"))
     val sa = sizes.select(col("doc_id").as("id_a"), col("n").as("na"))
@@ -88,8 +105,18 @@ object Dedup {
     * the decimal sums to double via VARCHAR (their unscaled values pass
     * 2^53, where DuckDB's direct decimal→double cast double-rounds); the
     * remaining ops (sqrt, ×, ÷, ≥) are correctly-rounded IEEE on identical
-    * inputs. */
-  def tfidfCosinePairs(s: SparkSession, d: String, threshold: Double = 0.8): DataFrame = {
+    * inputs.
+    *
+    * `dfCap` (prefix-filtering, same contract as [[jaccardPairs]]): tokens
+    * with df > cap are dropped from the PAIR JOIN only — norms stay exact
+    * over the full vectors — bounding the join input to K·(total tokens).
+    * Dropped terms have the corpus's LOWEST idf weights (idf = ln(N/df) is
+    * decreasing in df), so what the dot product forgoes is precisely the
+    * least-informative mass; the capped cosine is a lower bound (tf·idf
+    * weights are ≥ 0 for df ≤ N) and the ≥-threshold output a subset of
+    * the exact result. Default ∞ keeps the oracle plan untouched. */
+  def tfidfCosinePairs(s: SparkSession, d: String, threshold: Double = 0.8,
+      dfCap: Long = Long.MaxValue): DataFrame = {
     val all = t(s, d, "documents")
     val m = math.max(1L, all.count() / 500)
     val docs = all.filter(col("doc_id") % m === 0)
@@ -106,8 +133,12 @@ object Dedup {
       .localCheckpoint() // consumed by norms and twice by the pair join
     val nrm = wt.groupBy("doc_id")
       .agg(sqrt(sum((col("wt") * col("wt")).cast("decimal(28,10)")).cast("double")).as("nrm"))
-    val dot = wt.as("a")
-      .join(wt.as("b"), col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
+    // pair-join input: df-capped when requested; norms above stay exact
+    val joinWt =
+      if (dfCap == Long.MaxValue) wt
+      else wt.join(dfq.filter(col("df") <= dfCap).select("w"), "w")
+    val dot = joinWt.as("a")
+      .join(joinWt.as("b"), col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(sum((col("a.wt") * col("b.wt")).cast("decimal(28,10)")).cast("double").as("dot"))
     dot
