@@ -479,6 +479,59 @@ object StreamingOps {
       .orderBy("keep_id")
   }
 
+  /** Registry query (st2): the watermarked `session_window` sessionization
+    * PRODUCED BY Structured Streaming — the second oracle row whose
+    * evidence runs through graft.streaming (st1 covers foreachBatch ingest
+    * state; this covers the built-in session-window STATE STORE: windows
+    * opened in one micro-batch merge with events arriving in later ones).
+    *
+    * Choreography (st1's staged-files AvailableNow harness, keyed by time
+    * instead of doc_id): stage events as three parquet files in ts-range
+    * order, stream them one file per micro-batch through
+    * [[sessionWindows]] (watermark + 30-minute-gap session windows), run
+    * to a memory sink in Complete mode (session merging rewrites past
+    * windows — Append would need the watermark to close them, and
+    * AvailableNow ends before it advances past the last session), and emit
+    * the final session table. Time-ordered batches mean no late data, so
+    * the result is the BATCH sessionization of the whole corpus — which is
+    * exactly what the oracle asserts, via the ev2 lag/running-sum twin.
+    * Gap-boundary semantics verified empirically: events exactly `gap`
+    * apart MERGE (Spark's overlap test is inclusive), matching the twin's
+    * strict `> gap` new-session rule; window end = last event + gap.
+    * Timestamps are emitted as epoch micros (BIGINT) — integer-exact on
+    * both engines. */
+  def sessionizationFromStream(s: SparkSession, d: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft-st2-").toFile
+    // the result DataFrame is served from the memory sink, but the staged
+    // input must outlive this call for any re-execution of the plan
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(base)))
+    val inDir = new java.io.File(base, "in").getPath
+    val events = graft.Tables(s, d, "events")
+    val Seq(lo, hi) = events
+      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+      .collect()(0).toSeq.map(_.asInstanceOf[Long])
+    val cut1 = lo + (hi - lo + 1) / 3
+    val cut2 = lo + 2 * ((hi - lo + 1) / 3)
+    val us = unix_micros(col("ts"))
+    Seq(us < cut1, us >= cut1 && us < cut2, us >= cut2).zipWithIndex.foreach {
+      case (range, i) =>
+        events.filter(range).coalesce(1).write.parquet(s"$inDir/c$i.parquet")
+    }
+    val schema = s.read.parquet(s"$inDir/c0.parquet").schema
+    val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(s"$inDir/*.parquet/*.parquet")
+    // unique sink name: Bench's outlier re-time can run the query twice in
+    // one JVM, and a memory-sink queryName cannot be re-registered live
+    val name = "st2_sessions_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    runToMemory(sessionWindows(stream), name, OutputMode.Complete).stop()
+    s.table(name)
+      .select(col("user_id"),
+        unix_micros(col("s_start")).as("s_start_us"),
+        unix_micros(col("s_end")).as("s_end_us"),
+        col("n_events"))
+      .orderBy("user_id", "s_start_us")
+  }
+
   private def deleteRecursively(f: java.io.File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete()

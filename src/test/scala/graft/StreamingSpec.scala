@@ -39,6 +39,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("st2: multi-batch session_window sessionization equals the batch lag/running-sum form") {
+    import org.apache.spark.sql.expressions.Window
+    // the full st2 harness: three ts-range files, one per micro-batch, so
+    // sessions genuinely merge across batches in the state store
+    val streamed = StreamingOps.sessionizationFromStream(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val run = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gap = 1800000000L
+    val batch = Tables(spark, sf, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      .withColumn("new_s",
+        when(lag("ts_us", 1).over(w).isNull ||
+          col("ts_us") - lag("ts_us", 1).over(w) > gap, 1).otherwise(0))
+      .withColumn("session_id", sum("new_s").over(run))
+      .groupBy("user_id", "session_id")
+      .agg(min("ts_us").as("s_start_us"),
+        (max("ts_us") + gap).as("s_end_us"),
+        count(lit(1)).as("n_events"))
+      .select("user_id", "s_start_us", "s_end_us", "n_events")
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed == batch)
+  }
+
   test("streaming dedup drops cross-file duplicates down to the batch-distinct set") {
     // a source directory where every event arrives twice (two identical
     // files), streamed file-at-a-time so duplicates cross micro-batches
