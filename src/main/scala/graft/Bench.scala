@@ -24,11 +24,11 @@ object Bench {
     "q05" -> 0.45, "q06" -> 0.37, "q07" -> 0.25, "q08" -> 0.57, "q09" -> 0.56,
     "q10" -> 1.12, "q11" -> 1.1, "q12" -> 0.58, "q13" -> 0.54, "q14" -> 0.16,
     "q15" -> 0.33, "q16" -> 0.36, "q17" -> 0.28, "q18" -> 0.3, "q19" -> 0.54,
-    // q24/q32 re-referenced r07: the portable-sketch conversions changed
-    // their cost class (warm TimeQuery readings at sf0.1)
-    "q20" -> 0.32, "q21" -> 0.28, "q22" -> 0.6, "q23" -> 0.8, "q24" -> 1.46,
+    // q24/q32 re-referenced r08 after the Md5Bits64 kernel + q24's fused
+    // register key cut their oracle premium (warm TimeQuery at sf0.1)
+    "q20" -> 0.32, "q21" -> 0.28, "q22" -> 0.6, "q23" -> 0.8, "q24" -> 1.0,
     "q26" -> 0.58, "q27" -> 0.57, "q28" -> 0.74, "q29" -> 1.25, "q30" -> 1.23,
-    "q31" -> 1.92, "q32" -> 1.15, "q33" -> 0.48, "q34" -> 0.41, "q35" -> 1.37,
+    "q31" -> 1.92, "q32" -> 0.95, "q33" -> 0.48, "q34" -> 0.41, "q35" -> 1.37,
     "q36" -> 1.02, "q37" -> 0.52, "q38" -> 0.69, "q39" -> 0.64, "q40" -> 0.73,
     "q41" -> 1.06, "q42" -> 2.83, "q43" -> 0.47, "q44" -> 0.39, "q45" -> 1.13,
     "q46" -> 1.51, "q47" -> 0.84, "q48" -> 1.37, "q49" -> 0.75, "sj1" -> 0.59,

@@ -323,11 +323,33 @@ object Relational {
     * whose ln differs in the last ulp the linear-counting branch could in
     * principle flip a count by 1. The register table itself is fully
     * integer and portable unconditionally. */
-  def q24ApproxCountDistinct(s: SparkSession, d: String): DataFrame =
-    hllEstimateFromRegisters(
-      hllRegisterRows(t(s, d, "lineitem"))
-        .groupBy("l_returnflag", "cid", "bucket")
-        .agg(max("rho").as("mx")))
+  def q24ApproxCountDistinct(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+    // Per-branch register aggregation on a FUSED single-long key
+    // (ascii(flag)<<10 | cidBit<<9 | bucket): Spark's hash aggregate takes
+    // its fast primitive-key path for one long column, measured ~0.3 s
+    // cheaper at sf0.1 than the (string, string, long) 3-column key, and
+    // aggregating each branch separately drops the per-row cid string
+    // entirely. The branches' key spaces are disjoint (bit 9), so the
+    // union IS the merged register table — no re-aggregation. Key packing
+    // is collision-free because bucket < 2^9 and flags are single chars
+    // (TPC-H A/N/R; `ascii` reads the first char). [[hllRegisterRows]]
+    // keeps the unfused (flag, cid, bucket, rho) shape — it is the
+    // streaming-legal narrow projection StreamingSpec max-merges.
+    def branch(key: String, cidBit: Int): DataFrame =
+      withRho(li.select(col("l_returnflag"), col(key).cast("string").as("v"))
+        .where(col("v").isNotNull))
+        .select(expr("shiftleft(CAST(ascii(l_returnflag) AS BIGINT), 10)" +
+          s" + ${cidBit * 512} + bucket").as("k"), col("rho"))
+        .groupBy("k").agg(max("rho").as("mx"))
+    val regs = branch("l_partkey", 1).unionAll(branch("l_orderkey", 0))
+      .select(
+        expr("chr(k DIV 1024)").as("l_returnflag"),
+        expr("CASE WHEN (k DIV 512) % 2 = 1 THEN 'p' ELSE 'o' END").as("cid"),
+        expr("k % 512").as("bucket"),
+        col("mx"))
+    hllEstimateFromRegisters(regs)
+  }
 
   /** The per-row half of the portable HLL: (group, column-id, bucket, rho)
     * rows from lineitem's two hashed key columns. A NARROW projection —
@@ -347,7 +369,14 @@ object Relational {
       // corrupt the empty-register count vz (review finding, latent on the
       // non-null TPC-H keys; the oracle filters identically)
       .where(col("v").isNotNull)
-    pairs
+    withRho(pairs).select("l_returnflag", "cid", "bucket", "rho")
+  }
+
+  /** The shared hash→(bucket, rho) derivation over a relation with a
+    * string column `v`: h = md5's 60-bit slice, bucket = top 9 bits,
+    * rho = leading-zero rank of the remaining 51. */
+  private def withRho(withV: DataFrame): DataFrame =
+    withV
       .withColumn("h", graft.functions.PortableHash.md5Hex60("v"))
       .withColumn("bucket", expr("h DIV 2251799813685248")) // 2^51 → top 9 of 60 bits
       .withColumn("r", expr("h % 2251799813685248"))
@@ -360,8 +389,6 @@ object Relational {
           "WHEN shiftleft(CAST(1 AS BIGINT), bl0 + 1) <= r THEN bl0 + 2 " +
           "WHEN shiftleft(CAST(1 AS BIGINT), bl0) > r THEN bl0 " +
           "ELSE bl0 + 1 END) END"))
-      .select("l_returnflag", "cid", "bucket", "rho")
-  }
 
   /** The estimator half: from materialized registers (l_returnflag, cid,
     * bucket, mx) to the pivoted per-group estimates. Pure closed-form math
