@@ -30,7 +30,7 @@ object Bench {
     "q26" -> 0.58, "q27" -> 0.57, "q28" -> 0.74, "q29" -> 1.25, "q30" -> 1.23,
     "q31" -> 1.92, "q32" -> 0.95, "q33" -> 0.48, "q34" -> 0.41, "q35" -> 1.37,
     "q36" -> 1.02, "q37" -> 0.52, "q38" -> 0.69, "q39" -> 0.64, "q40" -> 0.73,
-    "q41" -> 1.06, "q42" -> 2.83, "q43" -> 0.47, "q44" -> 0.39, "q45" -> 1.13,
+    "q41" -> 1.06, "q42" -> 2.2, "q43" -> 0.47, "q44" -> 0.39, "q45" -> 1.13,
     "q46" -> 1.51, "q47" -> 0.84, "q48" -> 1.37, "q49" -> 0.75, "sj1" -> 0.59,
     "sj2" -> 0.54, "sm1" -> 0.17, "sm2" -> 0.22, "sm3" -> 0.47, "ss1" -> 0.45,
     "ss2" -> 0.49, "ss4" -> 1.69, "ss5" -> 1.3, "ss6" -> 4.9, "ss7" -> 0.39,

@@ -770,25 +770,46 @@ object Relational {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("c").orderBy("t", "k")
     val gapUs = 2592000000000L
+    // Two chain-walk steps per recursion round: the same window pass also
+    // derives succ² (valid only when BOTH hops are within the gap), the
+    // anchor seeds positions 0 AND 1, and the recursive step walks succ² —
+    // halving the rounds (each round is a full Spark job; per-step latency,
+    // not data volume, is this operator's cost at any SF). Row-set
+    // equivalence: a streak is a path, so every node has a unique 2-step
+    // predecessor in its own parity class — evens are reached from the
+    // seed, odds from the seed's successor, each exactly once. The oracle
+    // keeps the single-step inline recursion, so the hash compare proves
+    // the batched walk emits the identical chain relation.
     t(s, d, "orders")
       .select(
         col("o_orderkey").as("k"), col("o_custkey").as("c"),
         unix_micros(col("o_orderdate").cast("timestamp")).as("t"))
       .withColumn("nk", lead("k", 1).over(w))
       .withColumn("nt", lead("t", 1).over(w))
+      .withColumn("nk2", lead("k", 2).over(w))
+      .withColumn("nt2", lead("t", 2).over(w))
       .withColumn("pt", lag("t", 1).over(w))
       .select(col("k"), col("c"),
         when(col("nt") - col("t") <= gapUs, col("nk")).as("succ"),
+        when(col("nt") - col("t") <= gapUs && col("nt2") - col("nt") <= gapUs,
+          col("nk2")).as("succ2"),
         (col("pt").isNull || col("t") - col("pt") > gapUs).as("is_seed"))
       .localCheckpoint()
       .createOrReplaceTempView("q42_edges")
+    // non-recursive two-position anchor (a view — evaluated once per run)
+    s.sql(
+      """SELECT c, k AS seed, k FROM q42_edges WHERE is_seed
+        |UNION ALL
+        |SELECT c, k AS seed, succ AS k FROM q42_edges
+        |WHERE is_seed AND succ IS NOT NULL""".stripMargin)
+      .createOrReplaceTempView("q42_anchor")
     s.sql(
       """WITH RECURSIVE chain AS (
-        |  SELECT c, k AS seed, k FROM q42_edges WHERE is_seed
+        |  SELECT c, seed, k FROM q42_anchor
         |  UNION ALL
-        |  SELECT e.c, ch.seed, e.succ AS k
+        |  SELECT e.c, ch.seed, e.succ2 AS k
         |  FROM chain ch JOIN q42_edges e ON e.k = ch.k
-        |  WHERE e.succ IS NOT NULL
+        |  WHERE e.succ2 IS NOT NULL
         |)
         |SELECT c AS o_custkey, seed, count(*) AS streak_len
         |FROM chain GROUP BY c, seed
