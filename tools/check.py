@@ -2,7 +2,11 @@
 """Local approximation of the driver's correctness gate (t2):
 run graft.Verify first, then this script compares each Spark parquet dump
 against its DuckDB oracle (columns sorted by name, rows sorted, exact
-equality). Usage: tools/check.py [sfdir] [outdir]
+equality). Usage: tools/check.py [sfdir] [outdir] [--json artifact.json]
+
+--json writes a driver-format correctness artifact (per-query
+rows_match/schema_match/hash_match/spark_rows/oracle_rows/err) — used to
+record the standing 10x-stress gate (CORRECTNESS_stress_rN.json).
 """
 import glob
 import json
@@ -23,8 +27,13 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    json_out = None
+    if "--json" in sys.argv:
+        json_out = sys.argv[sys.argv.index("--json") + 1]
+        args = [a for a in args if a != json_out]
+    sfdir = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
+    outdir = args[1] if len(args) > 1 else "/tmp/verify_out"
     con = duckdb.connect()
     import os
     for t in TABLES:
@@ -34,11 +43,20 @@ def main() -> int:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     fails = []
+    # driver-format artifact rows (only meaningful with --json)
+    record = {}
+
+    def rec(name, rows_match, schema_match, hash_match, sr, orr, err=None):
+        record[name] = {"rows_match": rows_match, "schema_match": schema_match,
+                        "hash_match": hash_match, "spark_rows": sr,
+                        "oracle_rows": orr, "err": err}
+
     for name in sorted(oracle):
         sql = oracle[name]
         if not glob.glob(f"{outdir}/{name}/*.parquet"):
             print(f"{name}: FAIL missing spark output")
             fails.append(name)
+            rec(name, False, False, False, 0, None, "missing spark output")
             continue
         got = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'").df()
         try:
@@ -46,25 +64,30 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"{name}: FAIL oracle error: {e}")
             fails.append(name)
+            rec(name, False, False, False, len(got), None, f"oracle error: {e}"[:200])
             continue
         g, e = norm(got), norm(exp)
         if list(g.columns) != list(e.columns):
             print(f"{name}: FAIL columns {list(g.columns)} vs {list(e.columns)}")
             fails.append(name)
+            rec(name, len(g) == len(e), False, False, len(g), len(e))
             continue
         if [str(t) for t in g.dtypes] != [str(t) for t in e.dtypes]:
             print(f"{name}: WARN dtypes {dict(g.dtypes.astype(str))} vs {dict(e.dtypes.astype(str))}")
         if len(g) != len(e):
             print(f"{name}: FAIL rowcount {len(g)} vs {len(e)}")
             fails.append(name)
+            rec(name, False, True, False, len(g), len(e))
             continue
         try:
             pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=True)
             print(f"{name}: OK ({len(g)} rows)")
+            rec(name, True, True, True, len(g), len(e))
         except AssertionError as ex:
             msg = str(ex).split("\n")[0:6]
             print(f"{name}: FAIL values: " + " | ".join(msg))
             fails.append(name)
+            rec(name, True, True, False, len(g), len(e))
     # rows-only queries: just report
     extra = sorted(set(p.split("/")[-1] for p in glob.glob(f"{outdir}/*") if "/oracle_sql" not in p)
                    - set(oracle))
@@ -76,6 +99,10 @@ def main() -> int:
             print(f"{name}: rows-only FAIL (no readable output: {e})")
             fails.append(name)
     print(f"\n{len(oracle) - len(fails)}/{len(oracle)} oracle queries OK")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(record, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out} ({len(record)} queries)")
     return 1 if fails else 0
 
 
