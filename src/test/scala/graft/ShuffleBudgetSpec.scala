@@ -62,7 +62,7 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "pp13_split_leakage" -> 5,     // dd3 pair derivation (4) + sort; split is a narrow map per endpoint
     "tx6_vocabulary" -> 4,         // count agg + rank-range repartition + count-offsets + sort (post-ckpt visible plan)
     "dd12_dup_clusters_exact" -> 7, // CC label join-backs + size agg + sort over the checkpointed dd3 edges
-    "q24_approx_count_distinct" -> 4, // register agg (combines to ≤groups×2×512 rows map-side) + estimator agg + pivot agg + sort
+    "q24_approx_count_distinct" -> 5, // r08: one register agg PER branch (fused-long-key fast path; each combines to ≤groups×512 rows map-side, so both exchanges move register tables, not rows) + estimator agg + pivot agg + sort
     "q32_approx_percentiles" -> 3)    // ONE group-keyed exchange feeds both windows; groupBy reuses its partitioning; + sort
 
   budgets.foreach { case (name, budget) =>
