@@ -506,7 +506,10 @@ object StreamingOps {
     // input must outlive this call for any re-execution of the plan
     Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(base)))
     val inDir = new java.io.File(base, "in").getPath
-    val events = graft.Tables(s, d, "events")
+    // stage ONLY the two columns the session aggregation reads — the
+    // events table carries a json props column that would otherwise
+    // dominate the staging write and the stream decode
+    val events = graft.Tables(s, d, "events").select("user_id", "ts")
     val Seq(lo, hi) = events
       .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
       .collect()(0).toSeq.map(_.asInstanceOf[Long])
