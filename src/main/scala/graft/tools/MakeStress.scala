@@ -39,7 +39,16 @@ object MakeStress {
       "documents" -> shifted("documents", "doc_id"),
       "embeddings" -> shifted("embeddings", "vec_id"))
     tables.foreach { case (name, df) =>
-      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+      // 32-way layout: the driver's fixtures are single one-row-group
+      // files, so every scan stage reads on ONE task regardless of
+      // maxPartitionBytes (parquet can't split inside a row group) and
+      // the narrow heavy projections (md5 family, shingles, signatures)
+      // serialize. The stress corpus exists to measure the engine's
+      // at-scale behavior, and at scale tables have thousands of row
+      // groups — write it the way a real corpus lands. Same rows, same
+      // results; only the file layout (and scan parallelism) changes.
+      val partitioned = if (name == "region" || name == "nation") df else df.repartition(32)
+      partitioned.write.mode("overwrite").parquet(s"$out/$name.parquet")
       println(s"$name: ${spark.read.parquet(s"$out/$name.parquet").count()} rows")
     }
     spark.stop()
