@@ -400,20 +400,25 @@ object Events {
   /** Injectable core of ev19 over any (user_id, event_id, ts_us, value)
     * frame — RelationalSpec drives the single-event (NULL span) and
     * equal-timestamp edges the fixture doesn't contain. Domain bound:
-    * |value| ≥ 10^10 overflows the DECIMAL(14,4) cast to NULL (non-ANSI),
+    * |value| ≥ 10^10 overflows the DECIMAL(14,4) conversion to NULL,
     * which drops that interval from the integral while its Δt still counts
     * toward the span — callers with larger-magnitude values must widen the
-    * scale 4 decimal. The streaming twin mirrors this NULL-on-overflow
-    * rule exactly (StreamingOps.twaUpdates). */
+    * scale 4 decimal. The NULL-on-overflow rule is written EXPLICITLY
+    * (try_cast / try_sum) so it holds identically under ANSI and legacy
+    * modes — this Spark build defaults ansi=true, where a plain cast
+    * would THROW at the edge while the streaming twin
+    * (StreamingOps.twaUpdates) emits NULL; try_* pins the twin's
+    * semantics mode-independently (CodegenFallback/Streaming specs hold
+    * either way, and RelationalSpec drives the overflow edge itself). */
   def timeWeightedAvgOf(ev: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     ev
       .select(col("user_id"), col("event_id"), col("ts_us"),
-        col("value").cast("decimal(14,4)").as("v"))
+        expr("try_cast(value AS DECIMAL(14,4))").as("v"))
       .withColumn("dt", (lead("ts_us", 1).over(w) - col("ts_us")).cast("decimal(20,0)"))
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_events"),
-        sum(col("v") * col("dt")).as("num"),
+        expr("try_sum(v * dt)").as("num"),
         sum(col("dt")).cast("long").as("span_us"))
       .select(col("user_id"), col("n_events"), col("span_us"),
         when(col("span_us") > 0,

@@ -196,9 +196,10 @@ object StreamingOps {
           var st = state.getOption.getOrElse(TwaState(0L, 0L, 0L, "", ""))
           rows.toSeq.sortBy(r => (r._2, r._3)).foreach { r =>
             val v4 = BigDecimal(r._4).setScale(4, BigDecimal.RoundingMode.HALF_UP)
-            // mirror the batch cast's NULL-on-overflow: a value that does
-            // not fit DECIMAL(14,4) contributes nothing to the integral
-            // (its Δt still extends the span)
+            // mirror the batch try_cast's NULL-on-overflow (explicit and
+            // ANSI-mode-independent since r08): a value that does not fit
+            // DECIMAL(14,4) contributes nothing to the integral (its Δt
+            // still extends the span)
             val v4s = if (v4.precision - v4.scale <= 10) v4.toString else ""
             st =
               if (st.n == 0L) TwaState(1L, r._2, r._2, v4s, "")
@@ -214,10 +215,12 @@ object StreamingOps {
           }
           state.update(st)
           val span = st.lastTs - st.firstTs
-          // batch sums v·Δt in DECIMAL(38,4) and (non-ANSI) NULLs the whole
-          // sum on overflow — mirror that at emission: an integral that no
-          // longer fits 34 integer digits emits NULL twa. State stays exact
-          // BigDecimal, so a later batch cannot inherit rounding drift.
+          // batch try_sum's v·Δt in DECIMAL(38,4) and NULLs the whole sum
+          // on overflow (explicit try_*, so the rule holds under ANSI and
+          // legacy modes alike) — mirror that at emission: an integral
+          // that no longer fits 34 integer digits emits NULL twa. State
+          // stays exact BigDecimal, so a later batch cannot inherit
+          // rounding drift.
           val numFits = st.num.nonEmpty && {
             val n = BigDecimal(st.num); n.precision - n.scale <= 34
           }

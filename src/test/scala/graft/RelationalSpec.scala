@@ -426,6 +426,26 @@ class RelationalSpec extends AnyFunSuite {
     assert(out(3L).getAs[Double]("twa") == 2.0)
   }
 
+  test("ev19: the NULL-on-overflow rule holds under the live ANSI default") {
+    import spark.implicits._
+    // |value| >= 10^10 does not fit DECIMAL(14,4): the documented rule
+    // drops that interval from the integral while its dt still extends
+    // the span. Written with try_cast/try_sum so it holds whether the
+    // session runs ANSI (this build's default — a plain cast would THROW
+    // here) or legacy mode; the streaming twin implements the same rule,
+    // so this is also the stream≡batch edge the fixture can't reach.
+    val ev = Seq(
+      (1L, 10L, 1000000L, 1.0e10),                         // overflowing head
+      (1L, 11L, 3000000L, 4.0),
+      (1L, 12L, 4000000L, 6.0))
+      .toDF("user_id", "event_id", "ts_us", "value")
+    val r = graft.operators.Events.timeWeightedAvgOf(ev).collect()(0)
+    assert(r.getAs[Long]("span_us") == 3000000L,
+      "the overflowed interval's dt must still extend the span")
+    // integral = 4.0 * 1s (the overflowed first interval contributes 0)
+    assert(r.getAs[Double]("twa") == 4.0e6 / 3.0e6)
+  }
+
   test("pp12: selection is exactly the greedy quality-order prefix within budget") {
     val out = Registry.queries("pp12_token_budget")(spark, sf).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
