@@ -27,8 +27,14 @@ class SinkRoundTripSpec extends AnyFunSuite {
   private val paymentGen: Gen[Row] = for {
     cid <- Gen.choose(1, 1000)
     amount <- Gen.choose(10, 1000)
-    // mixed-script names exercise sink/reader encoding (UTF-8 end-to-end)
-    prefix <- Gen.oneOf("Account", "Конто", "口座", "Compte é")
+    // mixed-script names exercise sink/reader encoding (UTF-8 end-to-end);
+    // commas and double quotes exercise the CSV writer's quoting/escaping
+    // (the one sink format where field content can collide with syntax —
+    // embedded newlines are deliberately excluded: round-tripping them
+    // needs the reader's multiLine mode, a documented CSV property, not a
+    // sink behavior)
+    prefix <- Gen.oneOf("Account", "Конто", "口座", "Compte é",
+      "Quote \" mid", "comma, inc.", "\"leading", "trail\\esc")
     name <- Gen.option(Gen.choose(1, 100).map(i => s"$prefix $i"))
   } yield Row(cid, amount, name.orNull)
 
