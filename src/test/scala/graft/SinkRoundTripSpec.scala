@@ -66,6 +66,31 @@ class SinkRoundTripSpec extends AnyFunSuite {
     }
   }
 
+  test("dynamic partition overwrite replaces only the rewritten partitions") {
+    // the incremental-pipeline staple at scale: re-running one slice
+    // (one day, one source) must replace exactly that partition's files
+    // and leave every other partition untouched — static overwrite mode
+    // (Spark's default) would clobber the whole table root
+    val dir = Files.createTempDirectory("graft-dynpart").resolve("events").toString
+    val s = spark.newSession()
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val events = Tables(s, SparkTestSession.sf, "events")
+    graft.sinks.Sinks.writeDir(events, dir, graft.sinks.Sinks.Parquet,
+      partitionBy = Seq("event_type"))
+    val before = s.read.parquet(dir)
+    val nOther = before.filter(org.apache.spark.sql.functions.col("event_type") =!= "purchase").count()
+    // rewrite ONLY the purchase slice, halved — a re-run with different content
+    val rerun = events
+      .filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+      .filter(org.apache.spark.sql.functions.col("event_id") % 2 === 0)
+    rerun.write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    val after = s.read.parquet(dir)
+    assert(after.filter(org.apache.spark.sql.functions.col("event_type") === "purchase").count()
+      == rerun.count(), "rewritten partition must hold exactly the re-run's rows")
+    assert(after.filter(org.apache.spark.sql.functions.col("event_type") =!= "purchase").count()
+      == nOther, "untouched partitions must survive the overwrite")
+  }
+
   test("compaction rewrites a many-small-file dir into few equal files, data intact") {
     val dir = Files.createTempDirectory("graft-compact").resolve("docs").toString
     val docs = Tables(spark, SparkTestSession.sf, "documents")
