@@ -71,4 +71,30 @@ class SaltingSpec extends AnyFunSuite {
     assert(phase1.forall(_.getLong(1) <= 5 * 8))
     assert(phase1.exists(_.getLong(1) > 5), "hot key should keep multiple salt buckets' partials")
   }
+
+  test("AQE's skew-join split actually fires on a skewed shuffle join") {
+    // several operators defer RESIDUAL skew (the part salting doesn't
+    // pre-spread) to AQE's runtime skew-join — this pins that the
+    // mechanism engages under this engine's session shape rather than
+    // being an assumed backstop. Thresholds are lowered so fixture-scale
+    // data qualifies as skewed; the mechanism is the same one a real hot
+    // key trips at production sizes.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32768")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32768")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force a shuffle join
+    val left = s.range(0, 200000)
+      .select(when(col("id") % 10 === 0, lit(0L)).otherwise(col("id")).as("k"), col("id"))
+    val right = s.range(0, 64).select(col("id").as("k"), col("id").as("r"))
+    val joined = left.join(right, "k")
+    // collect() executes THIS queryExecution (count() would plan a new
+    // one and leave this plan unfinalized)
+    assert(joined.collect().length > 0)
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), p.take(300))
+    assert(p.contains("skew=true"),
+      s"AQE did not mark the skewed join for splitting:\n${p.take(1200)}")
+  }
 }
