@@ -351,10 +351,18 @@ object Pipeline {
     // and at scale recomputing a narrow map beats storing it.
     val holdout = shingles.filter(col("split") === "holdout")
       .select("sh").distinct().localCheckpoint()
-    val expected = math.max(holdout.count(), 1L)
-    val bloom = s.sparkContext.broadcast(holdout.stat.bloomFilter("sh", expected, fpp))
+    val nHoldout = holdout.count()
     val train = shingles.filter(col("split") === "train")
       .select(col("doc_id").as("train_id"), col("sh"))
+    // graceful empty (a filter-shaped pipeline, unlike the ANN trainers'
+    // loud requires): no holdout shingles ⇒ nothing can be contaminated.
+    // Spark's bloomFilter aggregate over zero rows yields a sketch with a
+    // null bit array that the probe kernel cannot evaluate, so
+    // short-circuit to the structurally-empty result instead.
+    if (nHoldout == 0)
+      return train.groupBy("train_id").agg(countDistinct("sh").as("n_shared"))
+        .limit(0).orderBy("train_id")
+    val bloom = s.sparkContext.broadcast(holdout.stat.bloomFilter("sh", nHoldout, fpp))
     // codegen'd probe (graft.functions.BloomMightContainString): a
     // row-lambda here would deserialize every train shingle and break
     // WholeStageCodegen on the one path whose point is that non-matches

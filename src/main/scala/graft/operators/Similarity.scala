@@ -155,6 +155,10 @@ object Similarity {
     // silently under-seeds a corpus with sparse or shifted ids)
     var cents: Array[Array[Double]] = e.orderBy("vec_id").limit(k)
       .collect().map(_.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray)
+    // loud degenerate-input contract (the pqTopK/pageRank convention):
+    // training a quantizer on nothing would otherwise die deep inside the
+    // cell expression with an unhelpful analysis error
+    require(cents.nonEmpty, "ivfKMeansTopK needs a non-empty embeddings corpus")
     for (_ <- 0 until iters) {
       val means = e
         .withColumn("cell", cellOf(cents, col("embedding")))
@@ -214,11 +218,16 @@ object Similarity {
     * directory, norms precomputed at build time, so probes never touch
     * other cells' bytes. At 100 TB the index build is one partitioned
     * write; probes are metadata-pruned scans of ~nprobe/k of the data. */
-  def buildIvfIndex(embeddings: DataFrame, outDir: String): Unit =
+  def buildIvfIndex(embeddings: DataFrame, outDir: String): Unit = {
+    // loud degenerate-input contract (the pqTopK/pageRank convention): an
+    // empty build writes NO files, and the later probe's schema inference
+    // would die with an unrelated-looking error
+    require(!embeddings.isEmpty, "buildIvfIndex needs a non-empty embeddings corpus")
     embeddings
       .select(col("vec_id"), col("embedding"),
         normFast(col("embedding")).as("n"), col("label").cast("int").as("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(outDir)
+  }
 
   /** Probe the persisted index with a query relation. The probe joins the
     * index on `cell` against the (small, broadcast) query set, which
