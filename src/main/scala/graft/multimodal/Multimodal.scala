@@ -59,12 +59,17 @@ object Multimodal {
     acc.map(c => (c / n).toFloat)
   }
 
-  /** Decode/feature-extract stage: partition-local batch transform. */
+  /** Decode/feature-extract stage: partition-local batch transform.
+    * NULL payloads (missing or undecodable media — routine in a real
+    * corpus) are treated as zero-byte payloads: n_bytes 0, all-zero
+    * histogram — the crash-free convention a decode stage needs; a
+    * production pipeline would additionally dead-letter them. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        MediaFeatures(r.media_id, r.payload.length.toLong, decodeHistogram(r.payload))
+        val p = if (r.payload == null) Array.emptyByteArray else r.payload
+        MediaFeatures(r.media_id, p.length.toLong, decodeHistogram(p))
       }
     }
   }

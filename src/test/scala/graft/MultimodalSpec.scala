@@ -24,6 +24,19 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.payload.nonEmpty && row.format == "fake/rgb8" && row.width > 0)
   }
 
+  test("NULL payloads (missing media) extract as zero-byte features, not crashes") {
+    import spark.implicits._
+    // a corpus row whose media failed to fetch/decode — routine at scale;
+    // r08 found the kernel NPE'd on it (probed via a null-text corpus)
+    val withNull = media.limit(2).as[Multimodal.MediaRow].collect().toSeq :+
+      Multimodal.MediaRow(999999L, null, "fake/rgb8", 0, 0)
+    val out = Multimodal.extractFeatures(withNull.toDS()).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(out(999999L).n_bytes == 0L)
+    assert(out(999999L).feature.toSeq == Seq.fill(Multimodal.FeatureDim)(0f))
+    assert(out.size == 3 && out.values.forall(_.feature.length == Multimodal.FeatureDim))
+  }
+
   test("feature extraction is deterministic with fixed dimension") {
     val f1 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
     val f2 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
