@@ -633,7 +633,7 @@ object Registry {
     q("ev14_session_overlap", Events.sessionOverlap,
       "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events), f AS (SELECT user_id, event_id, ts_us, CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL OR ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) > 1800000000 THEN 1 ELSE 0 END AS new_s FROM e), s AS (SELECT user_id, ts_us, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM f), b AS (SELECT user_id, session_id, min(ts_us) AS start_us, max(ts_us) AS end_us FROM s GROUP BY 1, 2), h AS (SELECT unnest(generate_series(start_us // 3600000000, end_us // 3600000000)) AS hour_idx FROM b) SELECT make_timestamp(hour_idx * 3600000000) AS w_start, hour_idx, count(*) AS n_sessions FROM h GROUP BY hour_idx ORDER BY hour_idx"),
     q("mm3_binary_dedup", Multimodal.binaryDedupQuery,
-      "SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies, CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes FROM documents GROUP BY fp ORDER BY keep_id"),
+      "SELECT md5(coalesce(text, '')) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies, CAST(sum(octet_length(encode(coalesce(text, '')))) AS BIGINT) AS total_bytes FROM documents GROUP BY fp ORDER BY keep_id"),
     q("gr2_triangles", Graph.neardupTriangles,
       "WITH m AS (SELECT greatest(1, count(*) // 500) AS mod FROM documents), d AS (SELECT doc_id, text FROM documents, m WHERE doc_id % m.mod = 0), toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM d), sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id), inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c FROM toks a JOIN toks b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2), e AS (SELECT id_a AS a, id_b AS b FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id WHERE c / (sa.n + sb.n - c) >= 0.85), tri AS (SELECT e1.a, e1.b, e2.b AS c FROM e e1 JOIN e e2 ON e1.b = e2.a JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b) SELECT node, count(*) AS n_triangles FROM (SELECT unnest([a, b, c]) AS node FROM tri) GROUP BY node ORDER BY node"),
 
@@ -743,7 +743,7 @@ object Registry {
     // (the budget boundary cuts inside a quality tie-group); budget derived
     // with integer DIV so both engines floor exactly
     q("pp12_token_budget", Pipeline.tokenBudgetSelect,
-      "WITH d AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens, round((1.0 - len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and','to','in'))) / CAST(len(string_split(text,' ')) AS DOUBLE)) * least(CAST(len(string_split(text,' ')) AS DOUBLE), 100.0) / 100.0, 4) AS quality FROM documents), tot AS (SELECT sum(n_tokens) // 4 AS budget FROM d), c AS (SELECT doc_id, n_tokens, quality, sum(n_tokens) OVER (ORDER BY quality DESC, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens FROM d) SELECT c.doc_id, c.n_tokens, c.quality, CAST(c.cum_tokens AS BIGINT) AS cum_tokens, c.cum_tokens <= tot.budget AS selected FROM c, tot ORDER BY c.doc_id"),
+      "WITH d AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens, round((1.0 - len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and','to','in'))) / CAST(len(string_split(text,' ')) AS DOUBLE)) * least(CAST(len(string_split(text,' ')) AS DOUBLE), 100.0) / 100.0, 4) AS quality FROM documents WHERE text IS NOT NULL), tot AS (SELECT sum(n_tokens) // 4 AS budget FROM d), c AS (SELECT doc_id, n_tokens, quality, sum(n_tokens) OVER (ORDER BY quality DESC, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens FROM d) SELECT c.doc_id, c.n_tokens, c.quality, CAST(c.cum_tokens AS BIGINT) AS cum_tokens, c.cum_tokens <= tot.budget AS selected FROM c, tot ORDER BY c.doc_id"),
     // pp13: dd3's oracle-exact near-dup pairs + pp2's pure-map split on
     // each endpoint — the train/holdout leakage audit, hash-checked end to
     // end (no new shuffle beyond dd3's own: split is a function of doc_id)
@@ -801,7 +801,7 @@ object Registry {
     // multiplies (never divides), all comparisons on raw doubles with
     // identical op order both engines, 4-dp rounding display-only
     q("ev18_mad_anomaly", Events.madAnomalies,
-      "WITH r AS (SELECT event_id, event_type, value, row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn, count(*) OVER (PARTITION BY event_type) AS n FROM events), med AS (SELECT event_type, avg(value) AS med FROM r WHERE rn = (n+1)//2 OR rn = (n+2)//2 GROUP BY event_type), dv AS (SELECT e.event_id, e.event_type, e.value, m.med, abs(e.value - m.med) AS dev FROM events e JOIN med m USING (event_type)), r2 AS (SELECT event_type, event_id, dev, row_number() OVER (PARTITION BY event_type ORDER BY dev, event_id) AS rn, count(*) OVER (PARTITION BY event_type) AS n FROM dv), mad AS (SELECT event_type, avg(dev) AS mad FROM r2 WHERE rn = (n+1)//2 OR rn = (n+2)//2 GROUP BY event_type) SELECT d.event_id, d.event_type, d.value, round(d.med, 4) AS med, round(mad.mad, 4) AS mad FROM dv d JOIN mad USING (event_type) WHERE d.dev > mad.mad * 4.4478 ORDER BY d.event_type, d.event_id"),
+      "WITH ev AS (SELECT event_id, event_type, value FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL), r AS (SELECT event_id, event_type, value, row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn, count(*) OVER (PARTITION BY event_type) AS n FROM ev), med AS (SELECT event_type, avg(value) AS med FROM r WHERE rn = (n+1)//2 OR rn = (n+2)//2 GROUP BY event_type), dv AS (SELECT e.event_id, e.event_type, e.value, m.med, abs(e.value - m.med) AS dev FROM ev e JOIN med m USING (event_type)), r2 AS (SELECT event_type, event_id, dev, row_number() OVER (PARTITION BY event_type ORDER BY dev, event_id) AS rn, count(*) OVER (PARTITION BY event_type) AS n FROM dv), mad AS (SELECT event_type, avg(dev) AS mad FROM r2 WHERE rn = (n+1)//2 OR rn = (n+2)//2 GROUP BY event_type) SELECT d.event_id, d.event_type, d.value, round(d.med, 4) AS med, round(mad.mad, 4) AS mad FROM dv d JOIN mad USING (event_type) WHERE d.dev > mad.mad * 4.4478 ORDER BY d.event_type, d.event_id"),
     // ev19: decimal-exact time-weighted average; the oracle's
     // decimal→double cast routes through VARCHAR (DuckDB's direct
     // conversion double-rounds — same trick as dd10)
@@ -843,7 +843,7 @@ object Registry {
       "WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events), c AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id) SELECT cohort_day, day - cohort_day AS day_offset, count(DISTINCT e.user_id) AS n_active FROM e JOIN c ON e.user_id = c.user_id GROUP BY cohort_day, day_offset ORDER BY cohort_day, day_offset"),
 
     q("ev11_ohlc_bars", Events.ohlcBars,
-      "WITH e AS (SELECT date_trunc('hour', ts) AS w_start, event_type, value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || lpad(CAST(event_id AS VARCHAR), 12, '0') AS k FROM events) SELECT w_start, event_type, arg_min(value, k) AS open, max(value) AS high, min(value) AS low, arg_max(value, k) AS close, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume FROM e GROUP BY w_start, event_type ORDER BY w_start, event_type"),
+      "WITH e AS (SELECT date_trunc('hour', ts) AS w_start, event_type, value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || lpad(CAST(event_id AS VARCHAR), 12, '0') AS k FROM events WHERE value IS NOT NULL) SELECT w_start, event_type, arg_min(value, k) AS open, max(value) AS high, min(value) AS low, arg_max(value, k) AS close, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume FROM e GROUP BY w_start, event_type ORDER BY w_start, event_type"),
     q("ev12_counter_rates", Events.counterRates,
       "WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events), w AS (SELECT event_id, user_id, ts_us, value, value - lag(value) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS delta, ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS dt_us FROM e) SELECT event_id, user_id, ts_us, value, delta, dt_us, CASE WHEN delta >= 0 AND dt_us > 0 THEN delta * 1000000 / dt_us END AS rate_per_s FROM w ORDER BY user_id, ts_us, event_id"),
 
@@ -859,7 +859,7 @@ object Registry {
     // 2i−1, so each f_k is a FILTERed count over the odd hex positions;
     // the REAL cast mirrors the kernel's Array[Float] storage
     q("mm1_media_features", Multimodal.mediaFeaturesQuery,
-      "WITH d AS (SELECT doc_id, encode(text) AS p FROM documents), " +
+      "WITH d AS (SELECT doc_id, encode(coalesce(text, '')) AS p FROM documents), " +
         "h AS (SELECT doc_id, octet_length(p) AS nb, hex(p) AS hx FROM d), " +
         "c AS (SELECT doc_id, count(*) FILTER (WHERE substr(hx, 2*i-1, 1) = '0') AS c0, " +
         "count(*) FILTER (WHERE substr(hx, 2*i-1, 1) = '7') AS c7, " +
@@ -876,7 +876,7 @@ object Registry {
     // empty payloads excluded both sides (zero vector has no cosine), the
     // sample modulus still over the full corpus
     q("mm4_media_neardup", Multimodal.mediaNearDupQuery,
-      "WITH d AS (SELECT doc_id, encode(text) AS p FROM documents), " +
+      "WITH d AS (SELECT doc_id, encode(coalesce(text, '')) AS p FROM documents), " +
         "md AS (SELECT greatest(1, count(*) // 500) AS m FROM d), " +
         "h AS (SELECT doc_id, octet_length(p) AS nb, hex(p) AS hx FROM d, md " +
         "WHERE doc_id % m = 0 AND octet_length(p) > 0), " +
@@ -891,9 +891,9 @@ object Registry {
         "r AS (SELECT id_a, id_b, cos, row_number() OVER (ORDER BY cos DESC, id_a, id_b) AS rk FROM s) " +
         "SELECT id_a, id_b, cos FROM r WHERE rk <= 50 ORDER BY cos DESC, id_a, id_b"),
     q("mm5_resize_audit", (s, d) => Multimodal.resizeAuditQuery(s, d),
-      "SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS orig_bytes, CAST(least(octet_length(encode(text)), 256) AS BIGINT) AS resized_bytes FROM documents ORDER BY media_id"),
+      "SELECT doc_id AS media_id, CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS orig_bytes, CAST(least(octet_length(encode(coalesce(text, ''))), 256) AS BIGINT) AS resized_bytes FROM documents ORDER BY media_id"),
     q("mm2_frame_sample", (s, d) => Multimodal.frameSampleQuery(s, d),
-      "WITH m AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS len FROM documents WHERE octet_length(encode(text)) >= 64) SELECT media_id, unnest(generate_series(0, CAST(least(floor((len - 64) / 32), 7) AS BIGINT))) AS frame_no FROM m ORDER BY media_id, frame_no"),
+      "WITH m AS (SELECT doc_id AS media_id, octet_length(encode(coalesce(text, ''))) AS len FROM documents WHERE octet_length(encode(coalesce(text, ''))) >= 64) SELECT media_id, unnest(generate_series(0, CAST(least(floor((len - 64) / 32), 7) AS BIGINT))) AS frame_no FROM m ORDER BY media_id, frame_no"),
 
     // ---- similarity search ----
     q("ss1_topk_bruteforce", Similarity.bruteForceTopK,

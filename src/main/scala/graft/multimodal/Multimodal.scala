@@ -199,13 +199,17 @@ object Multimodal {
 
   /** Deterministic fixture: media rows synthesized from the documents
     * table's text bytes (UTF-8), so multimodal plumbing is testable against
-    * the standard corpus. */
+    * the standard corpus. Missing text maps to an EMPTY payload (explicit
+    * null contract, mirrored in every mm oracle): the media pipeline then
+    * sees a uniform non-null binary column, and zero-byte items flow
+    * through decode/resize/dedup with defined all-zero/0-byte results
+    * instead of engine-specific NULL propagation. */
   def fixtureFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
     graft.Tables(spark, dir, "documents")
       .select(
         col("doc_id").as("media_id"),
-        encode(col("text"), "UTF-8").as("payload"),
+        encode(coalesce(col("text"), lit("")), "UTF-8").as("payload"),
         lit("fake/rgb8").as("format"),
         (col("n_chars") % 64 + 1).cast("int").as("width"),
         lit(1).cast("int").as("height"))

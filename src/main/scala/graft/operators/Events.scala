@@ -168,6 +168,13 @@ object Events {
       lpad(expr("unix_micros(ts)").cast("string"), 20, "0"),
       lpad(col("event_id").cast("string"), 12, "0"))
     t(s, d, "events")
+      // explicit null contract: bars are over PRESENT prices — a null-value
+      // tick carries no price information for any of O/H/L/C/volume. Also
+      // removes a cross-engine trap the null-tier audit caught: Spark's
+      // max_by returns the (null) value at the max key while DuckDB's
+      // arg_max skips null-valued rows entirely, silently diverging close/
+      // open wherever a null tick lands at a bar boundary.
+      .filter(col("value").isNotNull)
       .groupBy(timeWindow(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(
         min_by(col("value"), key).as("open"),
@@ -470,7 +477,16 @@ object Events {
     * Every comparison runs on raw doubles with identical operation order in
     * both engines; the 4-dp rounding is display-only. */
   def madAnomalies(s: SparkSession, d: String): DataFrame =
-    madAnomaliesOf(t(s, d, "events").select(col("event_id"), col("event_type"), col("value")))
+    // explicit null contract: robust statistics run over PRESENT
+    // measurements of KNOWN types — a null value has no deviation and a
+    // null type no population. Without the filter the engines silently
+    // disagree (null-tier audit): Spark's type index derives from
+    // collect_list, which skips nulls, dropping null-typed rows, while
+    // the oracle's rank windows make NULL its own partition; and nulls
+    // inside a ranked median shift the selected element per engine.
+    madAnomaliesOf(t(s, d, "events")
+      .filter(col("value").isNotNull && col("event_type").isNotNull)
+      .select(col("event_id"), col("event_type"), col("value")))
 
   /** Injectable core of ev18 over any (event_id, event_type, value) frame —
     * RelationalSpec drives it with hand-computable odd/even group sizes.

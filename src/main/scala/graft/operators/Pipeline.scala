@@ -117,7 +117,12 @@ object Pipeline {
     * integer/4-dp arithmetic ⇒ oracle-exact; no single-partition window
     * anywhere. */
   def tokenBudgetSelect(s: SparkSession, d: String): DataFrame = {
+    // explicit null contract (mirrored in the oracle): only documents WITH
+    // text compete for the budget — a null text has no tokens and no
+    // quality, and its NULL n_tokens would otherwise thread NULLs through
+    // the prefix ranks, diverging per engine (null-tier audit)
     val docs = t(s, d, "documents")
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), size(toks).cast("long").as("n_tokens"),
         round(quality, 4).as("quality"))
       .localCheckpoint() // consumed by the budget agg + Prefix's three branches
