@@ -669,7 +669,16 @@ object Dedup {
     * deterministic sample as jaccardPairs; distances are integers ⇒
     * oracle-exact. At scale the candidate set would come from an LSH/
     * winnowing blocking stage instead of sampling — this is the exact
-    * verifier of that pipeline. */
+    * verifier of that pipeline.
+    *
+    * Semantics boundary (r08 unicode audit): Spark's levenshtein counts
+    * CODE-POINT edits — the standard definition and this operator's
+    * contract (DedupSpec pins it on multi-byte strings) — while DuckDB's
+    * levenshtein counts BYTE edits ('café'→'cafe' = 2 there, 1 here). The
+    * oracle twin is therefore exact only on single-byte text; the driver
+    * fixture is verified pure-ASCII at every SF, so the hash compare is
+    * sound, and on a multi-byte corpus it is the ORACLE that overcounts
+    * while the operator stays correct. */
   def editDistancePairs(
       s: SparkSession, d: String, prefix: Int = 40, maxDist: Int = 10): DataFrame = {
     val all = t(s, d, "documents")

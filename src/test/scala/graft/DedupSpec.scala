@@ -199,6 +199,24 @@ class DedupSpec extends AnyFunSuite {
     truth.foreach { case (n, r) => assert(got(n) == r, s"node $n: got ${got(n)}, want $r") }
   }
 
+  test("dd9's edit distance counts CODE-POINT edits on multi-byte text (the operator contract)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.levenshtein
+    // the DuckDB oracle twin counts BYTE edits and cannot check this
+    // (sound on the pure-ASCII fixture only — see editDistancePairs
+    // scaladoc); this pins the engine-side standard-definition semantics
+    // so a regression to byte counting would fail CI even where the
+    // oracle is blind
+    val cases = Seq(
+      ("café", "cafe", 1), // é is 2 UTF-8 bytes: byte-based would say 2
+      ("a👍b", "ab", 1), // 4-byte emoji: byte-based says 4
+      ("漢字", "漢", 1), // 3-byte CJK
+      ("noël", "noel", 1))
+    val got = cases.map { case (a, b, _) => (a, b) }.toDF("a", "b")
+      .select(levenshtein($"a", $"b")).collect().map(_.getInt(0)).toSeq
+    assert(got == cases.map(_._3), s"levenshtein drifted from code-point edits: $got")
+  }
+
   test("embedding near-dup pairs are within [-1, 1] and above threshold") {
     val out = Dedup.embeddingNearDup(spark, sf).collect()
     assert(out.nonEmpty)
