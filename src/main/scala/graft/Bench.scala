@@ -9,7 +9,10 @@ object Bench {
     * without history default to 1.0 s. Used ONLY by the outlier re-time
     * rule below, never as a pass/fail gate. */
   private val RefSeconds: Map[String, Double] = Map(
-    "bf1" -> 3.87, "bp1" -> 0.64, "bp2" -> 1.61, "dd1" -> 0.45, "dd10" -> 5.24,
+    // bp3 referenced from its registration round's warm TimeQuery (r09):
+    // 12 distributed delta rounds, per-round job latency is the floor
+    "bf1" -> 3.87, "bp1" -> 0.64, "bp2" -> 1.61, "bp3" -> 3.7,
+    "dd1" -> 0.45, "dd10" -> 5.24,
     "dd11" -> 1.39, "dd12" -> 4.13, "dd13" -> 3.44, "dd2" -> 1.75, "dd3" -> 1.18,
     "dd4" -> 3.74, "dd5" -> 2.26, "dd6" -> 3.04, "dd7" -> 0.84, "dd8" -> 6.98,
     "dd9" -> 1.98, "ev1" -> 0.54, "ev10" -> 0.81, "ev11" -> 1.19, "ev12" -> 0.85,
@@ -112,9 +115,17 @@ object Bench {
     // re-time rule measures against a size-appropriate reference instead
     // of re-running half the registry (r08 stress recorded retimed_n: 30
     // without it). The driver's sf0.1 run never sets it => unchanged.
-    val refScale = sys.env.getOrElse("SPARK_GRAFT_REF_SCALE", "1.0").toDouble
+    // Parse defensively: a malformed value must not kill the bench before
+    // any timing is recorded — log and fall back to unscaled.
+    val refScale = sys.env.get("SPARK_GRAFT_REF_SCALE").map { v =>
+      scala.util.Try(v.toDouble).getOrElse {
+        println(s"[bench] unparseable SPARK_GRAFT_REF_SCALE '$v', using 1.0"); 1.0
+      }
+    }.getOrElse(1.0)
     val results = firstPass.map { case (name, sec) =>
-      val ref = RefSeconds.getOrElse(code(name), 1.0) * refScale
+      // the 1.0 s missing-ref default stays UNSCALED: it is a floor for
+      // queries with no history, not an sf0.1 reading to extrapolate
+      val ref = RefSeconds.get(code(name)).map(_ * refScale).getOrElse(1.0)
       if (sec >= 0 && sec > math.max(1.5, 2.0 * ref)) {
         val second = timed(name, SparkEntry.queries(name))
         if (second >= 0 && second < sec) {

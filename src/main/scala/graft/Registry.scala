@@ -825,6 +825,12 @@ object Registry {
     // no-regex doubled-space replication of greedy non-overlapping merge
     q("bp1_bpe_merges", (s, d) => Bpe.learnMerges(s, d), bp1OracleSql),
     q("bp2_bpe_encode", (s, d) => Bpe.encodeCorpus(s, d), bp2OracleSql),
+    // bp3: the DISTRIBUTED learner forced (driverVocabLimit=0) against
+    // bp1's oracle — every recorded corpus fits the driver path, so without
+    // this row the delta-maintained path (the one that runs at 100 TB
+    // vocabularies) would carry spec-only evidence
+    q("bp3_bpe_merges_distributed",
+      (s, d) => Bpe.learnMergesDistributedQuery(s, d), bp1OracleSql),
 
     // ---- event streams (batch form; streaming twin in graft.streaming) ----
     q("ev1_tumbling_window", Events.tumbling,

@@ -69,13 +69,27 @@ object Bpe {
     * `(rank, left, right, merged, cnt)` in learning order. Full DuckDB
     * oracle since r06 (12 unrolled merge-round CTEs — see
     * Registry.bpeOracleCtes); BpeSpec holds the ground truth. */
-  def learnMerges(s: SparkSession, d: String, numMerges: Int = 12): DataFrame = {
-    val words = Tables(s, d, "documents")
+  def learnMerges(s: SparkSession, d: String, numMerges: Int = 12): DataFrame =
+    learnMergesFrom(wordFreqs(s, d), numMerges)
+
+  /** Registry query (bp3): bp1's learning with the driver path DISABLED
+    * (`driverVocabLimit = 0`), forcing [[learnMergesDistributed]] — the
+    * delta-maintained path a beyond-driver-vocabulary corpus takes at
+    * 100 TB. Output is bit-identical to bp1 by the exactness argument
+    * (the carried pair table equals a full recount at every round, same
+    * argmax tie-break), so it shares bp1's unrolled-CTE oracle — the
+    * point of registering it is that the distributed learner now carries
+    * its own recorded CORRECTNESS row instead of spec-only evidence
+    * (BpeSketchSpec) for the path that actually runs at scale. */
+  def learnMergesDistributedQuery(s: SparkSession, d: String, numMerges: Int = 12): DataFrame =
+    learnMergesFrom(wordFreqs(s, d), numMerges, driverVocabLimit = 0)
+
+  /** The distinct-word frequency table both learners train on. */
+  private def wordFreqs(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "documents")
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("freq"))
-    learnMergesFrom(words, numMerges)
-  }
 
   /** Registry query (bp2): the encode path — learn `numMerges` merges,
     * then apply them to every document and emit per-doc subword stats plus

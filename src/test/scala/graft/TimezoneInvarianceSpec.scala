@@ -47,9 +47,14 @@ class TimezoneInvarianceSpec extends AnyFunSuite {
             .filter(_.dataType == org.apache.spark.sql.types.TimestampType)
             .map(_.name)
           assert(tsCols.nonEmpty, s"$table has no timestamp columns — probe is vacuous")
+          // DECIMAL(38,0), not a raw long sum: lineitem's per-row micros
+          // triple already sums to ~4.8e18 at sf0.001, so a LongType sum
+          // overflows (and under this build's ANSI default, throws) as soon
+          // as the test SF is raised
           df.agg(
             count(lit(1)).as("n"),
-            sum(tsCols.map(c => unix_micros(col(c))).reduce(_ + _)).as("us_sum"))
+            sum(tsCols.map(c => unix_micros(col(c))).reduce(_ + _)
+              .cast("decimal(38,0)")).as("us_sum"))
             .collect()(0).toString
         }
       }

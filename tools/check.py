@@ -8,6 +8,7 @@ equality). Usage: tools/check.py [sfdir] [outdir] [--json artifact.json]
 rows_match/schema_match/hash_match/spark_rows/oracle_rows/err) — used to
 record the standing 10x-stress gate (CORRECTNESS_stress_rN.json).
 """
+import argparse
 import glob
 import json
 import sys
@@ -27,13 +28,13 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    json_out = None
-    if "--json" in sys.argv:
-        json_out = sys.argv[sys.argv.index("--json") + 1]
-        args = [a for a in args if a != json_out]
-    sfdir = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
-    outdir = args[1] if len(args) > 1 else "/tmp/verify_out"
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("sfdir", nargs="?", default="/root/testdata/sf0.01")
+    ap.add_argument("outdir", nargs="?", default="/tmp/verify_out")
+    ap.add_argument("--json", dest="json_out", default=None,
+                    help="write the driver-format correctness artifact here")
+    ns = ap.parse_args()
+    sfdir, outdir, json_out = ns.sfdir, ns.outdir, ns.json_out
     con = duckdb.connect()
     import os
     for t in TABLES:
@@ -88,16 +89,26 @@ def main() -> int:
             print(f"{name}: FAIL values: " + " | ".join(msg))
             fails.append(name)
             rec(name, True, True, False, len(g), len(e))
-    # rows-only queries: just report
+    # rows-only queries (no oracle SQL): recorded in the artifact too, with
+    # hash_match=null + rows_only=true, so the stress-gate JSON reports the
+    # same coverage as the printed report instead of silently dropping them
     extra = sorted(set(p.split("/")[-1] for p in glob.glob(f"{outdir}/*") if "/oracle_sql" not in p)
                    - set(oracle))
     for name in extra:
         try:
             n = con.sql(f"SELECT count(*) FROM '{outdir}/{name}/*.parquet'").fetchone()[0]
             print(f"{name}: rows-only ({n} rows)")
+            record[name] = {"rows_match": None, "schema_match": None,
+                            "hash_match": None, "spark_rows": n,
+                            "oracle_rows": None, "err": None, "rows_only": True}
         except Exception as e:  # noqa: BLE001
             print(f"{name}: rows-only FAIL (no readable output: {e})")
             fails.append(name)
+            record[name] = {"rows_match": None, "schema_match": None,
+                            "hash_match": None, "spark_rows": None,
+                            "oracle_rows": None,
+                            "err": f"no readable output: {e}"[:200],
+                            "rows_only": True}
     print(f"\n{len(oracle) - len(fails)}/{len(oracle)} oracle queries OK")
     if json_out:
         with open(json_out, "w") as f:
