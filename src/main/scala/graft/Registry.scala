@@ -681,6 +681,21 @@ object Registry {
         "s AS (SELECT user_id, ts_us, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM f), " +
         "b AS (SELECT user_id, session_id, min(ts_us) AS s_start_us, max(ts_us) + 1800000000 AS s_end_us, count(*) AS n_events FROM s GROUP BY 1, 2) " +
         "SELECT user_id, s_start_us, s_end_us, CAST(n_events AS BIGINT) AS n_events FROM b ORDER BY user_id, s_start_us"),
+    // st3 EXECUTES the Append-mode eviction path: a session is emitted
+    // exactly once, when the watermark passes its end — the bounded-state
+    // contract a forever-running stream needs. Oracle = st2's ev2-twin
+    // restricted to watermark-closed sessions; emission semantics pinned
+    // empirically (r09): close is INCLUSIVE (s_end <= wm) and the
+    // watermark is MS-FLOORED (event-time stats track ms), so
+    // wm_us = (max_ts_us // 1000 - 7_200_000) * 1000.
+    q("st3_stream_closed_sessions", graft.streaming.StreamingOps.closedSessionsFromStream,
+      "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events), " +
+        "f AS (SELECT user_id, event_id, ts_us, CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL " +
+        "OR ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) > 1800000000 THEN 1 ELSE 0 END AS new_s FROM e), " +
+        "s AS (SELECT user_id, ts_us, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM f), " +
+        "b AS (SELECT user_id, session_id, min(ts_us) AS s_start_us, max(ts_us) + 1800000000 AS s_end_us, count(*) AS n_events FROM s GROUP BY 1, 2), " +
+        "wm AS (SELECT ((max(epoch_us(ts)) // 1000) - 7200000) * 1000 AS wm_us FROM events) " +
+        "SELECT user_id, s_start_us, s_end_us, CAST(n_events AS BIGINT) AS n_events FROM b, wm WHERE s_end_us <= wm_us ORDER BY user_id, s_start_us"),
     q("dd3_jaccard_pairs", (s, d) => Dedup.jaccardPairs(s, d),
       "WITH m AS (SELECT greatest(1, count(*) // 500) AS mod FROM documents), d AS (SELECT doc_id, text FROM documents, m WHERE doc_id % m.mod = 0), toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM d), sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id), inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c FROM toks a JOIN toks b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT id_a, id_b, round(c / (sa.n + sb.n - c), 4) AS jaccard FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id WHERE c / (sa.n + sb.n - c) >= 0.85 ORDER BY id_a, id_b"),
     // dd4/dd8 carry FULL oracles since the r06 switch to the

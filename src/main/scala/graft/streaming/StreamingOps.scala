@@ -451,10 +451,7 @@ object StreamingOps {
     * first-arrival-wins ≡ min-doc_id-wins, so the result equals the batch
     * dd2 keep-list — which is exactly what the oracle asserts. */
   def dedupIngestKeepList(s: SparkSession, d: String): DataFrame = {
-    val base = java.nio.file.Files.createTempDirectory("graft-st1-").toFile
-    // the result DataFrame reads outDir lazily, so the staging tree must
-    // outlive this call — reclaim it at JVM exit instead
-    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(base)))
+    val base = stageTempDir("graft-st1-")
     val inDir = new java.io.File(base, "in").getPath
     val fpDir = new java.io.File(base, "fp").getPath
     val outDir = new java.io.File(base, "out").getPath
@@ -475,11 +472,16 @@ object StreamingOps {
       s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
         .parquet(s"$inDir/*.parquet/*.parquet"),
       fpDir, outDir).stop()
-    s.read.parquet(outDir)
+    // materialize the keep-list off the staging tree (localCheckpoint is
+    // eager), then reclaim the tree NOW instead of leaking it to JVM exit —
+    // Bench's re-time alone runs this twice per JVM
+    val result = s.read.parquet(outDir)
       .select(
         md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("fp"),
         col("doc_id").as("keep_id"))
-      .orderBy("keep_id")
+      .localCheckpoint()
+    reclaim(base)
+    result.orderBy("keep_id")
   }
 
   /** Registry query (st2): the watermarked `session_window` sessionization
@@ -504,25 +506,8 @@ object StreamingOps {
     * Timestamps are emitted as epoch micros (BIGINT) — integer-exact on
     * both engines. */
   def sessionizationFromStream(s: SparkSession, d: String): DataFrame = {
-    val base = java.nio.file.Files.createTempDirectory("graft-st2-").toFile
-    // the result DataFrame is served from the memory sink, but the staged
-    // input must outlive this call for any re-execution of the plan
-    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(base)))
-    val inDir = new java.io.File(base, "in").getPath
-    // stage ONLY the two columns the session aggregation reads — the
-    // events table carries a json props column that would otherwise
-    // dominate the staging write and the stream decode
-    val events = graft.Tables(s, d, "events").select("user_id", "ts")
-    val Seq(lo, hi) = events
-      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
-      .collect()(0).toSeq.map(_.asInstanceOf[Long])
-    val cut1 = lo + (hi - lo + 1) / 3
-    val cut2 = lo + 2 * ((hi - lo + 1) / 3)
-    val us = unix_micros(col("ts"))
-    Seq(us < cut1, us >= cut1 && us < cut2, us >= cut2).zipWithIndex.foreach {
-      case (range, i) =>
-        events.filter(range).coalesce(1).write.parquet(s"$inDir/c$i.parquet")
-    }
+    val base = stageTempDir("graft-st2-")
+    val inDir = stageSessionInput(s, d, base, nFiles = 3)
     val schema = s.read.parquet(s"$inDir/c0.parquet").schema
     val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
       .parquet(s"$inDir/*.parquet/*.parquet")
@@ -530,12 +515,106 @@ object StreamingOps {
     // one JVM, and a memory-sink queryName cannot be re-registered live
     val name = "st2_sessions_" + java.util.UUID.randomUUID().toString.replace("-", "")
     runToMemory(sessionWindows(stream), name, OutputMode.Complete).stop()
-    s.table(name)
+    drainMemorySink(s, name, base)
+  }
+
+  /** Registry query (st3): the APPEND-mode, watermark-closed half of the
+    * sessionization contract — st2 proves session-MERGE state (Complete
+    * mode re-emits the whole table), this row proves bounded-state
+    * EMISSION: a session leaves the state store exactly once, when the
+    * watermark passes its end. That eviction path is what keeps state
+    * finite on a forever-running 100 TB stream, and it previously had no
+    * recorded oracle row.
+    *
+    * Choreography: st2's staged harness with FOUR ts-range files — the
+    * last file's max ts pushes the final watermark past most earlier
+    * sessions; AvailableNow runs a final no-data micro-batch (this build's
+    * default `noDataMicroBatches.enabled`) in which that watermark evicts
+    * and emits every closed session. Emission semantics pinned empirically
+    * on this build (r09 probe, boundary cases at wm, wm±1µs):
+    *   - close condition is INCLUSIVE: emitted iff s_end <= wm;
+    *   - the watermark is MS-FLOORED: wm_us = (max_ts_us/1000 − delay_ms)·1000
+    *     (event-time stats track milliseconds);
+    *   - time-ordered staging ⇒ no event is ever late, so the emitted set
+    *     is exactly {batch sessions with s_end <= final wm}, which is what
+    *     the oracle's filtered ev2-twin asserts.
+    * Sessions still open at end-of-stream stay in state and are dropped
+    * with it — the production stream would emit them when their watermark
+    * arrives; the oracle row certifies the closed set. */
+  def closedSessionsFromStream(s: SparkSession, d: String): DataFrame = {
+    val base = stageTempDir("graft-st3-")
+    val inDir = stageSessionInput(s, d, base, nFiles = 4)
+    val schema = s.read.parquet(s"$inDir/c0.parquet").schema
+    val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(s"$inDir/*.parquet/*.parquet")
+    val name = "st3_sessions_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    runToMemory(sessionWindows(stream), name, OutputMode.Append).stop()
+    drainMemorySink(s, name, base)
+  }
+
+  /** Stage the (user_id, ts) projection of the events table as `nFiles`
+    * ts-range parquet files under `base`/in — only the two columns the
+    * session aggregation reads (the json props column would dominate the
+    * staging write and the stream decode). Range cuts, not a global-window
+    * ntile (the registry bans unpartitioned windows); files written in
+    * range order so FileStreamSource (mtime-then-path order) streams them
+    * time-ordered. */
+  private def stageSessionInput(
+      s: SparkSession, d: String, base: java.io.File, nFiles: Int): String = {
+    val inDir = new java.io.File(base, "in").getPath
+    val events = graft.Tables(s, d, "events").select("user_id", "ts")
+    val Seq(lo, hi) = events
+      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+      .collect()(0).toSeq.map(_.asInstanceOf[Long])
+    val span = hi - lo + 1
+    val us = unix_micros(col("ts"))
+    (0 until nFiles).foreach { i =>
+      val cutLo = lo + i * (span / nFiles)
+      val cutHi = if (i == nFiles - 1) hi + 1 else lo + (i + 1) * (span / nFiles)
+      events.filter(us >= cutLo && us < cutHi)
+        .coalesce(1).write.parquet(s"$inDir/c$i.parquet")
+    }
+    inDir
+  }
+
+  /** Materialize a session memory sink's table as epoch-µs columns, then
+    * free everything the run accumulated: the sink's registered temp view
+    * (Complete mode parks the full table driver-side) and the staged input
+    * tree. localCheckpoint is eager, so nothing downstream re-reads either. */
+  private def drainMemorySink(
+      s: SparkSession, name: String, base: java.io.File): DataFrame = {
+    val result = s.table(name)
       .select(col("user_id"),
         unix_micros(col("s_start")).as("s_start_us"),
         unix_micros(col("s_end")).as("s_end_us"),
         col("n_events"))
-      .orderBy("user_id", "s_start_us")
+      .localCheckpoint()
+    s.catalog.dropTempView(name)
+    reclaim(base)
+    result.orderBy("user_id", "s_start_us")
+  }
+
+  /** One JVM-wide cleanup hook over a shared list (per-call hooks leak a
+    * thread each); staged dirs are normally reclaimed eagerly by the query
+    * that created them — the hook only catches runs that died mid-way. */
+  private val pendingCleanup = new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]
+  private lazy val cleanupHookInstalled: Boolean = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      pendingCleanup.forEach(f => deleteRecursively(f))
+    }))
+    true
+  }
+
+  private def stageTempDir(prefix: String): java.io.File = {
+    require(cleanupHookInstalled)
+    val f = java.nio.file.Files.createTempDirectory(prefix).toFile
+    pendingCleanup.add(f)
+    f
+  }
+
+  private def reclaim(base: java.io.File): Unit = {
+    deleteRecursively(base)
+    pendingCleanup.remove(base)
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {

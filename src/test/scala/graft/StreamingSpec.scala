@@ -64,6 +64,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("st3: Append-mode emission equals the batch sessions closed by the final watermark") {
+    import org.apache.spark.sql.expressions.Window
+    // the st3 harness: four ts-range files, Append mode — a session is
+    // emitted exactly once, when the watermark passes its end (the
+    // bounded-state eviction path a production stream runs on)
+    val streamed = StreamingOps.closedSessionsFromStream(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val run = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gap = 1800000000L
+    val events = Tables(spark, sf, "events")
+    // final watermark: ms-floored max event time minus the 2h delay
+    // (emission is inclusive at equality) — semantics pinned by the r09
+    // boundary probe, documented at StreamingOps.closedSessionsFromStream
+    val maxUs = events.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+    val wmUs = (maxUs / 1000L - 7200000L) * 1000L
+    val sessions = events
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      .withColumn("new_s",
+        when(lag("ts_us", 1).over(w).isNull ||
+          col("ts_us") - lag("ts_us", 1).over(w) > gap, 1).otherwise(0))
+      .withColumn("session_id", sum("new_s").over(run))
+      .groupBy("user_id", "session_id")
+      .agg(min("ts_us").as("s_start_us"),
+        (max("ts_us") + gap).as("s_end_us"),
+        count(lit(1)).as("n_events"))
+    val closed = sessions.filter(col("s_end_us") <= wmUs)
+      .select("user_id", "s_start_us", "s_end_us", "n_events")
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed == closed)
+    // non-vacuous: the watermark must leave SOME sessions open (else this
+    // test would not distinguish Append eviction from Complete re-emission)
+    assert(sessions.count() > closed.size,
+      "every session closed — the corpus no longer exercises end-of-stream open state")
+  }
+
   test("streaming dedup drops cross-file duplicates down to the batch-distinct set") {
     // a source directory where every event arrives twice (two identical
     // files), streamed file-at-a-time so duplicates cross micro-batches
