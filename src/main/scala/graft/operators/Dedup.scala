@@ -587,18 +587,36 @@ object Dedup {
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < propagationRounds) {
-      val neighborMin = sym
+      // TWO propagation hops per driver-synchronized round — q42's succ²
+      // batching applied to labels. The per-round cost at any SF is job
+      // launch + checkpoint materialization (driver-synchronized), not
+      // data volume, so batching hops halves the round count for
+      // diameter-bound graphs. NOT done by squaring the edge set: sym² of
+      // a hub of degree d is d² leaf-pair edges — quadratic blowup on
+      // exactly the star shapes LSH produces — while chaining the hop
+      // keeps shuffle mass at |E| per hop. The intermediate hop is
+      // neither checkpointed nor counted; its lineage is two joins deep,
+      // bounded, and severed at the double-round checkpoint.
+      val hop1 = sym
         .join(labels.select(col("node").as("v"), col("label")), "v")
         .groupBy(col("u").as("node")).agg(min("label").as("nl"))
-      // carry the previous label through the materialization so the
-      // convergence check is a filter over the checkpoint, not another join.
-      // LAZY checkpoint: the plan is severed either way (analysis stays
-      // O(1) per round); the blocks materialize inside the count() below
-      // instead of as their own job — one fewer job launch per round
-      val next = labels.join(neighborMin, Seq("node"), "left")
+        // inner join: sym's u-set IS labels' node set (both derive from
+        // sym's endpoints), so no node is lost
+        .join(labels, "node")
+        .select(col("node"), least(col("label"), col("nl")).as("label"),
+          col("label").as("old"))
+      val neighborMin = sym
+        .join(hop1.select(col("node").as("v"), col("label")), "v")
+        .groupBy(col("u").as("node")).agg(min("label").as("nl"))
+      // carry the pre-double-round label through the materialization so
+      // the convergence check is a filter over the checkpoint, not another
+      // join. LAZY checkpoint: the plan is severed either way (analysis
+      // stays O(1) per round); the blocks materialize inside the count()
+      // below instead of as their own job — one fewer job launch per round
+      val next = hop1.join(neighborMin, Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"),
-          col("label").as("old"))
+          col("old"))
         .localCheckpoint(false)
       changed = next.filter(col("label") =!= col("old")).count()
       // the count() above materialized EVERY partition of `next`, so the
@@ -607,9 +625,14 @@ object Dedup {
       // until the ContextCleaner's driver-GC-timed sweep
       org.apache.spark.sql.GraftShim.unpersistCheckpoint(labels)
       labels = next.select("node", "label")
-      rounds += 1
+      rounds += 2
     }
-    if (changed == 0) labels
+    if (changed == 0) {
+      // round-count visibility for the stress gate (VERDICT r08 #5): the
+      // init absorbs hop 1, then each driver round advances two hops
+      println(s"[graft.cc] converged after $rounds propagation hops (+1 fused in init)")
+      labels
+    }
     else {
       // handing off: the star phase reads only `sym`; the propagation
       // labels are dead
