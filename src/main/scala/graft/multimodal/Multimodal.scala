@@ -211,7 +211,10 @@ object Multimodal {
         col("doc_id").as("media_id"),
         encode(coalesce(col("text"), lit("")), "UTF-8").as("payload"),
         lit("fake/rgb8").as("format"),
-        (col("n_chars") % 64 + 1).cast("int").as("width"),
+        // a doc with missing text has missing metadata too (r09 null-tier
+        // find: NULL n_chars made this NULL → non-nullable Int encoder
+        // assert) — missing width defaults to 1, matching the empty payload
+        coalesce(col("n_chars") % 64 + 1, lit(1)).cast("int").as("width"),
         lit(1).cast("int").as("height"))
       .as[MediaRow]
   }

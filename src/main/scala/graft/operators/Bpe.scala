@@ -216,12 +216,36 @@ object Bpe {
     * Complexity per round: O(touched words × their length) for the delta
     * plus O(|pair table|) for the argmax scan — the same shape as the
     * published subword-nmt trainer. No corpus scan, no Spark job. */
+  /** UTF-8-binary (≡ code-point) string order — the order BOTH engine
+    * comparisons use (Spark's UTF8String is byte-wise UTF-8, DuckDB's
+    * VARCHAR is memcmp). Java's String.compareTo is UTF-16 CODE-UNIT
+    * order, which ranks supplementary-plane symbols (emoji, U+10000+)
+    * BEFORE U+E000..U+FFFF — so a driver-side tie-break using it would
+    * diverge from the distributed path and the oracle exactly on
+    * multi-byte corpora (r09 unicode tier). */
+  private val codePointOrder: Ordering[String] = (x: String, y: String) => {
+    val n = math.min(x.length, y.length)
+    var i = 0
+    var cmp = 0
+    while (cmp == 0 && i < n) {
+      val cx = x.codePointAt(i)
+      val cy = y.codePointAt(i)
+      cmp = Integer.compare(cx, cy)
+      i += Character.charCount(cx) // equal prefixes consume equal units
+    }
+    if (cmp != 0) cmp else Integer.compare(x.length, y.length)
+  }
+
   private[graft] def learnMergesDriver(
       words: Seq[(String, Long)],
       numMerges: Int): Seq[(Long, String, String, String, Long)] = {
     import scala.collection.mutable
+    // split by CODE POINT, not UTF-16 unit: `w.map(_.toString)` would cut
+    // an emoji into two unpaired surrogates where the distributed path
+    // (split on '', code-point) and the oracle (string_split '') do not
     val corpus: Array[Vector[String]] = words.map { case (w, _) =>
-      w.map(_.toString).toVector :+ EndOfWord
+      w.codePoints().toArray
+        .map(cp => new String(Character.toChars(cp))).toVector :+ EndOfWord
     }.toArray
     val freq: Array[Long] = words.map(_._2).toArray
 
@@ -255,7 +279,8 @@ object Bpe {
     val merges = Seq.newBuilder[(Long, String, String, String, Long)]
     var rank = 1L
     while (rank <= numMerges && counts.nonEmpty) {
-      val ((l, r), c) = counts.minBy { case ((a, b), n) => (-n, a, b) }
+      val ((l, r), c) = counts.minBy { case ((a, b), n) => (-n, a, b) }(
+        Ordering.Tuple3(Ordering.Long, codePointOrder, codePointOrder))
       merges += ((rank, l, r, l + r, c))
       for (i <- index.getOrElse((l, r), mutable.Set.empty[Int]).toArray.sorted) {
         val old = corpus(i)

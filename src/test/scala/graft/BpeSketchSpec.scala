@@ -26,9 +26,30 @@ class BpeSketchSpec extends AnyFunSuite {
     out.result()
   }
 
+  /** The operator contract on text: initial symbols are CODE POINTS (an
+    * emoji is one symbol, not two surrogates) and the argmax tie-break is
+    * UTF-8-binary (code-point) order — the order Spark's UTF8String and
+    * DuckDB's VARCHAR comparisons both use. The reference encodes that
+    * contract independently of the implementations under test. */
+  private val cpOrder: Ordering[String] = (x: String, y: String) => {
+    val n = math.min(x.length, y.length)
+    var i = 0
+    var cmp = 0
+    while (cmp == 0 && i < n) {
+      val cx = x.codePointAt(i)
+      val cy = y.codePointAt(i)
+      cmp = Integer.compare(cx, cy)
+      i += Character.charCount(cx)
+    }
+    if (cmp != 0) cmp else Integer.compare(x.length, y.length)
+  }
+
+  private def codePoints(w: String): Vector[String] =
+    w.codePoints().toArray.map(cp => new String(Character.toChars(cp))).toVector
+
   private def refBpe(words: Seq[(String, Long)], n: Int): Seq[(Long, String, String, Long)] = {
     var corpus = words.map { case (w, f) =>
-      (w.map(_.toString).toVector :+ Bpe.EndOfWord, f)
+      (codePoints(w) :+ Bpe.EndOfWord, f)
     }
     val merges = Seq.newBuilder[(Long, String, String, Long)]
     var rank = 1L
@@ -39,7 +60,8 @@ class BpeSketchSpec extends AnyFunSuite {
         counts((syms(i), syms(i + 1))) = counts.getOrElse((syms(i), syms(i + 1)), 0L) + f
       if (counts.isEmpty) done = true
       else {
-        val ((l, r), c) = counts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+        val ((l, r), c) = counts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }(
+          Ordering.Tuple3(Ordering.Long, cpOrder, cpOrder))
         merges += ((rank, l, r, c))
         corpus = corpus.map { case (syms, f) => (applyMerge(syms, l, r), f) }
         rank += 1
@@ -107,6 +129,20 @@ class BpeSketchSpec extends AnyFunSuite {
       for (g <- learnedBoth(words, n))
         assert(g == refBpe(words, n), s"trial $trial: $words, n=$n")
     }
+  }
+
+  test("bp1 on multi-byte text: emoji are single symbols and the tie-break is code-point order (both paths)") {
+    // 🚀 is U+1F680 (two UTF-16 units): a code-unit split would cut it
+    // into unpaired surrogates and learn garbage merges. The 
+    // private-use word forces the tie-break divergence zone: UTF-16
+    // code-unit order ranks 🚀 BEFORE , code-point order AFTER —
+    // the reference pins the code-point contract both engines share.
+    val words = Seq(
+      "🚀🚀" -> 5L, "" -> 5L, // equal pair counts ⇒ tie-break decides
+      "café" -> 3L, "東京" -> 2L)
+    for (g <- learnedBoth(words, 6)) assert(g == refBpe(words, 6))
+    // the first merge must be the  pair under code-point order
+    assert(learned(words, 1).head._2 == "")
   }
 
   test("bp1 is deterministic across runs") {
