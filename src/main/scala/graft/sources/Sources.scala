@@ -128,6 +128,29 @@ object Source {
 
     def load(spark: SparkSession, query: String): DataFrame =
       spark.read.format("jdbc").options(readerOptions(query)).load()
+
+    /** Register this connection as a DSv2 table catalog `name` — the
+      * warehouse-deployment shape of the same source. The V1 whole-query
+      * path above pushes the ENTIRE user query (the reference's
+      * pass-through, src/db/mysql.rs:91); the catalog form instead exposes
+      * backend tables to Catalyst, whose JDBC ScanBuilder then pushes what
+      * it can — filters, pruned columns, AGGREGATES and LIMITs
+      * (SupportsPushDownAggregates/Limit) — so a `groupBy().count()` over
+      * a warehouse table executes IN the database and ships one row per
+      * group instead of the table. JdbcLiveSpec proves the aggregate
+      * lands in the backend's SQL against embedded Derby. */
+    def registerCatalog(
+        spark: SparkSession, name: String,
+        pushDownAggregate: Boolean = true,
+        pushDownLimit: Boolean = true): Unit = {
+      val p = s"spark.sql.catalog.$name"
+      spark.conf.set(p,
+        "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog")
+      spark.conf.set(s"$p.url", url)
+      spark.conf.set(s"$p.pushDownAggregate", pushDownAggregate.toString)
+      spark.conf.set(s"$p.pushDownLimit", pushDownLimit.toString)
+      driver.foreach(d => spark.conf.set(s"$p.driver", d))
+    }
   }
 
   /** Spark partitioned-read options recognized in a source URL's query

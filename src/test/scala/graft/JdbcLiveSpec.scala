@@ -100,6 +100,37 @@ class JdbcLiveSpec extends AnyFunSuite {
     assert(df.count() == 30)
   }
 
+  test("DSv2 catalog: aggregates are pushed into Derby's SQL (limit pushdown pinned dialect-gated)") {
+    // the warehouse-deployment shape: the connection registered as a table
+    // catalog, so Catalyst's JDBC ScanBuilder pushes aggregation into the
+    // backend — a count over a fact table ships ONE row per group, not the
+    // table (on a real MySQL/PG deployment this is the difference between
+    // a warehouse-side rollup and a full extract)
+    val src = Source.fromUrl(s"jdbc:derby:$dbPath").asInstanceOf[Source.Jdbc]
+    src.registerCatalog(spark, "graft_derby")
+    val agg = spark.table("graft_derby.APP.PAYMENT")
+      .groupBy("ACCOUNT_NAME")
+      .agg(count(lit(1)).as("n"), sum("AMOUNT").as("total"))
+    val aggPlan = agg.queryExecution.executedPlan.toString
+    assert(aggPlan.contains("PushedAggregates: [COUNT(") &&
+      aggPlan.contains("SUM(AMOUNT)"),
+      s"aggregate not pushed into the JDBC scan:\n${aggPlan.take(800)}")
+    // 50 named accounts (each its own group) + the NULL-name group
+    val rows = agg.collect()
+    assert(rows.length == 51)
+    assert(rows.map(_.getLong(1)).sum == 100L)
+    // LIMIT pushdown is dialect-gated: JdbcDialect.supportsLimit defaults
+    // to false and DerbyDialect (unlike the MySQL/Postgres dialects) does
+    // not override it — Derby's syntax is FETCH FIRST, which this Spark's
+    // dialect never emits. Pin the current behavior so a Spark upgrade
+    // that enables it is noticed (then assert PushedLimit instead).
+    val lim = spark.table("graft_derby.APP.PAYMENT").limit(7)
+    val limPlan = lim.queryExecution.executedPlan.toString
+    assert(!limPlan.contains("PushedLimit"),
+      s"Derby dialect now pushes limits — strengthen this assert:\n${limPlan.take(800)}")
+    assert(lim.count() == 7)
+  }
+
   test("zero-row jdbc result yields an empty DataFrame with a real schema") {
     val df = Source.fromUrl(s"jdbc:derby:$dbPath")
       .load(spark, "SELECT id, account_name FROM payment WHERE id < 0")
