@@ -174,19 +174,50 @@ object Registry {
     s"WITH $lshOracleCtes SELECT id_a, id_b, round(jacc, 4) AS jaccard " +
       "FROM vp WHERE jacc >= 0.85 ORDER BY id_a, id_b"
 
-  /** dd8's oracle: the dd4 verified pairs closed transitively by the same
-    * recursive-CTE min-label closure dd12 uses, then left-joined onto ALL
-    * documents (NULL-text docs included — they are singleton clusters, as
-    * in `Dedup.dupClusters`). */
-  private def dd8OracleSql: String =
-    s"WITH RECURSIVE $lshOracleCtes, " +
+  /** dd8's oracle: the dd4 verified pairs closed by min-label propagation
+    * UNROLLED as chained CTEs (gr1's trick) — [[Dd8PropagationRounds]]
+    * rounds of `label ← least(own, min over neighbors)` starting from the
+    * engine's same init-fused `least(u, min(N(u)))`, then left-joined onto
+    * ALL documents (NULL-text docs included — singleton clusters, as in
+    * `Dedup.dupClusters`).
+    *
+    * Was a recursive-CTE reachability closure until r09: `reach`
+    * materializes the full pairwise (node, reachable) relation, QUADRATIC
+    * in cluster size — on the 100× probe's 100-member duplicate clusters
+    * DuckDB died on a single 32 GiB allocation (recursive-union dedup
+    * cannot spill). The unrolled form carries |V| rows per round and |E|
+    * join work — linear, like the engine it checks. The round count is a
+    * fixed unroll, so a CONVERGENCE GUARD makes under-iteration loud
+    * instead of silently wrong: if the last two rounds differ anywhere, a
+    * sentinel doc_id −1 row is emitted, which can never appear in the
+    * Spark result — rows/hash mismatch, not a plausible-but-stale label
+    * set. (Max observed hops to fixpoint: 14, sf0.1; 24 rounds ≈ 1.7×
+    * margin.) */
+  private val Dd8PropagationRounds = 24
+  private def dd8OracleSql: String = {
+    val rounds = (1 to Dd8PropagationRounds).map { i =>
+      s"l$i AS MATERIALIZED (SELECT e.u AS node, least(lo.label, min(l.label)) AS label " +
+        s"FROM e JOIN l${i - 1} l ON l.node = e.v JOIN l${i - 1} lo ON lo.node = e.u " +
+        "GROUP BY e.u, lo.label)"
+    }.mkString(", ")
+    val R = Dd8PropagationRounds
+    s"WITH $lshOracleCtes, " +
       "p AS (SELECT id_a, id_b FROM vp WHERE jacc >= 0.85), " +
-      "e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p), " +
-      "reach AS (SELECT u AS node, u AS label FROM e UNION SELECT e.u AS node, r.label FROM reach r JOIN e ON e.v = r.node), " +
-      "lab AS (SELECT node, min(label) AS label FROM reach GROUP BY node) " +
-      "SELECT d.doc_id, coalesce(lab.label, d.doc_id) AS cluster_id, " +
+      // e MUST be MATERIALIZED: every propagation round references it, and
+      // an inlined e re-derives the ENTIRE LSH pipeline once per round —
+      // the 100x probe spilled >76 GB that way before dying
+      "e AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p), " +
+      "l0 AS MATERIALIZED (SELECT u AS node, least(u, min(v)) AS label FROM e GROUP BY u), " +
+      s"$rounds, " +
+      s"moved AS (SELECT count(*) AS n FROM l$R a JOIN l${R - 1} b " +
+      "ON a.node = b.node AND a.label <> b.label) " +
+      "SELECT * FROM (" +
+      s"SELECT d.doc_id, coalesce(lab.label, d.doc_id) AS cluster_id, " +
       "d.doc_id = coalesce(lab.label, d.doc_id) AS is_canonical " +
-      "FROM documents d LEFT JOIN lab ON d.doc_id = lab.node ORDER BY doc_id"
+      s"FROM documents d LEFT JOIN l$R lab ON d.doc_id = lab.node " +
+      "UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), FALSE " +
+      "FROM moved WHERE n > 0) ORDER BY doc_id"
+  }
 
   /** dd5's oracle: the FULL SimHash pipeline re-derived in DuckDB —
     * possible because [[graft.operators.Dedup.simhash]] derives its 64

@@ -3,16 +3,20 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Builds a 10×-sf0.1 stress corpus under /tmp/stress by replicating each
-  * table with shifted keys (join consistency preserved: every *10+k key
+/** Builds an N×-sf0.1 stress corpus under /tmp/stress by replicating each
+  * table with shifted keys (join consistency preserved: every *N+k key
   * maps across fact/dim tables). Documents/embeddings replicate content
   * verbatim — deliberately creating true duplicate clusters to stress the
-  * dedup operators' skew handling. Usage: runMain graft.tools.MakeStress
-  */
+  * dedup operators' skew handling.
+  * Usage: runMain graft.tools.MakeStress [src] [out] [factor]
+  * (defaults: /root/testdata/sf0.1 /tmp/stress 10; the r09 100× probe
+  * runs `MakeStress /root/testdata/sf0.1 /tmp/stress100 100` → 60 M
+  * lineitem / 500 k documents / 10 M events). */
 object MakeStress {
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = if (args.length > 1) args(1) else "/tmp/stress"
+    val factor = if (args.length > 2) args(2).toInt else 10
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -21,10 +25,10 @@ object MakeStress {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val k = explode(array((0 until 10).map(lit): _*)).as("k")
+    val k = explode(array((0 until factor).map(lit): _*)).as("k")
     def shifted(name: String, keys: String*): DataFrame = {
       val df = graft.Tables(spark, src, name).withColumn("k", k)
-      keys.foldLeft(df)((d, c) => d.withColumn(c, col(c) * 10 + col("k"))).drop("k")
+      keys.foldLeft(df)((d, c) => d.withColumn(c, col(c) * factor + col("k"))).drop("k")
     }
 
     val tables: Seq[(String, DataFrame)] = Seq(

@@ -33,9 +33,21 @@ def main() -> int:
     ap.add_argument("outdir", nargs="?", default="/tmp/verify_out")
     ap.add_argument("--json", dest="json_out", default=None,
                     help="write the driver-format correctness artifact here")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated query-name prefixes to check (targeted re-runs)")
     ns = ap.parse_args()
     sfdir, outdir, json_out = ns.sfdir, ns.outdir, ns.json_out
+    only = ns.only.split(",") if ns.only else None
     con = duckdb.connect()
+    # out-of-core: an in-memory connection has NO temp_directory, so a big
+    # oracle (dd8's closure at the 100x probe needed >100 GB resident)
+    # aborts instead of spilling — give it a spill dir. Insertion-order
+    # preservation buffers entire intermediates per operator (the 100x run
+    # spilled >70 GB with it on); result order is irrelevant here (norm()
+    # sorts before comparing), so turn it off.
+    con.sql("SET temp_directory='/tmp/duckdb_spill'")
+    con.sql("SET preserve_insertion_order=false")
+    con.sql("SET memory_limit='90GB'")
     import os
     for t in TABLES:
         path = f"{sfdir}/{t}.parquet"
@@ -52,7 +64,11 @@ def main() -> int:
                         "hash_match": hash_match, "spark_rows": sr,
                         "oracle_rows": orr, "err": err}
 
+    checked = 0
     for name in sorted(oracle):
+        if only and not any(name.startswith(p) for p in only):
+            continue
+        checked += 1
         sql = oracle[name]
         if not glob.glob(f"{outdir}/{name}/*.parquet"):
             print(f"{name}: FAIL missing spark output")
@@ -94,6 +110,8 @@ def main() -> int:
     # same coverage as the printed report instead of silently dropping them
     extra = sorted(set(p.split("/")[-1] for p in glob.glob(f"{outdir}/*") if "/oracle_sql" not in p)
                    - set(oracle))
+    if only:
+        extra = [n for n in extra if any(n.startswith(p) for p in only)]
     for name in extra:
         try:
             n = con.sql(f"SELECT count(*) FROM '{outdir}/{name}/*.parquet'").fetchone()[0]
@@ -109,7 +127,7 @@ def main() -> int:
                             "oracle_rows": None,
                             "err": f"no readable output: {e}"[:200],
                             "rows_only": True}
-    print(f"\n{len(oracle) - len(fails)}/{len(oracle)} oracle queries OK")
+    print(f"\n{checked - len(fails)}/{checked} oracle queries OK")
     if json_out:
         with open(json_out, "w") as f:
             json.dump(record, f, indent=1, sort_keys=True)
