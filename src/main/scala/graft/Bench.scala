@@ -44,7 +44,12 @@ object Bench {
     "st2" -> 4.3,
     // st3 referenced from its registration round's certified pair (r09):
     // st2's machinery plus one more micro-batch and the Append eviction
-    "st3" -> 6.0, "tx1" -> 0.27, "tx10" -> 2.41, "tx2" -> 0.42, "tx3" -> 0.57,
+    "st3" -> 6.0,
+    // st4 (r09): the stream-stream join buffers BOTH sides in state — 4
+    // stores per partition per side even after the harness right-sizes
+    // state partitions to 8, so its commit cycle is ~2x the
+    // single-operator streaming rows' machinery floor
+    "st4" -> 9.0, "tx1" -> 0.27, "tx10" -> 2.41, "tx2" -> 0.42, "tx3" -> 0.57,
     "tx4" -> 0.45, "tx5" -> 0.4, "tx6" -> 1.01, "tx7" -> 1.28, "tx8" -> 2.01,
     "tx9" -> 1.53)
 

@@ -727,6 +727,17 @@ object Registry {
         "b AS (SELECT user_id, session_id, min(ts_us) AS s_start_us, max(ts_us) + 1800000000 AS s_end_us, count(*) AS n_events FROM s GROUP BY 1, 2), " +
         "wm AS (SELECT ((max(epoch_us(ts)) // 1000) - 7200000) * 1000 AS wm_us FROM events) " +
         "SELECT user_id, s_start_us, s_end_us, CAST(n_events AS BIGINT) AS n_events FROM b, wm WHERE s_end_us <= wm_us ORDER BY user_id, s_start_us"),
+    // st4 EXECUTES the stream-stream JOIN state store: both sides buffer
+    // in state, a pair emits when its second member arrives (possibly
+    // batches later), watermark passage bounds the buffer. Time-ordered
+    // staging + delay >> interval make the emission provably complete
+    // (see StreamingOps.intervalPairsFromStream), so the oracle is the
+    // plain batch interval self-join.
+    q("st4_stream_interval_join", graft.streaming.StreamingOps.intervalPairsFromStream,
+      "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events) " +
+        "SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b " +
+        "FROM e a JOIN e b ON a.user_id = b.user_id AND b.us > a.us AND b.us <= a.us + 1800000000 " +
+        "ORDER BY a.user_id, id_a, id_b"),
     q("dd3_jaccard_pairs", (s, d) => Dedup.jaccardPairs(s, d),
       "WITH m AS (SELECT greatest(1, count(*) // 500) AS mod FROM documents), d AS (SELECT doc_id, text FROM documents, m WHERE doc_id % m.mod = 0), toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM d), sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id), inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c FROM toks a JOIN toks b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT id_a, id_b, round(c / (sa.n + sb.n - c), 4) AS jaccard FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id WHERE c / (sa.n + sb.n - c) >= 0.85 ORDER BY id_a, id_b"),
     // dd4/dd8 carry FULL oracles since the r06 switch to the

@@ -514,7 +514,11 @@ object StreamingOps {
     // unique sink name: Bench's outlier re-time can run the query twice in
     // one JVM, and a memory-sink queryName cannot be re-registered live
     val name = "st2_sessions_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    runToMemory(sessionWindows(stream), name, OutputMode.Complete).stop()
+    // state partitions right-sized to fixture traffic (see st4's note) —
+    // the session store commits per partition per micro-batch
+    withShufflePartitions(s, 8) {
+      runToMemory(sessionWindows(stream), name, OutputMode.Complete).stop()
+    }
     drainMemorySink(s, name, base)
   }
 
@@ -548,33 +552,131 @@ object StreamingOps {
     val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
       .parquet(s"$inDir/*.parquet/*.parquet")
     val name = "st3_sessions_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    runToMemory(sessionWindows(stream), name, OutputMode.Append).stop()
+    withShufflePartitions(s, 8) {
+      runToMemory(sessionWindows(stream), name, OutputMode.Append).stop()
+    }
     drainMemorySink(s, name, base)
   }
 
-  /** Stage the (user_id, ts) projection of the events table as `nFiles`
-    * ts-range parquet files under `base`/in — only the two columns the
-    * session aggregation reads (the json props column would dominate the
-    * staging write and the stream decode). Range cuts, not a global-window
-    * ntile (the registry bans unpartitioned windows); files written in
-    * range order so FileStreamSource (mtime-then-path order) streams them
-    * time-ordered. */
+  /** Stage a projection of the events table as `nFiles` ts-range parquet
+    * files under `base`/in — only the columns the streaming consumer reads
+    * (the json props column would dominate the staging write and the
+    * stream decode). Range cuts, not a global-window ntile (the registry
+    * bans unpartitioned windows); files written in range order so
+    * FileStreamSource (mtime-then-path order) streams them time-ordered. */
   private def stageSessionInput(
-      s: SparkSession, d: String, base: java.io.File, nFiles: Int): String = {
+      s: SparkSession, d: String, base: java.io.File, nFiles: Int,
+      cols: Seq[String] = Seq("user_id", "ts"),
+      pairSplitUs: Option[Long] = None): String = {
     val inDir = new java.io.File(base, "in").getPath
-    val events = graft.Tables(s, d, "events").select("user_id", "ts")
+    val events = graft.Tables(s, d, "events").select(cols.map(col): _*)
     val Seq(lo, hi) = events
       .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
       .collect()(0).toSeq.map(_.asInstanceOf[Long])
     val span = hi - lo + 1
     val us = unix_micros(col("ts"))
-    (0 until nFiles).foreach { i =>
-      val cutLo = lo + i * (span / nFiles)
-      val cutHi = if (i == nFiles - 1) hi + 1 else lo + (i + 1) * (span / nFiles)
+    val cuts = pairSplitUs match {
+      case None => (1 until nFiles).map(i => lo + i * (span / nFiles))
+      case Some(iv) => pairSplitCuts(events, lo, hi, nFiles, iv)
+    }
+    val bounds = (lo +: cuts) :+ (hi + 1)
+    bounds.init.zip(bounds.tail).zipWithIndex.foreach { case ((cutLo, cutHi), i) =>
       events.filter(us >= cutLo && us < cutHi)
         .coalesce(1).write.parquet(s"$inDir/c$i.parquet")
     }
     inDir
+  }
+
+  /** Staging cuts that provably split joinable pairs across micro-batches.
+    *
+    * Equi-width ts cuts are blind to where within-`iv` same-user pairs
+    * actually sit: on a sparse corpus (459 pairs over months of span at
+    * sf0.01) NO pair straddles them, and the cross-batch buffering claim
+    * the st4 harness exists to certify becomes vacuous. Instead, snap each
+    * equi-width target to the nearest within-`iv` successor timestamp —
+    * cutting AT the successor files its predecessor strictly earlier (file
+    * ranges filter `us >= cut`), so every snapped cut splits ≥1 joinable
+    * pair across micro-batches by construction (StreamingSpec asserts the
+    * spanning count against these exact cuts). Cost: one
+    * partitioned-window pass + an (nFiles−1)-value agg collect. Falls back
+    * to equi-width on a corpus with no joinable pair at all (mutation
+    * tiers), so the harness still runs there. */
+  /** Run `body` with spark.sql.shuffle.partitions scoped to `n`, restoring
+    * the prior value after — used to right-size a stateful stream's state
+    * partition count (a start-time property of the checkpoint) to the
+    * harness's fixture-scale traffic without touching the session default
+    * the batch registry runs under. */
+  private def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n)
+    try body finally s.conf.set(key, prev)
+  }
+
+  def pairSplitCuts(events: DataFrame, lo: Long, hi: Long,
+      nFiles: Int, iv: Long): Seq[Long] = {
+    val span = hi - lo + 1
+    val equiCuts = (1 until nFiles).map(i => lo + i * (span / nFiles))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("us"))
+    val cand = events.select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("prev", lag("us", 1).over(w))
+      .filter(col("prev").isNotNull && col("us") > col("prev") &&
+        col("us") <= col("prev") + iv)
+    val snaps = equiCuts.map(t => min_by(col("us"), abs(col("us") - t)))
+    val row = cand.agg(snaps.head, snaps.tail: _*).collect()(0)
+    val picked = row.toSeq.collect { case l: java.lang.Long => l.longValue }
+      .filter(c => c > lo && c <= hi).distinct
+    (picked ++ equiCuts.filterNot(picked.contains)).take(nFiles - 1).sorted
+  }
+
+  /** Registry query (st4): the stream-stream interval join PRODUCED BY
+    * Structured Streaming — [[intervalPairs]] run through the staged
+    * AvailableNow harness, certifying the two-sided JOIN STATE STORE
+    * (each side buffers rows; a pair is emitted when the second member
+    * arrives — possibly micro-batches later — and watermark passage is
+    * what makes a buffered row evictable, the bounded-state contract of a
+    * production stream-stream join).
+    *
+    * Why the staged emission is complete (≡ the batch join): for a pair
+    * (a, b) with ts_a < ts_b ≤ ts_a + interval, a arrives no later than b
+    * (ts-range files); when b's batch runs, the watermark is at most
+    * max ts of the PRIOR batches − delay ≤ ts_b − delay, and with
+    * delay (2 h) ≫ interval (30 min) that is strictly below
+    * ts_a + interval — so a is still buffered, the pair emits exactly
+    * once, and the union over batches is the full batch join. An inner
+    * stream-stream join emits on match (no watermark-closing wait), so no
+    * result rows are parked in state at end-of-stream. */
+  def intervalPairsFromStream(s: SparkSession, d: String): DataFrame = {
+    val base = stageTempDir("graft-st4-")
+    // 3 files (not st3's 4): pair-splitting cuts (pairSplitCuts) make both
+    // cut boundaries provably split joinable pairs — two cross-batch
+    // crossings suffice, and each extra micro-batch costs a full commit
+    // cycle of the join's 4-stores-per-partition-per-side state machinery,
+    // the dominant cost of this harness
+    val inDir = stageSessionInput(s, d, base, nFiles = 3,
+      cols = Seq("user_id", "event_id", "ts"),
+      pairSplitUs = Some(1800000000L))
+    val schema = s.read.parquet(s"$inDir/c0.parquet").schema
+    val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(s"$inDir/*.parquet/*.parquet")
+    val name = "st4_pairs_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    // State-partition right-sizing: a stateful query's store count is
+    // pinned at first start from spark.sql.shuffle.partitions, and the
+    // join commits 4 stores per partition PER SIDE per micro-batch — at
+    // the session default (32) that is 768 store commit cycles for three
+    // batches, pure fixed overhead against fixture-scale traffic. A
+    // production deployment sizes this to traffic the same way (the knob
+    // exists precisely because state partitioning is a start-time choice);
+    // 8 partitions here cuts the commit count 4× without touching plan
+    // shape. Scoped set/restore so batch queries keep the session default.
+    withShufflePartitions(s, 8) {
+      runToMemory(intervalPairs(stream, "30 minutes"), name, OutputMode.Append).stop()
+    }
+    val result = s.table(name).localCheckpoint()
+    s.catalog.dropTempView(name)
+    reclaim(base)
+    result.orderBy("user_id", "id_a", "id_b")
   }
 
   /** Materialize a session memory sink's table as epoch-µs columns, then

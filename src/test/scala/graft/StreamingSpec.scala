@@ -196,6 +196,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("st4: multi-batch stream-stream join equals the batch join and crosses batch cuts") {
+    val streamed = StreamingOps.intervalPairsFromStream(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    val ev = Tables(spark, sf, "events")
+    val a = ev.select(col("user_id"), col("event_id").as("id_a"),
+      unix_micros(col("ts")).as("us_a"))
+    val b = ev.select(col("user_id").as("user_b"), col("event_id").as("id_b"),
+      unix_micros(col("ts")).as("us_b"))
+    val pairs = a.join(b,
+      col("user_id") === col("user_b") &&
+        col("us_b") > col("us_a") &&
+        col("us_b") <= col("us_a") + 1800000000L)
+    val batch = pairs.select(col("user_id"), col("id_a"), col("id_b"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(batch.nonEmpty && streamed == batch)
+    // non-vacuous: EVERY staging cut must split some joinable pair (a
+    // filed in an earlier micro-batch than b), else this proves nothing
+    // beyond the single-batch test above — pairSplitCuts guarantees it by
+    // snapping cuts to within-interval successor timestamps.
+    val Seq(lo, hi) = ev
+      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+      .collect()(0).toSeq.map(_.asInstanceOf[Long])
+    val cuts = StreamingOps.pairSplitCuts(ev, lo, hi, nFiles = 3, iv = 1800000000L)
+    cuts.foreach { c =>
+      assert(pairs.filter(col("us_a") < c && col("us_b") >= c).count() > 0,
+        s"cut $c splits no pair — cross-batch join state was not exercised")
+    }
+  }
+
   test("foreachBatch incremental rollup across micro-batches equals one batch aggregation") {
     import org.apache.spark.sql.functions._
     val base = java.nio.file.Files.createTempDirectory("graft-rollup").toString
