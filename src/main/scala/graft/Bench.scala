@@ -39,17 +39,15 @@ object Bench {
     "sj2" -> 0.54, "sm1" -> 0.17, "sm2" -> 0.22, "sm3" -> 0.47, "ss1" -> 0.45,
     "ss2" -> 0.49, "ss4" -> 1.69, "ss5" -> 1.3, "ss6" -> 4.9, "ss7" -> 0.39,
     "st1" -> 4.03,
-    // st2 referenced from its registration round's warm TimeQuery (r08,
-    // after the 2-column staging slim)
-    "st2" -> 4.3,
-    // st3 referenced from its registration round's certified pair (r09):
-    // st2's machinery plus one more micro-batch and the Append eviction
-    "st3" -> 6.0,
-    // st4 (r09): the stream-stream join buffers BOTH sides in state — 4
-    // stores per partition per side even after the harness right-sizes
-    // state partitions to 8, so its commit cycle is ~2x the
+    // st2/st3 refreshed from the r09 closing pair, after the stateful
+    // harness rows right-sized state partitions to session-store traffic
+    "st2" -> 3.6,
+    "st3" -> 3.7,
+    // st4 (r09 pair): the stream-stream join buffers BOTH sides in state —
+    // 4 stores per partition per side, traffic-proportional partition
+    // count (statePartitionsFor), so its commit cycle is ~1.5x the
     // single-operator streaming rows' machinery floor
-    "st4" -> 9.0, "tx1" -> 0.27, "tx10" -> 2.41, "tx2" -> 0.42, "tx3" -> 0.57,
+    "st4" -> 5.7, "tx1" -> 0.27, "tx10" -> 2.41, "tx2" -> 0.42, "tx3" -> 0.57,
     "tx4" -> 0.45, "tx5" -> 0.4, "tx6" -> 1.01, "tx7" -> 1.28, "tx8" -> 2.01,
     "tx9" -> 1.53)
 

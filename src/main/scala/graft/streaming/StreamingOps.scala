@@ -507,15 +507,18 @@ object StreamingOps {
     * both engines. */
   def sessionizationFromStream(s: SparkSession, d: String): DataFrame = {
     val base = stageTempDir("graft-st2-")
-    val inDir = stageSessionInput(s, d, base, nFiles = 3)
+    val (inDir, _) = stageSessionInput(s, d, base, nFiles = 3)
     val schema = s.read.parquet(s"$inDir/c0.parquet").schema
     val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
       .parquet(s"$inDir/*.parquet/*.parquet")
     // unique sink name: Bench's outlier re-time can run the query twice in
     // one JVM, and a memory-sink queryName cannot be re-registered live
     val name = "st2_sessions_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    // state partitions right-sized to fixture traffic (see st4's note) —
-    // the session store commits per partition per micro-batch
+    // Session-window state is O(open sessions) per user — commit overhead
+    // dominates at every measured scale, so a small fixed partition count
+    // wins (stress A/B: 8 parts 4.85/5.35 s vs 32 parts 6.44/9.88 s for
+    // st2/st3). Contrast st4, whose join state buffers full event volume
+    // and sizes by statePartitionsFor.
     withShufflePartitions(s, 8) {
       runToMemory(sessionWindows(stream), name, OutputMode.Complete).stop()
     }
@@ -547,11 +550,12 @@ object StreamingOps {
     * arrives; the oracle row certifies the closed set. */
   def closedSessionsFromStream(s: SparkSession, d: String): DataFrame = {
     val base = stageTempDir("graft-st3-")
-    val inDir = stageSessionInput(s, d, base, nFiles = 4)
+    val (inDir, _) = stageSessionInput(s, d, base, nFiles = 4)
     val schema = s.read.parquet(s"$inDir/c0.parquet").schema
     val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
       .parquet(s"$inDir/*.parquet/*.parquet")
     val name = "st3_sessions_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    // fixed 8 parts: session state is commit-dominated (see st2's note)
     withShufflePartitions(s, 8) {
       runToMemory(sessionWindows(stream), name, OutputMode.Append).stop()
     }
@@ -567,11 +571,12 @@ object StreamingOps {
   private def stageSessionInput(
       s: SparkSession, d: String, base: java.io.File, nFiles: Int,
       cols: Seq[String] = Seq("user_id", "ts"),
-      pairSplitUs: Option[Long] = None): String = {
+      pairSplitUs: Option[Long] = None): (String, Long) = {
     val inDir = new java.io.File(base, "in").getPath
     val events = graft.Tables(s, d, "events").select(cols.map(col): _*)
-    val Seq(lo, hi) = events
-      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+    val Seq(lo, hi, n) = events
+      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))),
+        count(lit(1)))
       .collect()(0).toSeq.map(_.asInstanceOf[Long])
     val span = hi - lo + 1
     val us = unix_micros(col("ts"))
@@ -584,7 +589,7 @@ object StreamingOps {
       events.filter(us >= cutLo && us < cutHi)
         .coalesce(1).write.parquet(s"$inDir/c$i.parquet")
     }
-    inDir
+    (inDir, n)
   }
 
   /** Staging cuts that provably split joinable pairs across micro-batches.
@@ -601,6 +606,17 @@ object StreamingOps {
     * partitioned-window pass + an (nFiles−1)-value agg collect. Falls back
     * to equi-width on a corpus with no joinable pair at all (mutation
     * tiers), so the harness still runs there. */
+  /** State partition count for a stateful stream whose state volume scales
+    * with input traffic (the stream-stream join buffers both sides'
+    * in-watermark rows): target ~32k buffered rows per store — below that
+    * the per-store fixed commit cost dominates (measured: 8 parts beats 32
+    * at ≤100k rows, 32 beats 8 at 1M) — floored at 8, capped at the
+    * machine's parallelism. */
+  private def statePartitionsFor(s: SparkSession, nRows: Long): Int = {
+    val byVolume = math.max(8L, nRows / 32768L)
+    math.min(s.sparkContext.defaultParallelism.toLong, byVolume).toInt
+  }
+
   /** Run `body` with spark.sql.shuffle.partitions scoped to `n`, restoring
     * the prior value after — used to right-size a stateful stream's state
     * partition count (a start-time property of the checkpoint) to the
@@ -654,7 +670,7 @@ object StreamingOps {
     // crossings suffice, and each extra micro-batch costs a full commit
     // cycle of the join's 4-stores-per-partition-per-side state machinery,
     // the dominant cost of this harness
-    val inDir = stageSessionInput(s, d, base, nFiles = 3,
+    val (inDir, nRows) = stageSessionInput(s, d, base, nFiles = 3,
       cols = Seq("user_id", "event_id", "ts"),
       pairSplitUs = Some(1800000000L))
     val schema = s.read.parquet(s"$inDir/c0.parquet").schema
@@ -665,12 +681,22 @@ object StreamingOps {
     // pinned at first start from spark.sql.shuffle.partitions, and the
     // join commits 4 stores per partition PER SIDE per micro-batch — at
     // the session default (32) that is 768 store commit cycles for three
-    // batches, pure fixed overhead against fixture-scale traffic. A
-    // production deployment sizes this to traffic the same way (the knob
-    // exists precisely because state partitioning is a start-time choice);
-    // 8 partitions here cuts the commit count 4× without touching plan
-    // shape. Scoped set/restore so batch queries keep the session default.
-    withShufflePartitions(s, 8) {
+    // batches, pure fixed overhead against fixture-scale traffic. Unlike
+    // the session rows (state = open sessions), the join BUFFERS BOTH
+    // SIDES' full in-watermark row volume, so sizing must scale with
+    // traffic: measured at the 10x corpus (1M events), 8 parts = 38.7 s vs
+    // 32 parts = 20.6 s warm, while at sf0.1 (100k) 8 parts = 6.2 s vs
+    // 32 parts = 14.8 s. A production deployment sizes the same knob to
+    // traffic at stream start (state partitioning is a start-time choice);
+    // scoped set/restore so batch queries keep the session default.
+    // State-store provider: the default HDFS-backed (in-JVM map + delta
+    // file) provider wins decisively over RocksDB for this
+    // bulk-buffer-then-drain shape — measured 20.0 s vs 64.3 s warm at the
+    // 10x corpus (RocksDB pays native write amplification on a state set
+    // that lives for only three batches). RocksDB's advantage is state
+    // LARGER than executor memory on long-running streams; that regime is
+    // a one-conf swap at deployment, not a harness default.
+    withShufflePartitions(s, statePartitionsFor(s, nRows)) {
       runToMemory(intervalPairs(stream, "30 minutes"), name, OutputMode.Append).stop()
     }
     val result = s.table(name).localCheckpoint()
