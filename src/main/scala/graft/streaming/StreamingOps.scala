@@ -508,7 +508,7 @@ object StreamingOps {
   def sessionizationFromStream(s: SparkSession, d: String): DataFrame = {
     val base = stageTempDir("graft-st2-")
     val (inDir, _) = stageSessionInput(s, d, base, nFiles = 3)
-    val schema = s.read.parquet(s"$inDir/c0.parquet").schema
+    val schema = s.read.parquet(s"$inDir/c00.parquet").schema
     val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
       .parquet(s"$inDir/*.parquet/*.parquet")
     // unique sink name: Bench's outlier re-time can run the query twice in
@@ -551,7 +551,7 @@ object StreamingOps {
   def closedSessionsFromStream(s: SparkSession, d: String): DataFrame = {
     val base = stageTempDir("graft-st3-")
     val (inDir, _) = stageSessionInput(s, d, base, nFiles = 4)
-    val schema = s.read.parquet(s"$inDir/c0.parquet").schema
+    val schema = s.read.parquet(s"$inDir/c00.parquet").schema
     val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
       .parquet(s"$inDir/*.parquet/*.parquet")
     val name = "st3_sessions_" + java.util.UUID.randomUUID().toString.replace("-", "")
@@ -573,23 +573,29 @@ object StreamingOps {
       cols: Seq[String] = Seq("user_id", "ts"),
       pairSplitUs: Option[Long] = None): (String, Long) = {
     val inDir = new java.io.File(base, "in").getPath
-    val events = graft.Tables(s, d, "events").select(cols.map(col): _*)
-    val Seq(lo, hi, n) = events
-      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))),
-        count(lit(1)))
-      .collect()(0).toSeq.map(_.asInstanceOf[Long])
-    val span = hi - lo + 1
-    val us = unix_micros(col("ts"))
-    val cuts = pairSplitUs match {
-      case None => (1 until nFiles).map(i => lo + i * (span / nFiles))
-      case Some(iv) => pairSplitCuts(events, lo, hi, nFiles, iv)
-    }
-    val bounds = (lo +: cuts) :+ (hi + 1)
-    bounds.init.zip(bounds.tail).zipWithIndex.foreach { case ((cutLo, cutHi), i) =>
-      events.filter(us >= cutLo && us < cutHi)
-        .coalesce(1).write.parquet(s"$inDir/c$i.parquet")
-    }
-    (inDir, n)
+    // cache the slim projection: the range writes below are nFiles
+    // sequential jobs over it, and without the cache each one re-scans
+    // the source parquet (48 full scans at the probe-scaled batch count)
+    val events = graft.Tables(s, d, "events").select(cols.map(col): _*).cache()
+    try {
+      val Seq(lo, hi, n) = events
+        .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))),
+          count(lit(1)))
+        .collect()(0).toSeq.map(_.asInstanceOf[Long])
+      val span = hi - lo + 1
+      val us = unix_micros(col("ts"))
+      val cuts = pairSplitUs match {
+        case None => (1 until nFiles).map(i => lo + i * (span / nFiles))
+        case Some(iv) => pairSplitCuts(events, lo, hi, nFiles, iv)
+      }
+      val bounds = (lo +: cuts) :+ (hi + 1)
+      bounds.init.zip(bounds.tail).zipWithIndex.foreach { case ((cutLo, cutHi), i) =>
+        // zero-padded names keep path order = time order for any nFiles
+        events.filter(us >= cutLo && us < cutHi)
+          .coalesce(1).write.parquet(f"$inDir/c$i%02d.parquet")
+      }
+      (inDir, n)
+    } finally events.unpersist()
   }
 
   /** Staging cuts that provably split joinable pairs across micro-batches.
@@ -665,18 +671,33 @@ object StreamingOps {
     * result rows are parked in state at end-of-stream. */
   def intervalPairsFromStream(s: SparkSession, d: String): DataFrame = {
     val base = stageTempDir("graft-st4-")
-    // 3 files (not st3's 4): pair-splitting cuts (pairSplitCuts) make both
-    // cut boundaries provably split joinable pairs — two cross-batch
-    // crossings suffice, and each extra micro-batch costs a full commit
-    // cycle of the join's 4-stores-per-partition-per-side state machinery,
-    // the dominant cost of this harness
-    val (inDir, nRows) = stageSessionInput(s, d, base, nFiles = 3,
+    // MICRO-BATCH COUNT scales with same-user probe density, floor 3. The
+    // join's probe cost per batch is Σ_u (rows_u in this batch) × (rows_u
+    // buffered) — with a handful of giant batches over a months-long span,
+    // state holds months of same-user rows and probing is QUADRATIC in
+    // batch size (the 100x replicated corpus multiplies per-user density
+    // 100x at the same 1500 users: Σn² = 6.8e10, which at 3 batches is
+    // >2e10 probes and ran >25 min). A production stream never sees this:
+    // frequent triggers + continuous watermark advance keep state at
+    // ~delay-window size. The harness mirrors that by cutting batches so
+    // each carries ~2e8 probe work: Σn²/B ≤ 2e8 ⇒ B = Σn²/2e8, capped at
+    // 48 (3 at every driver fixture tier and the 10x corpus — unchanged
+    // behavior there; 48 at the 100x probe). Σn² is one cheap count-agg;
+    // decimal sum so ANSI mode can't overflow on a skewed corpus.
+    val sumSq = graft.Tables(s, d, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .agg(sum((col("n") * col("n")).cast("decimal(38,0)")))
+      .collect()(0).getDecimal(0)
+    val nFiles = math.max(3L, math.min(48L,
+      Option(sumSq).map(_.longValue / 200000000L).getOrElse(0L))).toInt
+    // pair-splitting cuts (pairSplitCuts) make every cut boundary provably
+    // split a joinable pair — cross-batch buffering is certified at any B
+    val (inDir, nRows) = stageSessionInput(s, d, base, nFiles = nFiles,
       cols = Seq("user_id", "event_id", "ts"),
       pairSplitUs = Some(1800000000L))
-    val schema = s.read.parquet(s"$inDir/c0.parquet").schema
+    val schema = s.read.parquet(s"$inDir/c00.parquet").schema
     val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
       .parquet(s"$inDir/*.parquet/*.parquet")
-    val name = "st4_pairs_" + java.util.UUID.randomUUID().toString.replace("-", "")
     // State-partition right-sizing: a stateful query's store count is
     // pinned at first start from spark.sql.shuffle.partitions, and the
     // join commits 4 stores per partition PER SIDE per micro-batch — at
@@ -696,11 +717,31 @@ object StreamingOps {
     // that lives for only three batches). RocksDB's advantage is state
     // LARGER than executor memory on long-running streams; that regime is
     // a one-conf swap at deployment, not a harness default.
+    //
+    // Sink: a parquet FILE sink, not the memory sink the session rows use.
+    // The join's output is the PAIR population, which grows quadratically
+    // in per-user event density (the 100x replicated corpus has 46.4M real
+    // pairs — verbatim replication lands the same users in the same 30-min
+    // windows); a memory sink would park all of it driver-side, while the
+    // file sink streams each micro-batch's emissions straight to disk —
+    // the shape a production stream-stream join actually deploys with.
+    // st2 cannot do this (session merging requires Complete mode, which
+    // file sinks reject); st3/st4 are Append-legal and distributed-sink
+    // ready.
+    val outDir = new java.io.File(base, "pairs").getPath
+    val ckpt = new java.io.File(base, "ckpt").getPath
     withShufflePartitions(s, statePartitionsFor(s, nRows)) {
-      runToMemory(intervalPairs(stream, "30 minutes"), name, OutputMode.Append).stop()
+      val q = intervalPairs(stream, "30 minutes").writeStream
+        .outputMode(OutputMode.Append)
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+      q.stop()
     }
-    val result = s.table(name).localCheckpoint()
-    s.catalog.dropTempView(name)
+    val result = s.read.parquet(outDir).localCheckpoint()
     reclaim(base)
     result.orderBy("user_id", "id_a", "id_b")
   }
