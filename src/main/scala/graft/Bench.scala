@@ -47,7 +47,10 @@ object Bench {
     // 4 stores per partition per side, traffic-proportional partition
     // count (statePartitionsFor), so its commit cycle is ~1.5x the
     // single-operator streaming rows' machinery floor
-    "st4" -> 5.7, "tx1" -> 0.27, "tx10" -> 2.41, "tx2" -> 0.42, "tx3" -> 0.57,
+    "st4" -> 5.7,
+    // st5 (r09): single-operator custom-state row — st2/st3's machinery
+    // floor plus the O(events) file-sink write of the densified relation
+    "st5" -> 4.5, "tx1" -> 0.27, "tx10" -> 2.41, "tx2" -> 0.42, "tx3" -> 0.57,
     "tx4" -> 0.45, "tx5" -> 0.4, "tx6" -> 1.01, "tx7" -> 1.28, "tx8" -> 2.01,
     "tx9" -> 1.53)
 

@@ -738,6 +738,15 @@ object Registry {
         "SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b " +
         "FROM e a JOIN e b ON a.user_id = b.user_id AND b.us > a.us AND b.us <= a.us + 1800000000 " +
         "ORDER BY a.user_id, id_a, id_b"),
+    // st5 EXECUTES the arbitrary-keyed-state API (flatMapGroupsWithState):
+    // ev17's forward-fill as one carried value per user in the state
+    // store, every event emitted once with its fill through an Append-mode
+    // file sink. Time-ordered staged batches + verbatim-carried fills make
+    // the streamed union value-identical to the batch window, so the
+    // oracle is ev17's SQL unchanged (incl. the IGNORE NULLS contract:
+    // NULL-valued purchases leave the carry untouched on both paths).
+    q("st5_stream_forward_fill", graft.streaming.StreamingOps.forwardFillFromStream,
+      "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value FROM events) SELECT user_id, event_id, ts_us, event_type, last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_value FROM e ORDER BY user_id, ts_us, event_id"),
     q("dd3_jaccard_pairs", (s, d) => Dedup.jaccardPairs(s, d),
       "WITH m AS (SELECT greatest(1, count(*) // 500) AS mod FROM documents), d AS (SELECT doc_id, text FROM documents, m WHERE doc_id % m.mod = 0), toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM d), sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id), inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c FROM toks a JOIN toks b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT id_a, id_b, round(c / (sa.n + sb.n - c), 4) AS jaccard FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id WHERE c / (sa.n + sb.n - c) >= 0.85 ORDER BY id_a, id_b"),
     // dd4/dd8 carry FULL oracles since the r06 switch to the

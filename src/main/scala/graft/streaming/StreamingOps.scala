@@ -118,7 +118,8 @@ object StreamingOps {
   }
 
   final case class LocfEvent(
-      user_id: Long, event_id: Long, ts_us: Long, event_type: String, value: Double)
+      user_id: Long, event_id: Long, ts_us: Long, event_type: String,
+      value: Option[Double])
   final case class LocfRow(
       user_id: Long, event_id: Long, ts_us: Long, event_type: String,
       last_purchase_value: Option[Double])
@@ -149,8 +150,14 @@ object StreamingOps {
           var st = state.getOption.getOrElse(LocfState(0.0, seen = false))
           val out = rows.toSeq.sortBy(r => (r.ts_us, r.event_id)).map { r =>
             // the purchase row itself carries its own value (the batch
-            // window's current-row-inclusive frame)
-            if (r.event_type == "purchase") st = LocfState(r.value, seen = true)
+            // window's current-row-inclusive frame). NULL-valued purchases
+            // leave the carry untouched — the batch twin's last(...,
+            // ignoreNulls = true) contract, and what keeps this row alive
+            // on the null-injection tier (value is Option for the same
+            // reason: a primitive Double field dies decoding NULL).
+            r.value.foreach { v =>
+              if (r.event_type == "purchase") st = LocfState(v, seen = true)
+            }
             LocfRow(uid, r.event_id, r.ts_us, r.event_type,
               if (st.seen) Some(st.last) else None)
           }
@@ -744,6 +751,50 @@ object StreamingOps {
     val result = s.read.parquet(outDir).localCheckpoint()
     reclaim(base)
     result.orderBy("user_id", "id_a", "id_b")
+  }
+
+  /** Registry query (st5): ev17's forward-fill PRODUCED BY the
+    * arbitrary-keyed-state API — the one streaming state surface
+    * (flatMapGroupsWithState) with no other recorded oracle row; st1–st4
+    * cover foreachBatch ingest, the session-window store (merge + Append
+    * eviction), and the two-sided join store. Custom state is what a
+    * production ingest pipeline reaches for when the built-ins can't
+    * express its semantics, so it needs driver-grade evidence too.
+    *
+    * Choreography: the staged time-ordered harness (three ts-range files,
+    * one per micro-batch) through [[locfUpdates]] — one carried
+    * last-purchase value per user in the state store, every event emitted
+    * exactly once with its fill. Within a batch rows fold in (ts_us,
+    * event_id) order; across batches the carry continues from stored
+    * state; fills are carried VERBATIM (no arithmetic), so the N-batch
+    * union is value-identical to the one-shot batch window and the oracle
+    * is ev17's SQL unchanged. Output is O(events), so it goes through an
+    * Append-mode parquet FILE sink like st4 (a memory sink would park the
+    * densified relation driver-side); state is O(users) — commit-dominated
+    * like st2/st3, so the same fixed 8 state partitions. */
+  def forwardFillFromStream(s: SparkSession, d: String): DataFrame = {
+    val base = stageTempDir("graft-st5-")
+    val (inDir, _) = stageSessionInput(s, d, base, nFiles = 3,
+      cols = Seq("user_id", "event_id", "ts", "event_type", "value"))
+    val schema = s.read.parquet(s"$inDir/c00.parquet").schema
+    val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(s"$inDir/*.parquet/*.parquet")
+    val outDir = new java.io.File(base, "fill").getPath
+    val ckpt = new java.io.File(base, "ckpt").getPath
+    withShufflePartitions(s, 8) {
+      val q = locfUpdates(stream)(s).toDF().writeStream
+        .outputMode(OutputMode.Append)
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    val result = s.read.parquet(outDir).localCheckpoint()
+    reclaim(base)
+    result.orderBy("user_id", "ts_us", "event_id")
   }
 
   /** Materialize a session memory sink's table as epoch-µs columns, then

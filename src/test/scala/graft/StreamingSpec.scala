@@ -225,6 +225,30 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("st5: registry forward-fill harness equals batch ev17 and carries state across batches") {
+    val streamed = StreamingOps.forwardFillFromStream(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    val batch = graft.operators.Events.forwardFill(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(batch.nonEmpty && streamed == batch)
+    // non-vacuous: some user's fill must CROSS a staging cut — a purchase
+    // filed in an earlier micro-batch than a row it fills, else all three
+    // batches resolved their fills locally and the carried state store was
+    // never exercised. Equi-width thirds over ts re-derive the exact cuts.
+    val ev = Tables(spark, sf, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_type"))
+    val Seq(lo, hi) = ev.agg(min(col("us")), max(col("us")))
+      .collect()(0).toSeq.map(_.asInstanceOf[Long])
+    val span = hi - lo + 1
+    val cuts = (1 until 3).map(i => lo + i * (span / 3))
+    val crossing = cuts.exists { c =>
+      ev.filter(col("event_type") === "purchase" && col("us") < c).select("user_id")
+        .intersect(ev.filter(col("us") >= c).select("user_id"))
+        .limit(1).count() > 0
+    }
+    assert(crossing, "no user's purchase precedes a later-batch row — carry never crossed a cut")
+  }
+
   test("foreachBatch incremental rollup across micro-batches equals one batch aggregation") {
     import org.apache.spark.sql.functions._
     val base = java.nio.file.Files.createTempDirectory("graft-rollup").toString
