@@ -14,6 +14,13 @@ Modes:
   null-text   NULL documents.text on a deterministic doc_id slice
   null-events NULL events.value / events.event_type on deterministic
               event_id slices
+  skew        adversarial hot keys: 40%% of documents become exact
+              copies of the first doc's text (one dup cluster larger
+              than Dedup.BucketCap=150 at sf0.01 -> the LSH bucket-cap
+              drop + full-signature star recovery run through the
+              recorded oracle gate, not just ScalaTest), and one hot
+              user absorbs a third of all events (fat sessions, a dense
+              stream-stream join key, skewed windows)
 
 All other tables are copied through unchanged. Usage:
   tools/make_mutated.py <mode> [srcdir] [outdir]
@@ -52,6 +59,19 @@ MUTATIONS = {
             "CASE WHEN event_id % 13 = 5 THEN NULL ELSE event_type END AS event_type, "
             "CASE WHEN event_id % 11 = 7 THEN NULL ELSE value END AS value, "
             "props FROM t",
+    },
+    "skew": {
+        "documents":
+            "WITH h AS (SELECT text AS htext FROM t WHERE doc_id = (SELECT min(doc_id) FROM t)) "
+            "SELECT doc_id, CASE WHEN doc_id % 10 < 4 THEN h.htext ELSE text END AS text, "
+            "lang, source, "
+            "CAST(len(CASE WHEN doc_id % 10 < 4 THEN h.htext ELSE text END) AS BIGINT) AS n_chars "
+            "FROM t, h",
+        "events":
+            "WITH h AS (SELECT min(user_id) AS hu FROM t) "
+            "SELECT event_id, ts, "
+            "CASE WHEN user_id % 3 = 0 THEN h.hu ELSE user_id END AS user_id, "
+            "event_type, value, props FROM t, h",
     },
 }
 
