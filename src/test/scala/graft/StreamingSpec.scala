@@ -101,6 +101,74 @@ class StreamingSpec extends AnyFunSuite {
       "every session closed — the corpus no longer exercises end-of-stream open state")
   }
 
+  test("late data within the watermark delay merges; below-watermark rows drop deterministically") {
+    // Every registered streaming row (st1–st5) stages TIME-ORDERED batches,
+    // which certifies state continuation but never the out-of-order path a
+    // real stream actually faces. This pins BOTH halves of the watermark
+    // contract on the session-window store, with hand-placed timestamps and
+    // semantics PROBED EMPIRICALLY first (graft.tools.ProbeLate, the st3
+    // method) because Spark 4 propagates TWO watermarks per batch
+    // (SPARK-42376): the late-events filter uses the watermark as of the
+    // PREVIOUS batch's start, eviction uses the current one. So:
+    //  (a) a row that arrives out of order but above the late-events
+    //      watermark merges into the session it belongs to — even when it
+    //      is already below the EVICTION watermark (it then emits at once);
+    //  (b) a row below the late-events watermark — i.e. outdated by an
+    //      advance two or more batches ago — drops, deterministically,
+    //      counted by numRowsDroppedByWatermark.
+    val base = java.nio.file.Files.createTempDirectory("graft-late-").toFile
+    val t0 = 1767225600000000L // 2026-01-01 00:00:00 UTC, µs
+    val mn = 60L * 1000000L
+    import spark.implicits._
+    def mk(rows: Seq[(Long, Long)], i: Int): Unit =
+      rows.toDF("user_id", "us")
+        .select(col("user_id"), timestamp_micros(col("us")).as("ts"))
+        .coalesce(1).write.parquet(f"$base/c$i%02d.parquet")
+    // batch 0: user 1 opens a session [t0, t0+10m]
+    mk(Seq((1L, t0), (1L, t0 + 10 * mn)), 0)
+    // batch 1: t0+5m is OUT OF ORDER (below batch 0's max) but above every
+    // watermark -> must merge into user 1's open session, not duplicate it;
+    // user 2's row advances batch 2's eviction watermark to t0+280m
+    mk(Seq((1L, t0 + 5 * mn), (2L, t0 + 400 * mn)), 1)
+    // batch 2: watermark heartbeat only
+    mk(Seq((2L, t0 + 500 * mn)), 2)
+    // batch 3: t0+100m is below its late-events watermark (= batch 2's
+    // eviction watermark, t0+280m) -> DROPPED; were it accepted it would
+    // form its own session ending t0+130m, which the final watermark
+    // (t0+680m) would emit — so its absence is observable in the output,
+    // not just in the drop counter. User 2's last row stays open
+    // (end t0+830m > final watermark t0+680m).
+    mk(Seq((1L, t0 + 100 * mn), (2L, t0 + 800 * mn)), 3)
+    val schema = spark.read.parquet(s"$base/c00.parquet").schema
+    val stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(s"$base/*.parquet/*.parquet")
+    val q = StreamingOps.runToMemory(
+      StreamingOps.sessionWindows(stream), "late_sessions", OutputMode.Append)
+    try {
+      val got = spark.table("late_sessions")
+        .select(col("user_id"), unix_micros(col("s_start")),
+          unix_micros(col("s_end")), col("n_events"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val gap = 30 * mn
+      assert(got == Set(
+        (1L, t0, t0 + 10 * mn + gap, 3L), // n=3 proves the late row MERGED
+        (2L, t0 + 400 * mn, t0 + 400 * mn + gap, 1L),
+        (2L, t0 + 500 * mn, t0 + 500 * mn + gap, 1L)), // and NO t0+100m session
+        s"unexpected emission set: $got")
+      // non-vacuous: the state operator itself must report exactly the one
+      // below-watermark drop (without this, (b) could pass by the row never
+      // reaching the operator at all)
+      val dropped = q.recentProgress
+        .flatMap(_.stateOperators.headOption.map(_.numRowsDroppedByWatermark)).sum
+      assert(dropped == 1L, s"expected exactly 1 watermark drop, saw $dropped")
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("late_sessions")
+      org.apache.commons.io.FileUtils.deleteDirectory(base)
+    }
+  }
+
   test("streaming dedup drops cross-file duplicates down to the batch-distinct set") {
     // a source directory where every event arrives twice (two identical
     // files), streamed file-at-a-time so duplicates cross micro-batches
