@@ -169,6 +169,69 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("checkpoint restart restores session state: merge crosses the restart, no re-emission") {
+    // The fault-tolerance path a 100 TB deployment actually relies on:
+    // stop a stateful query, start a NEW query instance on the SAME
+    // checkpoint, and the state store must restore (an open session merges
+    // with post-restart arrivals), the watermark must resume, and the file
+    // sink's transaction log must prevent re-emission of sessions already
+    // written before the stop. The foreachBatch fp-store test covers a
+    // hand-rolled store's replay; this covers Spark's own checkpoint
+    // machinery end to end.
+    val base = java.nio.file.Files.createTempDirectory("graft-restart-").toFile
+    val inDir = new java.io.File(base, "in"); inDir.mkdirs()
+    val outDir = new java.io.File(base, "out").getPath
+    val ckpt = new java.io.File(base, "ckpt").getPath
+    val t0 = 1767225600000000L
+    val mn = 60L * 1000000L
+    import spark.implicits._
+    def mk(rows: Seq[(Long, Long)], i: Int): Unit =
+      rows.toDF("user_id", "us")
+        .select(col("user_id"), timestamp_micros(col("us")).as("ts"))
+        .coalesce(1).write.parquet(f"$inDir/c$i%02d.parquet")
+    def runOnce(): Unit = {
+      val schema = spark.read.parquet(s"$inDir/c00.parquet").schema
+      val stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(s"$inDir/*.parquet/*.parquet")
+      val q = StreamingOps.sessionWindows(stream).writeStream
+        .outputMode(OutputMode.Append).format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop()
+    }
+    def emitted(): Set[(Long, Long, Long, Long)] =
+      spark.read.parquet(outDir)
+        .select(col("user_id"), unix_micros(col("s_start")),
+          unix_micros(col("s_end")), col("n_events"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    val gap = 30 * mn
+    try {
+      // RUN 1: user 1's session closes (watermark t0+280m passes its end);
+      // user 2's session [t0+400m, +30m) is OPEN in state at shutdown
+      mk(Seq((1L, t0), (1L, t0 + 10 * mn)), 0)
+      mk(Seq((2L, t0 + 400 * mn)), 1)
+      runOnce()
+      val afterRun1 = emitted()
+      assert(afterRun1 == Set((1L, t0, t0 + 10 * mn + gap, 2L)),
+        s"run 1 should emit exactly user 1's closed session: $afterRun1")
+      // RUN 2, same checkpoint: t0+420m must merge into the RESTORED open
+      // session (within-gap continuation across the restart); t0+900m
+      // advances the watermark to t0+780m, closing the merged session
+      mk(Seq((2L, t0 + 420 * mn)), 2)
+      mk(Seq((3L, t0 + 900 * mn)), 3)
+      runOnce()
+      assert(emitted() == Set(
+        (1L, t0, t0 + 10 * mn + gap, 2L), // not re-emitted (exactly-once sink log)
+        (2L, t0 + 400 * mn, t0 + 420 * mn + gap, 2L)), // n=2: state restored + merged
+        s"run 2 emission set wrong: ${emitted()}")
+      // user 3's session (end t0+930m > watermark t0+780m) stays open —
+      // the restart proof is non-vacuous only if state outlives run 2 too
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(base)
+    }
+  }
+
   test("streaming dedup drops cross-file duplicates down to the batch-distinct set") {
     // a source directory where every event arrives twice (two identical
     // files), streamed file-at-a-time so duplicates cross micro-batches
