@@ -754,6 +754,14 @@ object Registry {
     // re-derives signatures, bands, cap, star recovery, verification —
     // and for dd8 the recursive-CTE closure on top
     q("dd4_minhash_lsh", Dedup.minhashLsh, dd4OracleSql),
+    // st6 EXECUTES at-ingest LSH state (the last ScalaTest-only streaming
+    // surface): lshBucketUpdates + sigGroupUpdates run through real
+    // micro-batches over id-residue slices, their append logs
+    // reconstructed relationally into the candidate set, then the SHARED
+    // batch verification — output ≡ dd4, oracle = dd4's SQL verbatim
+    // (the ss5/ss7 shared-oracle pattern).
+    q("st6_stream_lsh_neardup", graft.streaming.StreamingOps.lshPairsFromStream,
+      dd4OracleSql),
     // dd5 joined them this round: SimHash bits now come from the same md5
     // family (see dd5OracleSql), so the banded Hamming pipeline is
     // DuckDB-re-derivable end to end

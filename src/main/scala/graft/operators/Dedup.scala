@@ -285,8 +285,10 @@ object Dedup {
   }
 
   /** Exact Jaccard for an explicit candidate-pair set (only candidates pay
-    * the token join). */
-  private def verifiedJaccard(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    * the token join). Package-visible: the streaming at-ingest twin (st6)
+    * verifies its log-reconstructed candidates through EXACTLY this
+    * join, so stream and batch share one verification definition. */
+  private[graft] def verifiedJaccard(docs: DataFrame, pairs: DataFrame): DataFrame = {
     // The token stream feeds four branches (ta, tb, and sizes twice); lazy,
     // the round-1 physical plan re-derived the scan+split+explode subtree
     // four times (PlanAudit showed 4 `Scan parquet → Generate` copies) —

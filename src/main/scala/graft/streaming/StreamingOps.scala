@@ -797,6 +797,97 @@ object StreamingOps {
     result.orderBy("user_id", "ts_us", "event_id")
   }
 
+  /** Registry query (st6): dd4's near-dup pair relation with CANDIDATE
+    * GENERATION run AT-INGEST — the two arbitrary-state accumulators
+    * ([[lshBucketUpdates]], [[sigGroupUpdates]]) executed through real
+    * micro-batches, their append logs reconstructed distributively, and the
+    * reconstruction exact-verified the same way the batch operator is.
+    * st1–st5 cover ingest dedup, the session store (merge + Append
+    * eviction), the two-sided join store and scalar custom state; st6
+    * closes the last ScalaTest-only streaming surface: at-ingest LSH state
+    * whose append log a downstream consumer replays into the batch
+    * relation.
+    *
+    * Choreography: stage documents as three id-RESIDUE slices (deliberately
+    * interleaved, NOT ordered chunks — both folds are merge-commutative:
+    * bucket membership is a set union, the BucketCap kill is a monotone
+    * predicate of final size, and a sig group's canon is a running min, so
+    * any batch slicing converges to the batch relation; residue slicing
+    * makes the cross-batch fold non-vacuous, since every bucket whose
+    * members span id residues spans micro-batches). Both accumulators
+    * stream to Append-mode parquet FILE sinks — the log shape a production
+    * ingest pipeline persists. Reconstruction is pure relational algebra
+    * on the logs, no driver-side state:
+    *  - live buckets = keys with no dead snapshot; members = distinct union
+    *    over snapshots (membership only grows while a bucket is live);
+    *  - bucket pairs = within-bucket id_a < id_b self-join (≡ batch
+    *    `capped` join);
+    *  - star pairs = per sigkey: distinct logged docIds, canon = min,
+    *    groups > 1 → (canon, member) — the O(1)-state group log replayed.
+    * Candidates then pass [[graft.operators.Dedup.verifiedJaccard]] — the
+    * batch verification, shared — at 0.85, making the output identical to
+    * dd4, so the oracle is dd4's full-pipeline SQL VERBATIM (the ss5/ss7
+    * shared-oracle pattern). State is bounded like the batch candidate
+    * cost: ≤ BucketCap+1 ids per live bucket, a tombstone per dead one,
+    * (count, canon) per sig group. */
+  def lshPairsFromStream(s: SparkSession, d: String): DataFrame = {
+    val base = stageTempDir("graft-st6-")
+    val inDir = new java.io.File(base, "in").getPath
+    val docs = graft.Tables(s, d, "documents").select("doc_id", "text")
+    (0 until 3).foreach { i =>
+      docs.filter(col("doc_id") % 3 === i)
+        .coalesce(1).write.parquet(f"$inDir/c$i%02d.parquet")
+    }
+    val schema = s.read.parquet(s"$inDir/c00.parquet").schema
+    def stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$inDir/*.parquet/*.parquet")
+    implicit val sp: SparkSession = s
+    def runLog(df: DataFrame, name: String): DataFrame = {
+      val out = new java.io.File(base, name).getPath
+      val q = df.writeStream
+        .outputMode(OutputMode.Append)
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", s"$out-ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable(); q.stop()
+      s.read.parquet(out)
+    }
+    // state is O(distinct band keys / sig groups) — commit-dominated at
+    // fixture scale like the session rows (st2/st3): same fixed 8 parts
+    val (bucketLog, sigLog) = withShufflePartitions(s, 8) {
+      (runLog(lshBucketUpdates(stream).toDF(), "buckets"),
+        runLog(sigGroupUpdates(stream).toDF(), "sigs"))
+    }
+    val membership = bucketLog.groupBy("band", "sig")
+      .agg(max(col("dead")).as("dead"),
+        array_distinct(flatten(collect_list(col("members")))).as("ms"))
+      .filter(!col("dead"))
+      .select(col("band"), col("sig"), explode(col("ms")).as("doc_id"))
+    val bucketPairs = membership.as("x")
+      .join(membership.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+    val groups = sigLog.groupBy("sigkey")
+      .agg(min(col("docId")).as("id_a"), count_distinct(col("docId")).as("gsz"))
+      .filter(col("gsz") > 1)
+    val starPairs = sigLog.select(col("sigkey"), col("docId").as("id_b")).distinct()
+      .join(groups, "sigkey")
+      .filter(col("id_b") =!= col("id_a"))
+      .select("id_a", "id_b")
+    // small relation (bucket-cap-bounded + linear star); materialize so the
+    // verification join starts from stored pairs, exactly like batch dd4
+    val cand = bucketPairs.unionByName(starPairs).distinct().localCheckpoint()
+    val result = graft.operators.Dedup.verifiedJaccard(docs, cand)
+      .filter(col("jaccard") >= 0.85)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .localCheckpoint()
+    reclaim(base)
+    result.orderBy("id_a", "id_b")
+  }
+
   /** Materialize a session memory sink's table as epoch-µs columns, then
     * free everything the run accumulated: the sink's registered temp view
     * (Complete mode parks the full table driver-side) and the staged input

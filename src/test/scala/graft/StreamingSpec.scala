@@ -584,6 +584,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty && streamed == batch)
   }
 
+  test("st6 registered row: at-ingest log reconstruction + shared verification equals batch dd4 exactly") {
+    // the registered end-to-end shape (stage → two streaming queries →
+    // distributed log reconstruction → shared exact verification) must
+    // reproduce dd4's verified pair relation bit-for-bit — the 18th
+    // stream≡batch proof, and the one that carries st6's oracle row
+    val streamed = Registry.queries("st6_stream_lsh_neardup")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    val batch = Registry.queries("dd4_minhash_lsh")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(batch.nonEmpty && streamed == batch)
+  }
+
   test("incremental ingest dedup: persistent fp store across micro-batches equals batch dedup; replay is a no-op") {
     import org.apache.spark.sql.expressions.Window
     val base = java.nio.file.Files.createTempDirectory("graft-ingest")
