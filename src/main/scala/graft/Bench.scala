@@ -51,9 +51,9 @@ object Bench {
     // st5 (r09): single-operator custom-state row — st2/st3's machinery
     // floor plus the O(events) file-sink write of the densified relation
     "st5" -> 4.5,
-    // st6 (r09): TWO AvailableNow queries (bucket + sig-group logs) over
-    // the signed doc stream, then log reconstruction + dd4's verification
-    "st6" -> 7.5, "tx1" -> 0.27, "tx10" -> 2.41, "tx2" -> 0.42, "tx3" -> 0.57,
+    // st6 (r09): TWO CONCURRENT AvailableNow queries (bucket + sig-group
+    // logs) over the doc stream, then log reconstruction + dd4's verification
+    "st6" -> 6.5, "tx1" -> 0.27, "tx10" -> 2.41, "tx2" -> 0.42, "tx3" -> 0.57,
     "tx4" -> 0.45, "tx5" -> 0.4, "tx6" -> 1.01, "tx7" -> 1.28, "tx8" -> 2.01,
     "tx9" -> 1.53)
 

