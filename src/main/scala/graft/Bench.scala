@@ -53,7 +53,10 @@ object Bench {
     "st5" -> 4.5,
     // st6 (r09): TWO CONCURRENT AvailableNow queries (bucket + sig-group
     // logs) over the doc stream, then log reconstruction + dd4's verification
-    "st6" -> 6.5, "tx1" -> 0.27, "tx10" -> 2.41, "tx2" -> 0.42, "tx3" -> 0.57,
+    "st6" -> 6.5,
+    // st7/st8 (r09): single-operator rows on the staged harness — the
+    // st2/st3 machinery floor (3-4 batches, 8 state partitions)
+    "st7" -> 3.5, "st8" -> 3.5, "tx1" -> 0.27, "tx10" -> 2.41, "tx2" -> 0.42, "tx3" -> 0.57,
     "tx4" -> 0.45, "tx5" -> 0.4, "tx6" -> 1.01, "tx7" -> 1.28, "tx8" -> 2.01,
     "tx9" -> 1.53)
 

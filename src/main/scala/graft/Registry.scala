@@ -747,6 +747,30 @@ object Registry {
     // NULL-valued purchases leave the carry untouched on both paths).
     q("st5_stream_forward_fill", graft.streaming.StreamingOps.forwardFillFromStream,
       "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value FROM events) SELECT user_id, event_id, ts_us, event_type, last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_value FROM e ORDER BY user_id, ts_us, event_id"),
+    // st7 EXECUTES the built-in dedup state store
+    // (dropDuplicatesWithinWatermark): first event per (user, type, hour)
+    // within a bounded window — the at-least-once ingest dedup shape. The
+    // dedup key IS the full projected row, so any survivor is identical
+    // and the oracle is plain DISTINCT; all duplicates of a key sit within
+    // 1 h << the 2 h delay, so the WithinWatermark guarantee makes a
+    // double emission impossible. Cross-batch suppression is made
+    // non-vacuous by keySplitCuts staging (spec-asserted).
+    q("st7_stream_dedup_keys",
+      graft.streaming.StreamingOps.dedupWithinWatermarkFromStream,
+      "SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS w_start " +
+        "FROM events ORDER BY user_id, event_type NULLS FIRST, w_start"),
+    // st8 EXECUTES the windowed-aggregation store's Append-mode eviction:
+    // a tumbling window emits exactly once when the watermark passes its
+    // end — st3's session-eviction semantics (inclusive close, ms-floored
+    // watermark) on the aggregation store. Oracle = ev1's tumbling SQL
+    // restricted to watermark-closed windows.
+    q("st8_stream_closed_windows",
+      graft.streaming.StreamingOps.closedTumblingFromStream,
+      "WITH wm AS (SELECT ((max(epoch_us(ts)) // 1000) - 7200000) * 1000 AS wm_us FROM events), " +
+        "b AS (SELECT date_trunc('hour', ts) AS w_start, event_type, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value FROM events GROUP BY 1, 2) " +
+        "SELECT w_start, event_type, n, total_value FROM b, wm " +
+        "WHERE epoch_us(w_start) + 3600000000 <= wm_us " +
+        "ORDER BY w_start, event_type NULLS FIRST"),
     q("dd3_jaccard_pairs", (s, d) => Dedup.jaccardPairs(s, d),
       "WITH m AS (SELECT greatest(1, count(*) // 500) AS mod FROM documents), d AS (SELECT doc_id, text FROM documents, m WHERE doc_id % m.mod = 0), toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM d), sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id), inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c FROM toks a JOIN toks b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT id_a, id_b, round(c / (sa.n + sb.n - c), 4) AS jaccard FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id WHERE c / (sa.n + sb.n - c) >= 0.85 ORDER BY id_a, id_b"),
     // dd4/dd8 carry FULL oracles since the r06 switch to the

@@ -380,6 +380,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(crossing, "no user's purchase precedes a later-batch row — carry never crossed a cut")
   }
 
+  test("st7: executed dropDuplicatesWithinWatermark equals batch distinct and suppresses across batch cuts") {
+    val streamed = StreamingOps.dedupWithinWatermarkFromStream(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    val ev = Tables(spark, sf, "events")
+    val batch = ev.select(col("user_id"), col("event_type"),
+        date_trunc("hour", col("ts")).as("w_start")).distinct()
+      .collect().map(_.toString).sorted.toSeq
+    assert(batch.nonEmpty && streamed == batch)
+    // duplicates existed at all — suppression non-vacuous in aggregate
+    assert(ev.count() > batch.size, "no duplicate (user, type, hour) key in the corpus")
+    // and every staging cut splits some key's duplicates — keySplitCuts
+    // re-derived: occurrence 1 filed strictly before the cut, a later
+    // occurrence at/after it, so the dedup store suppressed ACROSS batches
+    val keyed = ev.select(col("user_id"), col("event_type"),
+      date_trunc("hour", col("ts")).as("w_start"), unix_micros(col("ts")).as("us"))
+    val Seq(lo, hi) = keyed.agg(min(col("us")), max(col("us")))
+      .collect()(0).toSeq.map(_.asInstanceOf[Long])
+    val cuts = StreamingOps.keySplitCuts(
+      ev.select(col("user_id"), col("event_type"), col("ts")), lo, hi, nFiles = 3,
+      Seq(col("user_id"), col("event_type"), date_trunc("hour", col("ts"))))
+    cuts.foreach { c =>
+      assert(keyed.filter(col("us") < c).select("user_id", "event_type", "w_start")
+        .intersect(keyed.filter(col("us") >= c).select("user_id", "event_type", "w_start"))
+        .limit(1).count() > 0,
+        s"cut $c splits no duplicate key — cross-batch dedup state was not exercised")
+    }
+  }
+
+  test("st8: Append-mode tumbling emission equals the batch windows closed by the final watermark") {
+    val streamed = StreamingOps.closedTumblingFromStream(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    val ev = Tables(spark, sf, "events")
+    val maxUs = ev.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+    // ms-floored watermark, inclusive close — the st3-pinned semantics
+    val wmUs = (maxUs / 1000L - 7200000L) * 1000L
+    val all = Events.tumbling(spark, sf)
+    val closed = all.filter(unix_micros(col("w_start")) + 3600000000L <= wmUs)
+      .collect().map(_.toString).sorted.toSeq
+    assert(closed.nonEmpty && streamed == closed)
+    // non-vacuous: an open tail exists — windows the watermark has not
+    // closed are withheld, the bounded-state emission contract
+    assert(all.count() > closed.size, "no open window tail — eviction boundary untested")
+  }
+
   test("foreachBatch incremental rollup across micro-batches equals one batch aggregation") {
     import org.apache.spark.sql.functions._
     val base = java.nio.file.Files.createTempDirectory("graft-rollup").toString
