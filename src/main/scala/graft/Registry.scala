@@ -347,16 +347,38 @@ object Registry {
   }
 
   private def bp2OracleSql: String = {
+    // zero-token contract (extreme tier): a NON-NULL doc whose text has no
+    // tokens (empty / whitespace-only) encodes to the EMPTY symbol stream —
+    // 0 subwords, md5('') fingerprint. DuckDB's array_to_string over an
+    // empty list yields NULL (Spark's kernel yields ''), so coalesce pins
+    // the empty stream explicitly — but ONLY under text IS NOT NULL: a
+    // NULL doc keeps propagating NULL (the null-tier contract; Spark's
+    // kernel returns NULL there too). The final CASE keeps n_subwords 0
+    // for '' (len(string_split('', ' ')) would count 1) and NULL for NULL.
     val docHead =
-      "docenc0 AS MATERIALIZED (SELECT doc_id, array_to_string(list_transform(" +
+      "docenc0 AS MATERIALIZED (SELECT doc_id, CASE WHEN text IS NOT NULL THEN " +
+        "coalesce(array_to_string(list_transform(" +
         "list_filter(string_split(text, ' '), w -> len(w) > 0), " +
-        "w -> array_to_string(string_split(w, ''), ' ') || ' </w>'), ' ') AS sym FROM documents)"
+        "w -> array_to_string(string_split(w, ''), ' ') || ' </w>'), ' '), '') END AS sym FROM documents)"
     val docRounds = (1 to BpeOracleMerges).map { i =>
       s"docenc$i AS MATERIALIZED (SELECT doc_id, ${mergeRound(i)} AS sym FROM docenc${i - 1})"
     }.mkString(", ")
     s"WITH $bpeOracleCtes, $docHead, $docRounds " +
-      s"SELECT doc_id, CAST(len(string_split(sym, ' ')) AS BIGINT) AS n_subwords, " +
+      s"SELECT doc_id, CAST(CASE WHEN sym = '' THEN 0 ELSE len(string_split(sym, ' ')) END AS BIGINT) AS n_subwords, " +
       s"md5(sym) AS encoded_fp FROM docenc$BpeOracleMerges ORDER BY doc_id"
+  }
+
+  /** The oracle half of the zero-norm exclusion contract
+    * ([[graft.operators.Similarity.vectors]], found by the extreme-values
+    * tier): prepend a `ve` CTE that drops all-zero vectors — the exact
+    * component-wise predicate the engine filter uses — and point every
+    * embeddings reference in the similarity oracle at it. Applied to each
+    * similarity-family oracle at its registration site, so the guard is
+    * impossible to forget on one side only. */
+  private def guardVec(sql: String): String = {
+    require(sql.startsWith("WITH "), "guardVec expects a WITH-prefixed oracle")
+    "WITH ve AS (SELECT * FROM embeddings WHERE len(list_filter(embedding, x -> x <> 0)) > 0), " +
+      sql.stripPrefix("WITH ").replace(" embeddings", " ve")
   }
 
   /** ss2's oracle: the FULL sign-LSH pipeline re-derived in DuckDB —
@@ -620,7 +642,11 @@ object Registry {
       // Java's correctly-rounded BigDecimal once the unscaled value passes
       // 2^53 (observed on syy at sf0.001); string→double is strtod, single
       // correctly-rounded step on both engines.
-      "WITH s AS (SELECT l_returnflag, count(*) AS n, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy, sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy, sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx, sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy FROM lineitem GROUP BY l_returnflag), sd AS (SELECT l_returnflag, CAST(n AS DOUBLE) AS n0, n, CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sx, CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS sy, CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS sxy, CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS sxx, CAST(CAST(syy AS VARCHAR) AS DOUBLE) AS syy FROM s) SELECT l_returnflag, n, (n0*sxy - sx*sy) / (sqrt(n0*sxx - sx*sx) * sqrt(n0*syy - sy*sy)) AS corr_qty_price, sqrt((n0*sxx - sx*sx) / (n0*(n0-1.0))) AS stddev_qty, (n0*sxy - sx*sy) / (n0*(n0-1.0)) AS covar_qty_price FROM sd ORDER BY l_returnflag"),
+      // degenerate-variance guards (extreme tier): corr NULL unless both
+      // variances strictly positive; stddev clamps 1-ulp-negative variance
+      // to 0; stddev/covar NULL at n<=1 — same branch predicates on the
+      // same doubles as the Spark side
+      "WITH s AS (SELECT l_returnflag, count(*) AS n, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy, sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy, sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx, sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy FROM lineitem GROUP BY l_returnflag), sd AS (SELECT l_returnflag, CAST(n AS DOUBLE) AS n0, n, CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sx, CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS sy, CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS sxy, CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS sxx, CAST(CAST(syy AS VARCHAR) AS DOUBLE) AS syy FROM s), v AS (SELECT *, n0*sxx - sx*sx AS vx, n0*syy - sy*sy AS vy FROM sd) SELECT l_returnflag, n, CASE WHEN vx > 0.0 AND vy > 0.0 THEN (n0*sxy - sx*sy) / (sqrt(vx) * sqrt(vy)) END AS corr_qty_price, CASE WHEN n > 1 THEN sqrt(greatest(vx, 0.0) / (n0*(n0-1.0))) END AS stddev_qty, CASE WHEN n > 1 THEN (n0*sxy - sx*sy) / (n0*(n0-1.0)) END AS covar_qty_price FROM v ORDER BY l_returnflag"),
     q("q35_unpivot", Relational.q35Unpivot,
       "SELECT l_returnflag, metric, CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS total, count(*) AS n FROM (SELECT l_returnflag, 'l_quantity' AS metric, l_quantity AS v FROM lineitem UNION ALL SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem UNION ALL SELECT l_returnflag, 'l_discount', l_discount FROM lineitem UNION ALL SELECT l_returnflag, 'l_tax', l_tax FROM lineitem) t GROUP BY l_returnflag, metric ORDER BY l_returnflag, metric"),
     q("q26_pivot", Relational.q26Pivot,
@@ -812,7 +838,7 @@ object Registry {
     q("dd10_tfidf_cosine", (s, d) => Dedup.tfidfCosinePairs(s, d),
       "WITH all_d AS (SELECT doc_id, text FROM documents), m AS (SELECT greatest(1, count(*) // 500) AS mod FROM all_d), d AS (SELECT doc_id, text FROM all_d, m WHERE doc_id % m.mod = 0), tf AS (SELECT doc_id, w, count(*) AS tf FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM d) t WHERE len(w) > 0 GROUP BY doc_id, w), n AS (SELECT count(DISTINCT doc_id) AS n FROM tf), dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY w), wt AS (SELECT tf.doc_id, tf.w, tf.tf * ln(CAST(n.n AS DOUBLE) / dfq.df) AS wt FROM tf JOIN dfq USING (w), n), nrm AS (SELECT doc_id, sqrt(CAST(CAST(sum(CAST(wt*wt AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)) AS nrm FROM wt GROUP BY doc_id), dot AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(CAST(sum(CAST(a.wt*b.wt AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS dot FROM wt a JOIN wt b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2), c AS (SELECT id_a, id_b, dot / (na.nrm * nb.nrm) AS cos FROM dot JOIN nrm na ON id_a = na.doc_id JOIN nrm nb ON id_b = nb.doc_id) SELECT id_a, id_b, round(cos, 4) AS cos FROM c WHERE cos >= 0.8 ORDER BY id_a, id_b"),
     q("dd6_embedding_neardup", Dedup.embeddingNearDup,
-      "WITH m AS (SELECT greatest(1, count(*) // 2000) AS mod FROM embeddings), e AS (SELECT vec_id, embedding FROM embeddings, m WHERE vec_id % m.mod = 0) SELECT a.vec_id AS id_a, b.vec_id AS id_b, round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cos FROM e a JOIN e b ON a.vec_id < b.vec_id WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4 ORDER BY id_a, id_b"),
+      guardVec("WITH m AS (SELECT greatest(1, count(*) // 2000) AS mod FROM embeddings), e AS (SELECT vec_id, embedding FROM embeddings, m WHERE vec_id % m.mod = 0) SELECT a.vec_id AS id_a, b.vec_id AS id_b, round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cos FROM e a JOIN e b ON a.vec_id < b.vec_id WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4 ORDER BY id_a, id_b")),
 
     // ---- composed cleaning pipeline (quality → lang → dedup in ONE plan) ----
     q("pp1_clean_corpus", Pipeline.cleanCorpus,
@@ -881,8 +907,10 @@ object Registry {
       "WITH t AS (SELECT doc_id, string_split(text,' ') AS a FROM documents WHERE len(string_split(text,' ')) >= 2), bi AS (SELECT doc_id, a[i] AS u, a[i+1] AS v FROM t, UNNEST(generate_series(1, len(a)-1)) AS s(i)), tf AS (SELECT doc_id, u, v, count(*) AS tf FROM bi GROUP BY 1, 2, 3), big AS (SELECT u, v, CAST(sum(tf) AS BIGINT) AS cuv FROM tf GROUP BY 1, 2), ctx AS (SELECT u, CAST(sum(cuv) AS BIGINT) AS cu FROM big GROUP BY 1), vs AS (SELECT count(DISTINCT w) AS vsz FROM (SELECT unnest(string_split(text,' ')) AS w FROM documents) q), terms AS (SELECT tf.doc_id, tf.tf, CAST(tf.tf * -ln((big.cuv + 0.5) / (ctx.cu + 0.5 * vs.vsz)) AS DECIMAL(28,10)) AS nll FROM tf JOIN big USING (u, v) JOIN ctx USING (u), vs) SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams, round(CAST(sum(nll) AS DOUBLE) / sum(tf), 4) AS avg_nll FROM terms GROUP BY doc_id ORDER BY doc_id"),
     q("ev16_ewma", (s, d) => Events.ewma(s, d),
       // α=0.25 is an exact binary fraction; list_reduce's left fold seeded
-      // from the first element ≡ Spark aggregate(slice(...,2,...), first, f)
-      "WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value FROM events), l AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, list(CAST(value AS DOUBLE) ORDER BY ts_us, event_id) AS vs FROM e GROUP BY user_id) SELECT user_id, n_events, round(list_reduce(vs, (acc, x) -> 0.25*x + 0.75*acc), 6) AS ewma FROM l ORDER BY user_id"),
+      // from the first element ≡ Spark aggregate(slice(...,2,...), first, f).
+      // Raw fold compared UNROUNDED — bit-exact cross-engine; round(,6)
+      // itself diverges 1 ulp at >15 significant digits (extreme tier)
+      "WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value FROM events), l AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, list(CAST(value AS DOUBLE) ORDER BY ts_us, event_id) AS vs FROM e GROUP BY user_id) SELECT user_id, n_events, list_reduce(vs, (acc, x) -> 0.25*x + 0.75*acc) AS ewma FROM l ORDER BY user_id"),
     q("q49_running_distinct", Events.runningDistinctUsers,
       "WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events), f AS (SELECT user_id, min(day) AS day FROM e GROUP BY user_id), d AS (SELECT day, count(*) AS new_users FROM f GROUP BY day), ad AS (SELECT DISTINCT day FROM e) SELECT ad.day, coalesce(d.new_users, 0) AS new_users, CAST(sum(coalesce(d.new_users, 0)) OVER (ORDER BY ad.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_distinct_users FROM ad LEFT JOIN d ON ad.day = d.day ORDER BY ad.day"),
     q("ev17_forward_fill", Events.forwardFill,
@@ -1001,18 +1029,18 @@ object Registry {
 
     // ---- similarity search ----
     q("ss1_topk_bruteforce", Similarity.bruteForceTopK,
-      "WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10), s AS (SELECT q_id, e.vec_id AS c_id, round(list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[])), 6) AS cos FROM q JOIN embeddings e ON e.vec_id <> q.q_id), r AS (SELECT q_id, c_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk FROM s) SELECT q_id, c_id, cos, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 5 ORDER BY q_id, rk"),
+      guardVec("WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10), s AS (SELECT q_id, e.vec_id AS c_id, round(list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[])), 6) AS cos FROM q JOIN embeddings e ON e.vec_id <> q.q_id), r AS (SELECT q_id, c_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk FROM s) SELECT q_id, c_id, cos, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 5 ORDER BY q_id, rk")),
     // ss2 carries a FULL oracle since r07: the md5-derived hyperplanes
     // make bucket assignment engine-exact (see ss2OracleSql) — the query
     // stays approximate vs BRUTE-FORCE truth (recall in SimilaritySpec),
     // but its own pipeline is now deterministic and hash-checked
-    q("ss2_lsh_topk", Similarity.lshTopK, ss2OracleSql),
+    q("ss2_lsh_topk", Similarity.lshTopK, guardVec(ss2OracleSql)),
     // ss4 carries a FULL oracle since r07: the scaled-integer centroid
     // means make the whole Lloyd loop engine-portable (see ss4OracleSql),
     // so the iterative k-means training the r06 comment called
     // un-replayable is now unrolled as chained CTEs, bp1/bp2-style.
     // Recall vs brute force stays a SimilaritySpec property.
-    q("ss4_ivf_kmeans", (s, d) => Similarity.ivfKMeansTopK(s, d), ss4OracleSql),
+    q("ss4_ivf_kmeans", (s, d) => Similarity.ivfKMeansTopK(s, d), guardVec(ss4OracleSql)),
     // ss6 carries a FULL oracle since r07 too: the per-subspace codebook
     // training is the same portable k-means, and the ADC scoring chain
     // replays as ordered 128-entry LUT lookups (see ss6OracleSql) — so
@@ -1021,13 +1049,13 @@ object Registry {
     // r07 by the same move: engine-portable md5-derived sketches replace
     // the engine-internal ones, so the registry's no-oracle set is EMPTY —
     // every registered query carries a full DuckDB oracle.
-    q("ss6_pq_topk", (s, d) => Similarity.pqTopK(s, d), ss6OracleSql),
+    q("ss6_pq_topk", (s, d) => Similarity.pqTopK(s, d), guardVec(ss6OracleSql)),
     // ss7: the exact-rescore stage the sketch variants (ss2/ss4/ss6) end
     // in, run over a FIXED deterministic candidate rule so the stage gets
     // its own hash-checked row — sketch recall stays a ScalaTest property,
     // rescore math is oracle-exact
     q("ss7_exact_rescore", Similarity.fixedCandidateRescore,
-      "WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10), c AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings WHERE vec_id % 17 = 3), s AS (SELECT q_id, c_id, round(list_cosine_similarity(qv, cv), 6) AS cos FROM q JOIN c ON c_id <> q_id), r AS (SELECT q_id, c_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk FROM s) SELECT q_id, c_id, cos, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 5 ORDER BY q_id, rk"),
+      guardVec("WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10), c AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings WHERE vec_id % 17 = 3), s AS (SELECT q_id, c_id, round(list_cosine_similarity(qv, cv), 6) AS cos FROM q JOIN c ON c_id <> q_id), r AS (SELECT q_id, c_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk FROM s) SELECT q_id, c_id, cos, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 5 ORDER BY q_id, rk")),
     // ss3 (inline IVF probe) is DEMOTED from the registry (fold-don't-grow):
     // ss5 runs the same cells/scoring through the persisted index and keeps
     // the shared oracle; SimilaritySpec's persisted-vs-inline equality
@@ -1035,7 +1063,7 @@ object Registry {
     // persisted-index probe: builds the cell-partitioned index in a temp
     // dir, probes via the DPP join
     q("ss5_ivf_persisted", Similarity.persistedIvfTopK,
-      "WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv, label FROM embeddings WHERE vec_id < 10), s AS (SELECT q_id, CAST(q.label AS BIGINT) AS cell, e.vec_id AS c_id, round(list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[])), 6) AS cos FROM q JOIN embeddings e ON e.label = q.label AND e.vec_id <> q.q_id), r AS (SELECT q_id, cell, c_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk FROM s) SELECT q_id, cell, c_id, cos, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 5 ORDER BY q_id, rk"))
+      guardVec("WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv, label FROM embeddings WHERE vec_id < 10), s AS (SELECT q_id, CAST(q.label AS BIGINT) AS cell, e.vec_id AS c_id, round(list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[])), 6) AS cos FROM q JOIN embeddings e ON e.label = q.label AND e.vec_id <> q.q_id), r AS (SELECT q_id, cell, c_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk FROM s) SELECT q_id, cell, c_id, cos, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 5 ORDER BY q_id, rk")))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(r => r.name -> r.fn).toMap

@@ -124,7 +124,10 @@ object Bpe {
           GraftShim.expression(col("text")), merges)).as("sym"))
       .select(
         col("doc_id"),
-        size(split(col("sym"), " ")).cast("long").as("n_subwords"),
+        // zero-token contract (extreme tier): an empty symbol stream has 0
+        // subwords — size(split("", " ")) would count 1
+        when(length(col("sym")) === 0, lit(0L))
+          .otherwise(size(split(col("sym"), " ")).cast("long")).as("n_subwords"),
         md5(col("sym").cast("binary")).as("encoded_fp"))
   }
 
@@ -149,7 +152,9 @@ object Bpe {
     encoded
       .select(
         col("doc_id"),
-        size(split(col("sym"), " ")).cast("long").as("n_subwords"),
+        // zero-token contract — mirrors encodeWith
+        when(length(col("sym")) === 0, lit(0L))
+          .otherwise(size(split(col("sym"), " ")).cast("long")).as("n_subwords"),
         md5(col("sym").cast("binary")).as("encoded_fp"))
       .orderBy("doc_id")
   }

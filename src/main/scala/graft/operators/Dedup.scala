@@ -727,7 +727,11 @@ object Dedup {
     * (embeddings table is small even at sf0.1); the LSH-bucketed route for
     * big corpora is Similarity.lshTopK. */
   def embeddingNearDup(s: SparkSession, d: String): DataFrame = {
-    val all = t(s, d, "embeddings")
+    // zero-norm exclusion contract (see Similarity.vectors): cosine against
+    // a zero vector is 0/0 — ANSI Spark throws, DuckDB special-cases -1.0.
+    // Filter BEFORE the sample-modulus count so the oracle's ve-guarded
+    // count derives the identical modulus.
+    val all = Similarity.vectors(s, d)
     // brute force is O(n²): bound the pair count with the same adaptive
     // deterministic sample rule as jaccardPairs (target ≈2000 vectors);
     // the LSH-bucketed route (Similarity.lshTopK) is the unbounded-n path

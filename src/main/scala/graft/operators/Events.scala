@@ -321,8 +321,15 @@ object Events {
           slice(col("seq"), lit(2), greatest(size(col("seq")) - 1, lit(0))),
           element_at(col("seq"), 1).getField("value"),
           (acc, x) => lit(alpha) * x.getField("value") + lit(1 - alpha) * acc).as("raw"))
+    // NO display rounding (extreme-tier find): the fold itself is
+    // bit-exact cross-engine (same left-fold op order on the same
+    // doubles), but round(x, 6) is NOT — Spark rounds the shortest
+    // decimal representation (BigDecimal.valueOf) while DuckDB scales by
+    // 10^6 and rounds, and the two disagree by 1 ulp once |x| carries
+    // more than ~15 significant digits (seen at ±9.9e9 inputs). Emitting
+    // the raw fold is both stronger (hash proves bit-exactness) and safer.
     folded
-      .select(col("user_id"), col("n_events"), round(col("raw"), 6).as("ewma"))
+      .select(col("user_id"), col("n_events"), col("raw").as("ewma"))
       .orderBy("user_id")
   }
 

@@ -703,7 +703,18 @@ object Relational {
     * double once, the derived formulas below are pure IEEE arithmetic on
     * identical inputs, so results are bit-stable with NO rounding at all.
     * One aggregation pass, map-side combined; this is also the 100 TB
-    * answer for deterministic statistics at scale. */
+    * answer for deterministic statistics at scale.
+    *
+    * Degenerate-variance contract (found by the extreme-values tier): a
+    * zero-variance group makes the corr denominator EXACTLY 0.0, and under
+    * this build's ANSI default Spark throws DIVIDE_BY_ZERO even for
+    * doubles (DuckDB yields NULL) — one constant group at 100 TB would
+    * kill the whole job. The guards below make the SQL-standard contract
+    * explicit on BOTH engines: corr is NULL unless both variance terms are
+    * strictly positive; stddev of a constant group is 0 (variance clamped
+    * at 0 against 1-ulp negative cancellation); stddev/covar are NULL for
+    * n ≤ 1. Guard predicates compare the SAME doubles both engines compute,
+    * so branch choice is bit-stable cross-engine. */
   def q41CorrStats(s: SparkSession, d: String): DataFrame = {
     val x = col("l_quantity").cast("decimal(18,2)")
     val y = col("l_extendedprice").cast("decimal(18,2)")
@@ -711,6 +722,8 @@ object Relational {
     def d2(c: Column) = c.cast("double")
     val (sx, sy, sxy, sxx, syy) =
       (d2(col("sx")), d2(col("sy")), d2(col("sxy")), d2(col("sxx")), d2(col("syy")))
+    val vx = n * sxx - sx * sx
+    val vy = n * syy - sy * sy
     t(s, d, "lineitem")
       .groupBy("l_returnflag")
       .agg(
@@ -719,10 +732,12 @@ object Relational {
         sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
       .select(
         col("l_returnflag"), col("n"),
-        ((n * sxy - sx * sy) /
-          (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))).as("corr_qty_price"),
-        sqrt((n * sxx - sx * sx) / (n * (n - lit(1.0)))).as("stddev_qty"),
-        ((n * sxy - sx * sy) / (n * (n - lit(1.0)))).as("covar_qty_price"))
+        when(vx > 0.0 && vy > 0.0,
+          (n * sxy - sx * sy) / (sqrt(vx) * sqrt(vy))).as("corr_qty_price"),
+        when(col("n") > 1,
+          sqrt(greatest(vx, lit(0.0)) / (n * (n - lit(1.0))))).as("stddev_qty"),
+        when(col("n") > 1,
+          (n * sxy - sx * sy) / (n * (n - lit(1.0)))).as("covar_qty_price"))
       .orderBy("l_returnflag")
   }
 

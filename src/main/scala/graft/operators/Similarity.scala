@@ -22,13 +22,27 @@ object Similarity {
 
   private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
 
+  /** The embeddings table under the zero-norm exclusion contract (found by
+    * the extreme-values tier): a zero-norm vector has no direction, so
+    * cosine against it is 0/0 — which DuckDB's list_cosine_similarity
+    * special-cases to -1.0 while Spark's dot/(‖a‖‖b‖) throws DIVIDE_BY_ZERO
+    * under this build's ANSI default (even for doubles). One all-zero
+    * embedding at 100 TB — an empty input to the encoder — would kill the
+    * whole search job. Every similarity operator therefore excludes
+    * zero-norm rows AT THE SOURCE, and every oracle carries the same guard
+    * ([[graft.Registry]] `guardVec`). The predicate is an exact
+    * component-wise comparison (not `norm > 0`) so float-squaring
+    * underflow cannot diverge from the oracle's double-precision filter. */
+  private[graft] def vectors(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings").filter(exists(col("embedding"), _ =!= lit(0.0f)))
+
   private[graft] val Dim = 64
   private[graft] val LshBits = 6
 
   /** Exact top-k neighbors for query vectors (vec_id < 10), ranked on
     * rounded cosine with id tie-break for cross-engine determinism. */
   def bruteForceTopK(s: SparkSession, d: String): DataFrame = {
-    val e = t(s, d, "embeddings")
+    val e = vectors(s, d)
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
         normFast(col("embedding")).as("qn"))
@@ -82,7 +96,7 @@ object Similarity {
     * stays a SimilaritySpec property (approximate by design). */
   def lshTopK(s: SparkSession, d: String): DataFrame = {
     val ps = planes(LshBits)
-    val e = t(s, d, "embeddings")
+    val e = vectors(s, d)
     val withBucket = e.withColumn("bucket", bucketOf(col("embedding"), ps))
     val probeCols = lit(0L) +: (0 until LshBits).map(i => lit(1L << i))
     val q = withBucket.filter(col("vec_id") < 10)
@@ -136,7 +150,7 @@ object Similarity {
   def ivfKMeansTopK(
       s: SparkSession, d: String,
       k: Int = 8, iters: Int = 3, nprobe: Int = 2): DataFrame = {
-    val e = t(s, d, "embeddings")
+    val e = vectors(s, d)
       .select(col("vec_id"), col("embedding"))
       .localCheckpoint() // reused by every Lloyd pass + the final search
     def centLit(c: Array[Double]): Column = array(c.map(x => lit(x.toFloat)): _*)
@@ -261,7 +275,7 @@ object Similarity {
   def persistedIvfTopK(s: SparkSession, d: String): DataFrame = {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf-ss5")
       .resolve("idx").toString
-    val e = t(s, d, "embeddings")
+    val e = vectors(s, d)
     buildIvfIndex(e, dir)
     probeIvfIndex(s, dir, e.filter(col("vec_id") < 10))
   }
@@ -297,7 +311,7 @@ object Similarity {
   def pqTopK(
       s: SparkSession, d: String,
       m: Int = 8, ksub: Int = 16, iters: Int = 2, shortlist: Int = 40): DataFrame =
-    pqTopKOf(t(s, d, "embeddings").select(col("vec_id"), col("embedding")),
+    pqTopKOf(vectors(s, d).select(col("vec_id"), col("embedding")),
       m, ksub, iters, shortlist)
 
   /** [[pqTopK]] over an explicit (vec_id, embedding) relation — the
@@ -433,7 +447,7 @@ object Similarity {
     * stage end to end: candidate join, float dot/norm, 1e-6 rounding, rank
     * tie-break. */
   def fixedCandidateRescore(s: SparkSession, d: String): DataFrame = {
-    val e = t(s, d, "embeddings")
+    val e = vectors(s, d)
     val cands = broadcast(e.filter(col("vec_id") < 10).select(col("vec_id").as("q_id")))
       .crossJoin(e.filter(col("vec_id") % 17 === 3).select(col("vec_id").as("c_id")))
       .filter(col("q_id") =!= col("c_id"))
@@ -445,7 +459,7 @@ object Similarity {
     * the partition-pruned ANN shape: the corpus is clustered/bucketed once,
     * queries only scan their cell. */
   def ivfTopK(s: SparkSession, d: String): DataFrame = {
-    val e = t(s, d, "embeddings")
+    val e = vectors(s, d)
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("label"),
         normFast(col("embedding")).as("qn"))

@@ -480,7 +480,7 @@ class StreamingSpec extends AnyFunSuite {
         .groupBy("user_id")
         .agg(max(struct(col("n_events"), col("ewma"))).as("s"))
         .select(col("user_id"), col("s.n_events").as("n_events"),
-          round(col("s.ewma"), 6).as("ewma"))
+          col("s.ewma").as("ewma"))
         .collect().map(_.toString).sorted.toSeq
       val batch = Events.ewma(spark, sf)
         .collect().map(_.toString).sorted.toSeq

@@ -21,6 +21,19 @@ Modes:
               recorded oracle gate, not just ScalaTest), and one hot
               user absorbs a third of all events (fat sessions, a dense
               stream-stream join key, skewed windows)
+  extreme     boundary values a 100 TB ingest WILL see that the driver
+              fixtures never reach: documents get empty / whitespace-only
+              / punctuation-only / single-token / 40x-repeated text
+              slices (n_chars recomputed); events.value gets +-9.9e9
+              magnitudes (the DECIMAL(14,4) envelope ev19 pins), -0.0,
+              1e-13, and one whole event_type made 99%% constant (MAD=0,
+              zero-variance stats); one l_returnflag group gets constant
+              l_quantity (corr/stddev denominator hits exact 0);
+              orders.o_orderdate gets a pre-Gregorian (1490) slice and
+              l_shipdate a year-9999 slice (parquet datetime-rebase
+              interop with a non-Spark writer); a user_id slice lands
+              near Long.MaxValue; embeddings get a zero-norm vector
+              slice (undefined cosine direction)
 
 All other tables are copied through unchanged. Usage:
   tools/make_mutated.py <mode> [srcdir] [outdir]
@@ -73,6 +86,65 @@ MUTATIONS = {
             "CASE WHEN user_id % 3 = 0 THEN h.hu ELSE user_id END AS user_id, "
             "event_type, value, props FROM t, h",
     },
+}
+
+# extreme tier: every slice deterministic by primary key, all moduli
+# distinct so document slices are (mostly) disjoint; first match wins.
+EXTREME_TEXT = (
+    "CASE WHEN doc_id % 53 = 9 THEN '' "
+    "WHEN doc_id % 59 = 11 THEN '   ' "
+    "WHEN doc_id % 61 = 13 THEN '.,;:!?#@' "
+    "WHEN doc_id % 67 = 17 THEN 'zq' "
+    "WHEN doc_id % 71 = 19 THEN rtrim(repeat(text || ' ', 40)) "
+    "ELSE text END")
+
+EXTREME_VALUE = (
+    # one whole event_type 99% constant: MAD = 0 for ev18, a zero-variance
+    # group for any stddev path; the 1% residue keeps the screen non-empty
+    "CASE WHEN event_type = (SELECT min(event_type) FROM t) THEN "
+    "  (CASE WHEN event_id % 100 = 7 THEN value ELSE 123.4567 END) "
+    # magnitude extremes at the edge of ev19's DECIMAL(14,4) envelope
+    "WHEN event_id % 17 = 2 THEN 9900000000.1234 "
+    "WHEN event_id % 19 = 3 THEN -9900000000.4321 "
+    # IEEE edge cases: negative zero (via VARCHAR cast — DuckDB folds a
+    # bare -0.0 literal to +0.0) and a subnormal-adjacent magnitude
+    "WHEN event_id % 23 = 5 THEN CAST('-0.0' AS DOUBLE) "
+    "WHEN event_id % 29 = 7 THEN 1e-13 "
+    "ELSE value END")
+
+MUTATIONS["extreme"] = {
+    "documents":
+        f"SELECT doc_id, {EXTREME_TEXT} AS text, lang, source, "
+        f"CAST(len({EXTREME_TEXT}) AS BIGINT) AS n_chars FROM t",
+    "events":
+        f"SELECT event_id, ts, "
+        # a user_id slice near Long.MaxValue: keys must hash/partition/join,
+        # never participate in arithmetic
+        "CASE WHEN user_id % 97 = 13 THEN user_id + 9223372036854000000 "
+        "ELSE user_id END AS user_id, "
+        f"event_type, {EXTREME_VALUE} AS value, props FROM t",
+    "orders":
+        # pre-Gregorian-reform timestamps: DuckDB writes proleptic INT64
+        # micros with no Spark metadata -> exercises Spark's parquet
+        # datetime-rebase interop path on read
+        "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, "
+        "CASE WHEN o_orderkey % 89 = 7 THEN TIMESTAMP '1490-03-15 12:00:00' "
+        "ELSE o_orderdate END AS o_orderdate, o_orderpriority FROM t",
+    "lineitem":
+        # one whole l_returnflag group constant quantity: q41's corr
+        # denominator hits exact zero (NaN cross-engine contract); plus a
+        # far-future shipdate slice
+        "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, "
+        "CASE WHEN l_returnflag = 'R' THEN 25.0 ELSE l_quantity END AS l_quantity, "
+        "l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, "
+        "CASE WHEN l_orderkey % 83 = 11 THEN TIMESTAMP '9999-12-01 00:00:00' "
+        "ELSE l_shipdate END AS l_shipdate FROM t",
+    "embeddings":
+        # zero-norm vectors: no defined cosine direction — the contract the
+        # similarity family must make explicit
+        "SELECT vec_id, CASE WHEN vec_id % 37 = 3 THEN "
+        "CAST(list_transform(embedding, x -> 0.0) AS FLOAT[]) "
+        "ELSE embedding END AS embedding, label FROM t",
 }
 
 
