@@ -793,7 +793,7 @@ object Registry {
     q("st8_stream_closed_windows",
       graft.streaming.StreamingOps.closedTumblingFromStream,
       "WITH wm AS (SELECT ((max(epoch_us(ts)) // 1000) - 7200000) * 1000 AS wm_us FROM events), " +
-        "b AS (SELECT date_trunc('hour', ts) AS w_start, event_type, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value FROM events GROUP BY 1, 2) " +
+        "b AS (SELECT date_trunc('hour', ts) AS w_start, event_type, count(*) AS n, CAST(sum(TRY_CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(18,2))) AS DOUBLE) AS total_value FROM events GROUP BY 1, 2) " +
         "SELECT w_start, event_type, n, total_value FROM b, wm " +
         "WHERE epoch_us(w_start) + 3600000000 <= wm_us " +
         "ORDER BY w_start, event_type NULLS FIRST"),
@@ -932,12 +932,12 @@ object Registry {
     // decimal→double cast routes through VARCHAR (DuckDB's direct
     // conversion double-rounds — same trick as dd10)
     q("ev19_time_weighted_avg", Events.timeWeightedAvg,
-      "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, CAST(value AS DECIMAL(14,4)) AS v FROM events), l AS (SELECT user_id, v, CAST(lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) - ts_us AS DECIMAL(20,0)) AS dt FROM e), g AS (SELECT user_id, count(*) AS n_events, sum(v * dt) AS num, CAST(sum(dt) AS BIGINT) AS span_us FROM l GROUP BY user_id) SELECT user_id, n_events, span_us, CASE WHEN span_us > 0 THEN CAST(CAST(num AS VARCHAR) AS DOUBLE) / CAST(span_us AS DOUBLE) END AS twa FROM g ORDER BY user_id"),
+      "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, TRY_CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(14,4)) AS v FROM events), l AS (SELECT user_id, v, CAST(lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) - ts_us AS DECIMAL(20,0)) AS dt FROM e), g AS (SELECT user_id, count(*) AS n_events, sum(v * dt) AS num, CAST(sum(dt) AS BIGINT) AS span_us FROM l GROUP BY user_id) SELECT user_id, n_events, span_us, CASE WHEN span_us > 0 THEN CAST(CAST(num AS VARCHAR) AS DOUBLE) / CAST(span_us AS DOUBLE) END AS twa FROM g ORDER BY user_id"),
     // sj1/sj2: skew salting registered as queries — salting is
     // result-invariant, so the oracles are the PLAIN join / single-window
     // top-k and the hash check proves the rewrite preserves semantics
     q("sj1_salted_join", Salting.sj1SaltedJoinAgg,
-      "SELECT c_mktsegment, count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value FROM events e JOIN customer c ON e.user_id = c.c_custkey GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+      "SELECT c_mktsegment, count(*) AS n_events, CAST(sum(TRY_CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(18,2))) AS DOUBLE) AS total_value FROM events e JOIN customer c ON e.user_id = c.c_custkey GROUP BY c_mktsegment ORDER BY c_mktsegment"),
     q("sj2_salted_topk", Salting.sj2SaltedTopK,
       "SELECT event_type, CAST(rn AS BIGINT) AS rk, event_id, value FROM (SELECT event_type, event_id, value, row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn FROM events) t WHERE rn <= 5 ORDER BY event_type, rk"),
     q("tx4_top_bigrams", TextAnalysis.topBigrams,
@@ -960,7 +960,7 @@ object Registry {
 
     // ---- event streams (batch form; streaming twin in graft.streaming) ----
     q("ev1_tumbling_window", Events.tumbling,
-      "SELECT date_trunc('hour', ts) AS w_start, event_type, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value FROM events GROUP BY 1, 2 ORDER BY w_start, event_type"),
+      "SELECT date_trunc('hour', ts) AS w_start, event_type, count(*) AS n, CAST(sum(TRY_CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(18,2))) AS DOUBLE) AS total_value FROM events GROUP BY 1, 2 ORDER BY w_start, event_type"),
     q("ev2_sessionization", Events.sessions,
       "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events), f AS (SELECT user_id, event_id, ts_us, CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL OR ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) > 1800000000 THEN 1 ELSE 0 END AS new_s FROM e), s AS (SELECT user_id, ts_us, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM f), ps AS (SELECT user_id, session_id, count(*) AS n_events, (max(ts_us) - min(ts_us)) / 1000000 AS dur_s FROM s GROUP BY 1, 2) SELECT user_id, count(*) AS n_sessions, CAST(sum(n_events) AS BIGINT) AS n_events_total, avg(n_events) AS avg_events, max(dur_s) AS max_dur_s FROM ps GROUP BY user_id ORDER BY user_id"),
     q("ev3_sliding_window", Events.sliding,
@@ -975,7 +975,7 @@ object Registry {
       "WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events), c AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id) SELECT cohort_day, day - cohort_day AS day_offset, count(DISTINCT e.user_id) AS n_active FROM e JOIN c ON e.user_id = c.user_id GROUP BY cohort_day, day_offset ORDER BY cohort_day, day_offset"),
 
     q("ev11_ohlc_bars", Events.ohlcBars,
-      "WITH e AS (SELECT date_trunc('hour', ts) AS w_start, event_type, value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || lpad(CAST(event_id AS VARCHAR), 12, '0') AS k FROM events WHERE value IS NOT NULL) SELECT w_start, event_type, arg_min(value, k) AS open, max(value) AS high, min(value) AS low, arg_max(value, k) AS close, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume FROM e GROUP BY w_start, event_type ORDER BY w_start, event_type"),
+      "WITH e AS (SELECT date_trunc('hour', ts) AS w_start, event_type, value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || lpad(CAST(event_id AS VARCHAR), 12, '0') AS k FROM events WHERE value IS NOT NULL) SELECT w_start, event_type, arg_min(value, k) AS open, max(value) AS high, min(value) AS low, arg_max(value, k) AS close, count(*) AS n, CAST(sum(TRY_CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(18,2))) AS DOUBLE) AS volume FROM e GROUP BY w_start, event_type ORDER BY w_start, event_type"),
     q("ev12_counter_rates", Events.counterRates,
       "WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events), w AS (SELECT event_id, user_id, ts_us, value, value - lag(value) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS delta, ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS dt_us FROM e) SELECT event_id, user_id, ts_us, value, delta, dt_us, CASE WHEN delta >= 0 AND dt_us > 0 THEN delta * 1000000 / dt_us END AS rate_per_s FROM w ORDER BY user_id, ts_us, event_id"),
 
@@ -983,7 +983,7 @@ object Registry {
     q("gr1_neardup_pagerank", Graph.neardupPageRank, gr1OracleSql),
 
     q("ev4_top_spenders", Events.topSpenders,
-      "SELECT user_id, count(*) AS n_purchases, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS spend FROM events WHERE event_type = 'purchase' GROUP BY user_id ORDER BY spend DESC, user_id LIMIT 10"),
+      "SELECT user_id, count(*) AS n_purchases, CAST(sum(TRY_CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(18,2))) AS DOUBLE) AS spend FROM events WHERE event_type = 'purchase' GROUP BY user_id ORDER BY spend DESC, user_id LIMIT 10"),
 
     // ---- multimodal (binary payload columns; codecs stubbed, kernel real) ----
     // mm1's oracle recomputes the byte-intensity histogram from the

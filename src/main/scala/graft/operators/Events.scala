@@ -24,7 +24,7 @@ object Events {
     t(s, d, "events")
       .groupBy(timeWindow(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+        sum(expr("try_cast(value AS DECIMAL(18,2))")).cast("double").as("total_value"))
       .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("total_value"))
       .orderBy("w_start", "event_type")
 
@@ -182,7 +182,7 @@ object Events {
         min("value").as("low"),
         max_by(col("value"), key).as("close"),
         count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("volume"))
+        sum(expr("try_cast(value AS DECIMAL(18,2))")).cast("double").as("volume"))
       .select(col("w.start").as("w_start"), col("event_type"),
         col("open"), col("high"), col("low"), col("close"), col("n"), col("volume"))
       .orderBy("w_start", "event_type")
@@ -387,7 +387,7 @@ object Events {
       .filter(col("event_type") === "purchase")
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_purchases"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("spend"))
+        sum(expr("try_cast(value AS DECIMAL(18,2))")).cast("double").as("spend"))
       .orderBy(col("spend").desc, col("user_id"))
       .limit(10)
 

@@ -56,7 +56,7 @@ object Salting {
     * is covered by SaltingSpec's synthetic hot-key corpus. */
   def sj1SaltedJoinAgg(s: SparkSession, d: String): DataFrame = {
     val ev = t(s, d, "events")
-      .select(col("event_id"), col("user_id"), col("value").cast("decimal(18,2)").as("v"))
+      .select(col("event_id"), col("user_id"), expr("try_cast(value AS DECIMAL(18,2))").as("v"))
     val cust = t(s, d, "customer")
       .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
       .hint("shuffle_hash")

@@ -40,7 +40,7 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"),
         // identical to the batch twin (Events.tumbling): exact decimal
         // accumulation, so batch ≡ stream holds at any scale
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+        sum(expr("try_cast(value AS DECIMAL(18,2))")).cast("double").as("total_value"))
       .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("total_value"))
 
   /** Built-in session windows (30-minute gap), the streaming analogue of
@@ -355,7 +355,7 @@ object StreamingOps {
     val s = batch.sparkSession
     val part = batch.groupBy("user_id").agg(
       count(lit(1)).as("n_events"),
-      sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("spend"))
+      sum(expr("try_cast(value AS DECIMAL(18,2))")).cast("decimal(38,2)").as("spend"))
     val target = new java.io.File(stateDir)
     val merged =
       if (target.exists())

@@ -21,6 +21,12 @@ Modes:
               recorded oracle gate, not just ScalaTest), and one hot
               user absorbs a third of all events (fat sessions, a dense
               stream-stream join key, skewed windows)
+  nonfinite   NaN / +-Infinity into events.value (the sensor-glitch
+              class): pure-double paths agree cross-engine (NaN sorts
+              largest on both), and every CAST(value AS DECIMAL) site
+              carries the explicit nonfinite->NULL contract (engine
+              try_cast, oracle TRY_CAST with an isnan guard -- DuckDB
+              1.0's TRY_CAST still errors on NaN->DECIMAL)
   extreme     boundary values a 100 TB ingest WILL see that the driver
               fixtures never reach: documents get empty / whitespace-only
               / punctuation-only / single-token / 40x-repeated text
@@ -111,6 +117,20 @@ EXTREME_VALUE = (
     "WHEN event_id % 23 = 5 THEN CAST('-0.0' AS DOUBLE) "
     "WHEN event_id % 29 = 7 THEN 1e-13 "
     "ELSE value END")
+
+# non-finite measurements: the sensor-glitch class a 100 TB ingest WILL
+# contain. NaN and +-Infinity flow through pure-double paths identically
+# on both engines (NaN sorts/compares largest on both), but any
+# CAST(value AS DECIMAL) site aborts under ANSI -- the same crash class
+# the extreme tier exposed for division.
+MUTATIONS["nonfinite"] = {
+    "events":
+        "SELECT event_id, ts, user_id, event_type, "
+        "CASE WHEN event_id % 31 = 11 THEN 'NaN'::DOUBLE "
+        "WHEN event_id % 41 = 13 THEN 'Infinity'::DOUBLE "
+        "WHEN event_id % 43 = 17 THEN '-Infinity'::DOUBLE "
+        "ELSE value END AS value, props FROM t",
+}
 
 MUTATIONS["extreme"] = {
     "documents":
