@@ -833,8 +833,30 @@ object Registry {
     // hash-checked end to end
     q("dd13_quality_canonical", Dedup.qualityCanonical,
       "WITH RECURSIVE m AS (SELECT greatest(1, count(*) // 500) AS mod FROM documents), d AS (SELECT doc_id, text FROM documents, m WHERE doc_id % m.mod = 0), toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM d), sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id), inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c FROM toks a JOIN toks b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2), p AS (SELECT id_a, id_b FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id WHERE c / (sa.n + sb.n - c) >= 0.85), e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p), reach AS (SELECT u AS node, u AS label FROM e UNION SELECT e.u AS node, r.label FROM reach r JOIN e ON e.v = r.node), lab AS (SELECT node, min(label) AS label FROM reach GROUP BY node), cl AS (SELECT d.doc_id, coalesce(lab.label, d.doc_id) AS cluster_id FROM d LEFT JOIN lab ON d.doc_id = lab.node), q AS (SELECT doc_id, round((1.0 - len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and','to','in'))) / CAST(len(string_split(text,' ')) AS DOUBLE)) * least(CAST(len(string_split(text,' ')) AS DOUBLE), 100.0) / 100.0, 4) AS quality FROM documents), sc AS (SELECT cl.doc_id, cl.cluster_id, q.quality FROM cl JOIN q USING (doc_id)) SELECT doc_id, cluster_id, quality, row_number() OVER (PARTITION BY cluster_id ORDER BY quality DESC, doc_id) = 1 AS keep FROM sc ORDER BY doc_id"),
+    // dd9's oracle is CODE-POINT-exact on any corpus since the hostile-tier
+    // fix: DuckDB's levenshtein counts BYTES (Spark counts code points —
+    // the operator's contract, pinned in DedupSpec), so the oracle first
+    // RELABELS every multi-byte code point in the sampled prefixes to a
+    // distinct unused single-byte char (translate() is simultaneous and
+    // code-point-aware; edit distance is invariant under a bijective
+    // alphabet relabeling), making byte-lev ≡ code-point-lev. If the
+    // corpus ever carries more distinct multi-byte code points than free
+    // single-byte slots (~90), a poison row (-1,-1,-1) makes the capacity
+    // overflow a loud rows-mismatch instead of a silent overcount.
     q("dd9_edit_distance", (s, d) => Dedup.editDistancePairs(s, d),
-      "WITH m AS (SELECT greatest(1, count(*) // 500) AS mod FROM documents), d AS (SELECT doc_id, substr(text, 1, 40) AS p FROM documents, m WHERE doc_id % m.mod = 0) SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(levenshtein(a.p, b.p) AS BIGINT) AS dist FROM d a JOIN d b ON a.doc_id < b.doc_id WHERE levenshtein(a.p, b.p) <= 10 ORDER BY id_a, id_b"),
+      "WITH m AS (SELECT greatest(1, count(*) // 500) AS mod FROM documents), " +
+        "d AS (SELECT doc_id, substr(text, 1, 40) AS p FROM documents, m WHERE doc_id % m.mod = 0), " +
+        "ch AS (SELECT DISTINCT unnest(string_split(p, '')) AS c FROM d), " +
+        "mb AS (SELECT c FROM ch WHERE strlen(c) > 1), " +
+        "pool AS (SELECT chr(CAST(i AS INTEGER)) AS c FROM range(1, 128) t(i) WHERE chr(CAST(i AS INTEGER)) NOT IN (SELECT c FROM ch)), " +
+        "ft AS (SELECT coalesce((SELECT string_agg(c, '' ORDER BY c) FROM mb), '') AS f, " +
+        "coalesce((SELECT string_agg(c, '' ORDER BY c) FROM (SELECT c FROM pool ORDER BY c LIMIT (SELECT count(*) FROM mb)) q), '') AS t, " +
+        "(SELECT count(*) FROM mb) > (SELECT count(*) FROM pool) AS overflow), " +
+        "dt AS (SELECT doc_id, translate(p, ft.f, ft.t) AS p FROM d, ft) " +
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(levenshtein(a.p, b.p) AS BIGINT) AS dist " +
+        "FROM dt a JOIN dt b ON a.doc_id < b.doc_id WHERE levenshtein(a.p, b.p) <= 10 " +
+        "UNION ALL SELECT -1, -1, -1 FROM ft WHERE ft.overflow " +
+        "ORDER BY id_a, id_b"),
     q("dd10_tfidf_cosine", (s, d) => Dedup.tfidfCosinePairs(s, d),
       "WITH all_d AS (SELECT doc_id, text FROM documents), m AS (SELECT greatest(1, count(*) // 500) AS mod FROM all_d), d AS (SELECT doc_id, text FROM all_d, m WHERE doc_id % m.mod = 0), tf AS (SELECT doc_id, w, count(*) AS tf FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM d) t WHERE len(w) > 0 GROUP BY doc_id, w), n AS (SELECT count(DISTINCT doc_id) AS n FROM tf), dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY w), wt AS (SELECT tf.doc_id, tf.w, tf.tf * ln(CAST(n.n AS DOUBLE) / dfq.df) AS wt FROM tf JOIN dfq USING (w), n), nrm AS (SELECT doc_id, sqrt(CAST(CAST(sum(CAST(wt*wt AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)) AS nrm FROM wt GROUP BY doc_id), dot AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(CAST(sum(CAST(a.wt*b.wt AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS dot FROM wt a JOIN wt b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2), c AS (SELECT id_a, id_b, dot / (na.nrm * nb.nrm) AS cos FROM dot JOIN nrm na ON id_a = na.doc_id JOIN nrm nb ON id_b = nb.doc_id) SELECT id_a, id_b, round(cos, 4) AS cos FROM c WHERE cos >= 0.8 ORDER BY id_a, id_b"),
     q("dd6_embedding_neardup", Dedup.embeddingNearDup,

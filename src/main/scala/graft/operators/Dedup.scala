@@ -696,14 +696,17 @@ object Dedup {
     * winnowing blocking stage instead of sampling — this is the exact
     * verifier of that pipeline.
     *
-    * Semantics boundary (r08 unicode audit): Spark's levenshtein counts
-    * CODE-POINT edits — the standard definition and this operator's
-    * contract (DedupSpec pins it on multi-byte strings) — while DuckDB's
-    * levenshtein counts BYTE edits ('café'→'cafe' = 2 there, 1 here). The
-    * oracle twin is therefore exact only on single-byte text; the driver
-    * fixture is verified pure-ASCII at every SF, so the hash compare is
-    * sound, and on a multi-byte corpus it is the ORACLE that overcounts
-    * while the operator stays correct. */
+    * Semantics boundary (r08 unicode audit, CLOSED in r09's hostile
+    * tier): Spark's levenshtein counts CODE-POINT edits — the standard
+    * definition and this operator's contract (DedupSpec pins it on
+    * multi-byte strings) — while DuckDB's counts BYTE edits
+    * ('café'→'cafe' = 2 there, 1 here). The oracle twin is now exact on
+    * multi-byte corpora too: it bijectively relabels every multi-byte
+    * code point in the sampled prefixes to a distinct unused single-byte
+    * char before levenshtein (edit distance is relabeling-invariant), so
+    * byte-lev ≡ code-point-lev — verified on the chained hostile corpus
+    * where the skew∘unicode composition put 15 multi-byte near-pairs
+    * through the gate (see Registry's dd9 oracle comment). */
   def editDistancePairs(
       s: SparkSession, d: String, prefix: Int = 40, maxDist: Int = 10): DataFrame = {
     val all = t(s, d, "documents")
