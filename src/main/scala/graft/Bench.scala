@@ -87,6 +87,37 @@ object Bench {
       // silently swallowed it would surface only as uniformly-cold firsts
       case e: Throwable => println(s"[bench] warm-up failed: ${e.getMessage}")
     }
+    // Streaming-machinery warm-up, same rationale: the FIRST streaming
+    // query in a JVM pays ~4-5 s of one-time loading (micro-batch planner,
+    // state-store provider, offset/commit log classes) that otherwise lands
+    // entirely on the alphabetically-first st row — measured 7.8-9.5 s
+    // first readings vs 3.6 s warm for st1, tripping the re-time rule in
+    // 3 of 4 fresh-JVM runs. One tiny stateful AvailableNow query into a
+    // noop sink loads the lot; its input is synthesized, so this cannot
+    // mask an unreadable sfDir.
+    try {
+      import org.apache.spark.sql.functions.{col, window}
+      val dir = java.nio.file.Files.createTempDirectory("graft-bench-warm").toFile
+      val in = new java.io.File(dir, "in")
+      spark.range(100)
+        .selectExpr("id", "timestamp_micros(id * 1000000) AS ts")
+        .write.parquet(in.getPath)
+      spark.readStream.schema("id BIGINT, ts TIMESTAMP").parquet(in.getPath)
+        .withWatermark("ts", "1 minute")
+        .groupBy(window(col("ts"), "1 minute")).count()
+        .writeStream.format("noop")
+        .option("checkpointLocation", new java.io.File(dir, "ckpt").getPath)
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(dir)
+    } catch {
+      case e: Throwable => println(s"[bench] streaming warm-up failed: ${e.getMessage}")
+    }
     // A query that throws must not masquerade as a fast success: its timing
     // is recorded NEGATIVE (time-to-failure) and its name+message land in an
     // "errors" object, excluded from the total.
