@@ -10,9 +10,17 @@ object TimeQuery {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // SPARK_GRAFT_PARTS decouples shuffle partitions from the thread count
+    // for scale probes: the bench pins partitions=cpus (the sf0.1 contract),
+    // but at 1000x data that leaves ~19M rows per shuffle partition and the
+    // sorts/aggs go spill-bound — a cluster sizes partitions with data (or
+    // lets AQE coalesce DOWN from a high initial count), and this knob
+    // measures exactly that effect on one query at a time.
+    val parts = sys.env.get("SPARK_GRAFT_PARTS")
+      .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(cpus.toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", parts.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
