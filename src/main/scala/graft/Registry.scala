@@ -228,9 +228,14 @@ object Registry {
     * sign bit, emitted as long-min to keep the sum inside BIGINT on both
     * engines) → 4×16-bit band keys (arithmetic shift + mask is
     * fill-agnostic after the mask, so Spark's shiftright ≡ DuckDB's >>) →
-    * BucketCap bucket kill → band pairs → bit_count(xor) Hamming ≤ 3 →
-    * distinct. Validated against a bit-exact Python simulation at
-    * sf0.001 before registration. */
+    * BucketCap bucket kill → band pairs → bit_count(xor) Hamming ≤ 3 —
+    * UNION the full-signature star recovery (GROUP BY simhash, min-id
+    * canon, member → canon pairs at Hamming 0, mirroring the engine's
+    * over-cap recall path added after the 1000× probe) → distinct.
+    * `sh` is MATERIALIZED: three consumers (bands + the two star CTEs)
+    * would otherwise re-derive the whole per-token bit pipeline (the dd4
+    * join-order lesson). Validated against a bit-exact Python simulation
+    * at sf0.001 before registration. */
   private def dd5OracleSql: String = {
     import graft.operators.Dedup.BucketCap
     "WITH docs AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL), " +
@@ -238,12 +243,14 @@ object Registry {
       "th AS (SELECT doc_id, substr(md5(w), 1, 16) AS h FROM toks), " +
       "bits AS (SELECT doc_id, t.b AS b, CASE WHEN (((strpos('0123456789abcdef', substr(h, (t.b // 4) + 1, 1)) - 1) >> (t.b % 4)) & 1) = 1 THEN 1 ELSE -1 END AS v FROM th, UNNEST(generate_series(0, 63)) AS t(b)), " +
       "sums AS (SELECT doc_id, b, sum(v) AS s FROM bits GROUP BY doc_id, b), " +
-      "sh AS (SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (CASE WHEN b = 63 THEN (-9223372036854775807 - 1) ELSE (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) END) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash FROM sums GROUP BY doc_id), " +
+      "sh AS MATERIALIZED (SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (CASE WHEN b = 63 THEN (-9223372036854775807 - 1) ELSE (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) END) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash FROM sums GROUP BY doc_id), " +
       "bands AS (SELECT doc_id, simhash, t.b AS band, (simhash >> (t.b * 16)) & 65535 AS bkey FROM sh, UNNEST(generate_series(0, 3)) AS t(b)), " +
       s"okb AS (SELECT band, bkey FROM bands GROUP BY band, bkey HAVING count(*) <= $BucketCap), " +
       "cb AS (SELECT b2.doc_id, b2.simhash, b2.band, b2.bkey FROM bands b2 JOIN okb USING (band, bkey)), " +
-      "hp AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b, CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming FROM cb x JOIN cb y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id WHERE bit_count(xor(x.simhash, y.simhash)) <= 3) " +
-      "SELECT id_a, id_b, hamming FROM hp ORDER BY id_a, id_b"
+      "hp AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b, CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming FROM cb x JOIN cb y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id WHERE bit_count(xor(x.simhash, y.simhash)) <= 3), " +
+      "canon AS (SELECT simhash, min(doc_id) AS id_a FROM sh GROUP BY simhash HAVING count(*) > 1), " +
+      "sp AS (SELECT c.id_a, s.doc_id AS id_b, CAST(0 AS BIGINT) AS hamming FROM sh s JOIN canon c USING (simhash) WHERE s.doc_id <> c.id_a) " +
+      "SELECT DISTINCT id_a, id_b, hamming FROM (SELECT * FROM hp UNION ALL SELECT * FROM sp) ORDER BY id_a, id_b"
   }
 
   /** dd7's oracle: the FULL winnowing pass re-derived in DuckDB — possible

@@ -348,8 +348,21 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: 4×16-bit band blocking, then exact Hamming
-    * verification ≤ 3 via bit_count(xor). Same LSH shape as MinHash —
-    * candidates from band equi-join only. */
+    * verification ≤ 3 via bit_count(xor) — plus [[lshCandidates]]'s
+    * full-signature STAR recovery on the simhash domain: docs sharing the
+    * complete 64-bit signature (Hamming 0 — exactly what overfills a band
+    * bucket on a duplicate-heavy corpus) pair against their group's
+    * min-doc_id canon, linear in group size.
+    *
+    * The star path was added after the r09 1000× probe measured this
+    * operator's drop-over-cap-only policy at ZERO output rows: verbatim
+    * 1000-way replication puts every duplicate cluster over [[BucketCap]]
+    * in every band, so every true pair was silently dropped — the one
+    * dedup operator that lost recall where dd4's cap+star design kept it.
+    * With the star, over-cap clusters degrade to their (n−1)-pair spanning
+    * star instead of vanishing; sub-cap corpora are unchanged (identical
+    * signatures collide in all four bands, so star pairs are a subset of
+    * the band pairs there). */
   def simhashPairs(s: SparkSession, d: String): DataFrame = {
     // materialized once (two longs per doc): the banded relation feeds four
     // branches (bucket sizes + the self-join's two sides); see jaccardPairs
@@ -366,7 +379,7 @@ object Dedup {
     val smallBuckets = allBanded.groupBy("band", "key")
       .agg(count(lit(1)).as("bsz")).filter(col("bsz") <= BucketCap)
     val banded = allBanded.join(smallBuckets, Seq("band", "key"))
-    banded.as("x")
+    val bandPairs = banded.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -377,6 +390,17 @@ object Dedup {
       // so evaluating it first means the dedup shuffle only carries the
       // surviving pairs (a pair colliding in k bands appears k times)
       .filter(col("hamming") <= 3)
+    // Star recovery (see scaladoc): full-signature groups pair member →
+    // min-id canon at Hamming 0. A star pair can also arrive via a sub-cap
+    // band bucket with identical values (same ids, hamming 0), so the
+    // union-then-distinct dedups cleanly.
+    val canon = sh.groupBy("simhash")
+      .agg(min("doc_id").as("id_a"), count(lit(1)).as("gsz"))
+      .filter(col("gsz") > 1)
+    val starPairs = sh.join(canon, "simhash")
+      .filter(col("doc_id") =!= col("id_a"))
+      .select(col("id_a"), col("doc_id").as("id_b"), lit(0L).as("hamming"))
+    bandPairs.unionByName(starPairs)
       .distinct()
       .orderBy("id_a", "id_b")
   }

@@ -101,6 +101,35 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("simhash star recovery keeps over-cap duplicate clusters (the 1000x probe find)") {
+    import spark.implicits._
+    // One exact-duplicate cluster larger than BucketCap: every band bucket
+    // it fills is over cap, so WITHOUT the full-signature star the cluster
+    // contributes zero pairs — exactly how the 1000x probe read dd5 at 0
+    // output rows. With it, the cluster degrades to its (n-1)-pair
+    // min-canon star at hamming 0.
+    val n = Dedup.BucketCap + 51
+    val dir = java.nio.file.Files.createTempDirectory("graft-dd5-star").toFile
+    try {
+      val docs = (1L to n.toLong).map(i => (i, "alpha beta gamma delta epsilon zeta")) :+
+        (9001L, "unrelated vocabulary entirely disjoint from the cluster words")
+      docs.toDF("doc_id", "text").write
+        .parquet(new java.io.File(dir, "documents.parquet").getPath)
+      val out = Dedup.simhashPairs(spark, dir.getPath).collect()
+      val clusterPairs = out.filter(_.getAs[Long]("id_b") <= n)
+      assert(clusterPairs.length == n - 1, "expected exactly the canon star")
+      clusterPairs.foreach { r =>
+        assert(r.getAs[Long]("id_a") == 1L)
+        assert(r.getAs[Long]("hamming") == 0L)
+      }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(dir)
+    }
+  }
+
   test("winnowing fingerprints: identical docs share all, guarantee property holds") {
     val fps = Dedup.winnowFingerprints(spark, sf).cache()
     val perDoc = fps.groupBy("doc_id").agg(count(lit(1)).as("n")).collect()

@@ -168,24 +168,48 @@ MUTATIONS["extreme"] = {
 }
 
 
-def main() -> int:
-    ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("mode", choices=sorted(MUTATIONS))
-    ap.add_argument("srcdir", nargs="?", default="/root/testdata/sf0.01")
-    ap.add_argument("outdir", nargs="?", default=None)
-    ns = ap.parse_args()
-    outdir = ns.outdir or f"/tmp/{ns.mode.replace('-', '')}_corpus"
+# The chained-hostile interaction tier (ROUND9.md section 18c): all six
+# mutations composed into one corpus, in an EXPLICIT order so the tier is
+# reproducible from the repo (the original r09 build chained the modes by
+# hand). skew runs FIRST so the exact-copy cluster exists before unicode
+# decorates each doc by its own id residue — that is what turns cluster
+# copies into multi-byte NEAR-pairs (the composition that finally reached
+# dd9's byte-vs-codepoint oracle blind spot); extreme runs LAST so its
+# boundary slices (empty/repeated text, +-9.9e9, -0.0) land beside the
+# nonfinite slices instead of being overwritten by them.
+HOSTILE_ORDER = ["skew", "unicode", "null-text", "null-events", "nonfinite", "extreme"]
+
+
+def apply_mode(con, mode: str, srcdir: str, outdir: str) -> None:
     os.makedirs(outdir, exist_ok=True)
-    con = duckdb.connect()
     for t in TABLES:
-        src = f"{ns.srcdir}/{t}.parquet"
+        src = f"{srcdir}/{t}.parquet"
         if os.path.isdir(src):  # spark-written table directory
             src += "/*.parquet"
-        sel = MUTATIONS[ns.mode].get(t, "SELECT * FROM t")
+        sel = MUTATIONS[mode].get(t, "SELECT * FROM t")
         con.sql(f"CREATE OR REPLACE VIEW t AS SELECT * FROM '{src}'")
         con.sql(f"COPY ({sel}) TO '{outdir}/{t}.parquet' (FORMAT PARQUET)")
         n = con.sql(f"SELECT count(*) FROM '{outdir}/{t}.parquet'").fetchone()[0]
         print(f"{t}: {n} rows -> {outdir}/{t}.parquet")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("mode", choices=sorted(MUTATIONS) + ["hostile"])
+    ap.add_argument("srcdir", nargs="?", default="/root/testdata/sf0.01")
+    ap.add_argument("outdir", nargs="?", default=None)
+    ns = ap.parse_args()
+    outdir = ns.outdir or f"/tmp/{ns.mode.replace('-', '')}_corpus"
+    con = duckdb.connect()
+    if ns.mode == "hostile":
+        src = ns.srcdir
+        for i, m in enumerate(HOSTILE_ORDER):
+            dst = outdir if i == len(HOSTILE_ORDER) - 1 else f"{outdir}.stage{i}"
+            print(f"-- hostile stage {i}: {m}")
+            apply_mode(con, m, src, dst)
+            src = dst
+        return 0
+    apply_mode(con, ns.mode, ns.srcdir, outdir)
     return 0
 
 
