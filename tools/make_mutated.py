@@ -52,9 +52,18 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
-# deterministic by doc_id — no randomness, so re-runs are identical
+# deterministic by doc_id — no randomness, so re-runs are identical.
+# The %9 clause substitutes ONE character (the first 'e') with a 2-byte
+# code point: a single multi-byte SUBSTITUTION inside any 40-char prefix,
+# which keeps dd9's byte-vs-codepoint relabeling oracle non-vacuously
+# exercised (near-dup doc pairs whose %9 residues differ sit at
+# code-point distance d but byte distance d+1 — the exact divergence
+# class the chained-hostile tier first caught); the append/prepend
+# clauses alone sit beyond dd9's 40-char prefix window on normal docs,
+# or past its maxDist when they do land inside it.
 UNICODE_TEXT = """
-CASE WHEN doc_id % 5 = 0 THEN 'héllo ' ELSE '' END || text ||
+CASE WHEN doc_id % 5 = 0 THEN 'héllo ' ELSE '' END ||
+CASE WHEN doc_id % 9 = 2 THEN regexp_replace(text, 'e', 'é') ELSE text END ||
 CASE WHEN doc_id % 3 = 0 THEN ' café 東京都 naïve' ELSE '' END ||
 CASE WHEN doc_id % 3 = 1 THEN ' 🚀 ωμέγα Москва 한국어' ELSE '' END ||
 CASE WHEN doc_id % 7 = 0 THEN ' éclair 🔥日本語' ELSE '' END
@@ -171,13 +180,16 @@ MUTATIONS["extreme"] = {
 # The chained-hostile interaction tier (ROUND9.md section 18c): all six
 # mutations composed into one corpus, in an EXPLICIT order so the tier is
 # reproducible from the repo (the original r09 build chained the modes by
-# hand). skew runs FIRST so the exact-copy cluster exists before unicode
-# decorates each doc by its own id residue — that is what turns cluster
-# copies into multi-byte NEAR-pairs (the composition that finally reached
-# dd9's byte-vs-codepoint oracle blind spot); extreme runs LAST so its
-# boundary slices (empty/repeated text, +-9.9e9, -0.0) land beside the
-# nonfinite slices instead of being overwritten by them.
-HOSTILE_ORDER = ["skew", "unicode", "null-text", "null-events", "nonfinite", "extreme"]
+# hand). unicode runs FIRST (multi-byte content in the base texts, and
+# the %9 single-substitution slice creates multi-byte NEAR-pairs among
+# the corpus's near-dup groups — the composition class that reached
+# dd9's byte-vs-codepoint oracle blind spot); skew then copies the
+# DECORATED hot doc, so the over-cap exact-copy cluster's shared text
+# contains multi-byte code points while staying an exact cluster (the
+# cap-kill + star machinery still engages); null-text runs LAST so NULL
+# text lands over extreme-mutated docs rather than being resurrected by
+# extreme's literal slices.
+HOSTILE_ORDER = ["unicode", "skew", "null-events", "nonfinite", "extreme", "null-text"]
 
 
 def apply_mode(con, mode: str, srcdir: str, outdir: str) -> None:
