@@ -17,7 +17,7 @@ object Bench {
     "dd11" -> 1.39, "dd12" -> 4.13, "dd13" -> 3.44, "dd2" -> 1.75, "dd3" -> 1.18,
     // dd5 refreshed r09-continuation: the star-recovery form reads
     // 1.8/1.99 in the certified pair (the canon agg is map-side combined)
-    "dd4" -> 3.74, "dd5" -> 1.9, "dd6" -> 3.04, "dd7" -> 0.84, "dd8" -> 6.98,
+    "dd4" -> 3.74, "dd5" -> 1.8, "dd6" -> 3.04, "dd7" -> 0.84, "dd8" -> 6.98,
     "dd9" -> 1.98, "ev1" -> 0.54, "ev10" -> 0.81, "ev11" -> 1.19, "ev12" -> 0.85,
     "ev13" -> 0.98, "ev14" -> 0.85, "ev15" -> 0.91, "ev16" -> 0.75, "ev17" -> 0.74,
     "ev18" -> 3.91, "ev19" -> 0.83, "ev2" -> 1.01, "ev3" -> 0.49, "ev4" -> 0.31,
@@ -43,7 +43,7 @@ object Bench {
     // st family refreshed from the r09-continuation certified pair
     // (154.54/158.66 s), the first recorded with the streaming-machinery
     // warm-up — st1 no longer pays the first-streaming-query loading
-    "st1" -> 2.9,
+    "st1" -> 2.85,
     "st2" -> 3.5,
     "st3" -> 3.5,
     // st4 (r09 pair): the stream-stream join buffers BOTH sides in state —

@@ -38,7 +38,11 @@ object CountRows {
           println(f"[countrows] $name,$c,${(System.nanoTime() - t0) / 1e9}%.2f")
         } catch {
           case e: Throwable =>
-            println(s"[countrows] $name,ERROR,${Option(e.getMessage).getOrElse(e.getClass.getName).take(120)}")
+            // sanitize: exception messages routinely carry commas/newlines,
+            // which would break the one-line 3-field shape parsers rely on
+            val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+              .replaceAll("[,\\n\\r\\t]", " ").take(120)
+            println(s"[countrows] $name,ERROR,$msg")
         }
       }
     spark.stop()

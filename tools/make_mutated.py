@@ -46,6 +46,7 @@ All other tables are copied through unchanged. Usage:
 """
 import argparse
 import os
+import tempfile
 
 import duckdb
 
@@ -214,12 +215,17 @@ def main() -> int:
     outdir = ns.outdir or f"/tmp/{ns.mode.replace('-', '')}_corpus"
     con = duckdb.connect()
     if ns.mode == "hostile":
-        src = ns.srcdir
-        for i, m in enumerate(HOSTILE_ORDER):
-            dst = outdir if i == len(HOSTILE_ORDER) - 1 else f"{outdir}.stage{i}"
-            print(f"-- hostile stage {i}: {m}")
-            apply_mode(con, m, src, dst)
-            src = dst
+        # intermediate stages live under a TemporaryDirectory so a run
+        # leaves ONLY the final corpus behind (previously the five
+        # <outdir>.stageN copies persisted — a 6x disk surprise, and a
+        # stale stageN dir could be mistaken for the tier corpus)
+        with tempfile.TemporaryDirectory(prefix="hostile_stages_") as stage_root:
+            src = ns.srcdir
+            for i, m in enumerate(HOSTILE_ORDER):
+                dst = outdir if i == len(HOSTILE_ORDER) - 1 else f"{stage_root}/stage{i}"
+                print(f"-- hostile stage {i}: {m}")
+                apply_mode(con, m, src, dst)
+                src = dst
         return 0
     apply_mode(con, ns.mode, ns.srcdir, outdir)
     return 0
