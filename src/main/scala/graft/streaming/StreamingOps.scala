@@ -303,11 +303,16 @@ object StreamingOps {
     * the join condition bounds ts_b relative to ts_a, which is exactly what
     * lets Spark evict join state — a buffered left row is droppable once
     * the watermark passes ts_a + interval, so state is O(traffic × window),
-    * not O(stream lifetime). */
-  def intervalPairs(events: DataFrame, interval: String = "60 seconds"): DataFrame = {
-    val a = events.withWatermark("ts", "2 hours")
+    * not O(stream lifetime). `delay` is the late-data tolerance: the
+    * production default (2 hours) buffers delay + interval of traffic per
+    * side; a source that provably delivers in event-time order (the staged
+    * harness) can run it down to the interval itself — the earliest legal
+    * eviction point — shrinking state by the same factor. */
+  def intervalPairs(events: DataFrame, interval: String = "60 seconds",
+      delay: String = "2 hours"): DataFrame = {
+    val a = events.withWatermark("ts", delay)
       .select(col("user_id"), col("event_id").as("id_a"), col("ts").as("ts_a"))
-    val b = events.withWatermark("ts", "2 hours")
+    val b = events.withWatermark("ts", delay)
       .select(col("user_id").as("user_b"), col("event_id").as("id_b"), col("ts").as("ts_b"))
     a.join(b,
       col("user_id") === col("user_b") &&
@@ -467,13 +472,14 @@ object StreamingOps {
       .collect()(0).toSeq.map(_.asInstanceOf[Long])
     val cut1 = lo + (hi - lo + 1) / 3
     val cut2 = lo + 2 * ((hi - lo + 1) / 3)
-    Seq(
+    stageConcurrently(Seq(
       col("doc_id") < cut1,
       col("doc_id") >= cut1 && col("doc_id") < cut2,
       col("doc_id") >= cut2
-    ).zipWithIndex.foreach { case (range, i) =>
+    ).zipWithIndex.map { case (range, i) => () =>
       docs.filter(range).coalesce(1).write.parquet(s"$inDir/c$i.parquet")
-    }
+    })
+    restampInOrder(inDir)
     val schema = s.read.parquet(s"$inDir/c0.parquet").schema
     incrementalDedupIngest(
       s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
@@ -598,11 +604,20 @@ object StreamingOps {
         case _ => (1 until nFiles).map(i => lo + i * (span / nFiles))
       }
       val bounds = (lo +: cuts) :+ (hi + 1)
-      bounds.init.zip(bounds.tail).zipWithIndex.foreach { case ((cutLo, cutHi), i) =>
-        // zero-padded names keep path order = time order for any nFiles
-        events.filter(us >= cutLo && us < cutHi)
-          .coalesce(1).write.parquet(f"$inDir/c$i%02d.parquet")
-      }
+      // range writes run CONCURRENTLY (each is a single-task coalesce(1)
+      // job over the cached projection — run serially they were nFiles
+      // sequential single-thread writes, a visible slice of the harness
+      // floor at the stress tiers). Time order is preserved WITHOUT
+      // relying on write completion order: FileStreamSource orders by
+      // (mtime, path) and the post-write touch below re-stamps each
+      // file's mtime in range order.
+      stageConcurrently(bounds.init.zip(bounds.tail).zipWithIndex.map {
+        case ((cutLo, cutHi), i) => () =>
+          // zero-padded names keep path order = time order for any nFiles
+          events.filter(us >= cutLo && us < cutHi)
+            .coalesce(1).write.parquet(f"$inDir/c$i%02d.parquet")
+      })
+      restampInOrder(inDir)
       (inDir, n)
     } finally events.unpersist()
   }
@@ -694,15 +709,21 @@ object StreamingOps {
     * what makes a buffered row evictable, the bounded-state contract of a
     * production stream-stream join).
     *
-    * Why the staged emission is complete (≡ the batch join): for a pair
-    * (a, b) with ts_a < ts_b ≤ ts_a + interval, a arrives no later than b
-    * (ts-range files); when b's batch runs, the watermark is at most
-    * max ts of the PRIOR batches − delay ≤ ts_b − delay, and with
-    * delay (2 h) ≫ interval (30 min) that is strictly below
-    * ts_a + interval — so a is still buffered, the pair emits exactly
-    * once, and the union over batches is the full batch join. An inner
-    * stream-stream join emits on match (no watermark-closing wait), so no
-    * result rows are parked in state at end-of-stream. */
+    * Why the staged emission is complete (≡ the batch join) for ANY
+    * delay ≥ 0: ts-RANGE staged files mean every row of batch j has
+    * ts ≥ cut_{j−1} > max ts of batches < j, so when b's batch runs the
+    * watermark wm = maxTs(prior) − delay < ts_b − delay ≤ ts_b — b is
+    * never late — and for its partner a (ts_a ≥ ts_b − interval),
+    * wm < ts_b − delay ≤ ts_a + interval − delay ≤ ts_a + interval — a is
+    * still buffered. So the pair emits exactly once and the union over
+    * batches is the full batch join, independent of the delay. The
+    * harness therefore runs delay = interval (the earliest legal eviction
+    * point, r10): buffered state shrinks from delay + interval ≈ 2.5 h to
+    * 2×interval = 1 h of traffic behind the frontier — the knob a
+    * production deployment with an in-order source (per-key Kafka, file
+    * sequences) tunes the same way. An inner stream-stream join emits on
+    * match (no watermark-closing wait), so no result rows are parked in
+    * state at end-of-stream. */
   def intervalPairsFromStream(s: SparkSession, d: String): DataFrame = {
     val base = stageTempDir("graft-st4-")
     // MICRO-BATCH COUNT scales with same-user probe density, floor 3. The
@@ -716,8 +737,16 @@ object StreamingOps {
     // ~delay-window size. The harness mirrors that by cutting batches so
     // each carries ~2e8 probe work: Σn²/B ≤ 2e8 ⇒ B = Σn²/2e8, capped at
     // 48 (3 at every driver fixture tier and the 10x corpus — unchanged
-    // behavior there; 48 at the 100x probe). Σn² is one cheap count-agg;
-    // decimal sum so ANSI mode can't overflow on a skewed corpus.
+    // behavior there; 48 at the 100x probe). The budget is the measured
+    // optimum, not a guess: total cost ≈ B·(commit+shuffle floor) +
+    // Σn²/B·(probe rate), and an r10 grid at the 10x corpus (solo warm
+    // pairs, delay=interval) read B=3: 20.2 s, B=6: 23.9 s, B=13: 39.7 s
+    // — the per-batch floor (~2-3 s at state-volume partition counts)
+    // overtakes the probe savings immediately at this tier, so the floor
+    // side of the curve, not the probe side, binds until Σn² grows past
+    // ~1e10 (the 100x corpus, where the cap takes over anyway). Σn² is
+    // one cheap count-agg; decimal sum so ANSI mode can't overflow on a
+    // skewed corpus.
     val sumSq = graft.Tables(s, d, "events")
       .groupBy("user_id").agg(count(lit(1)).as("n"))
       .agg(sum((col("n") * col("n")).cast("decimal(38,0)")))
@@ -765,7 +794,9 @@ object StreamingOps {
     val outDir = new java.io.File(base, "pairs").getPath
     val ckpt = new java.io.File(base, "ckpt").getPath
     withShufflePartitions(s, statePartitionsFor(s, nRows)) {
-      val q = intervalPairs(stream, "30 minutes").writeStream
+      // delay = interval: the earliest-legal-eviction point, complete for
+      // the ts-range staged source at ANY delay (see the scaladoc proof)
+      val q = intervalPairs(stream, "30 minutes", delay = "30 minutes").writeStream
         .outputMode(OutputMode.Append)
         .format("parquet")
         .option("path", outDir)
@@ -955,10 +986,11 @@ object StreamingOps {
     val base = stageTempDir("graft-st6-")
     val inDir = new java.io.File(base, "in").getPath
     val docs = graft.Tables(s, d, "documents").select("doc_id", "text")
-    (0 until 3).foreach { i =>
+    stageConcurrently((0 until 3).map { i => () =>
       docs.filter(col("doc_id") % 3 === i)
         .coalesce(1).write.parquet(f"$inDir/c$i%02d.parquet")
-    }
+    })
+    restampInOrder(inDir)
     val schema = s.read.parquet(s"$inDir/c00.parquet").schema
     def stream = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$inDir/*.parquet/*.parquet")
@@ -1051,6 +1083,43 @@ object StreamingOps {
   // micro-batch floor is trigger/planning machinery, not storage latency,
   // so the default tmpdir stays (and production checkpoints belong on
   // durable shared storage anyway).
+  /** Run independent staging writes concurrently (each is typically a
+    * single-task coalesce(1) job — serially they were N sequential
+    * single-thread writes, a visible slice of the harness floor at the
+    * stress tiers). Bounded shared pool; daemon threads. */
+  private def stageConcurrently(writes: Seq[() => Unit]): Unit = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = stagingPool
+    writes.map(w => scala.concurrent.Future(w()))
+      .foreach(Await.result(_, Duration.Inf))
+  }
+
+  private lazy val stagingPool: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(8, (r: Runnable) => {
+        val t = new Thread(r, "graft-staging"); t.setDaemon(true); t
+      }))
+
+  /** Re-stamp staged files' mtimes in path order with strictly increasing
+    * values, AFTER all concurrent writes complete: FileStreamSource orders
+    * by (mtime, path), and concurrent writes finish in arbitrary order —
+    * the re-stamp restores mtime order = zero-padded path order = range
+    * order, so the one-file-per-trigger choreography is exactly what it
+    * was under serial staging. Stamps land on the leaf part files (what
+    * the source lists) and the directory itself. */
+  private def restampInOrder(inDir: String): Unit = {
+    val dirs = Option(new java.io.File(inDir).listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val base = System.currentTimeMillis()
+    dirs.zipWithIndex.foreach { case (d, i) =>
+      val stamp = base + i * 1000L
+      d.setLastModified(stamp)
+      Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
+        .foreach(_.setLastModified(stamp))
+    }
+  }
+
   private def stageTempDir(prefix: String): java.io.File = {
     require(cleanupHookInstalled)
     val f = java.nio.file.Files.createTempDirectory(prefix).toFile
