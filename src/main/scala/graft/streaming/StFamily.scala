@@ -88,13 +88,20 @@ object StFamily {
     }.get
   }
 
-  /** Launch every member concurrently and cache all eight results. The
-    * synchronized block makes a concurrent first-fetch from two threads
-    * run one family launch, not two. */
+  /** Launch every member whose result is not already cached, concurrently,
+    * and cache the results. Launching only the MISSING members matters
+    * beyond economy: consumers that fetch a subset of rows (the plan-shape
+    * spec sweeps exclude st1) leave the others' entries behind, and a
+    * later fetch must re-produce the consumed rows rather than see a
+    * leftover and conclude the family already ran (the r10 bug: an
+    * any-entry-for-this-dir guard returned without producing the requested
+    * row). The synchronized block makes a concurrent first-fetch from two
+    * threads run one family launch, not two. */
   private def runFamily(s: SparkSession, d: String): Unit = synchronized {
-    if (cache.keys.exists(_._1 == d)) return // another thread already ran it
+    val missing = members.toSeq.filter { case (code, _) => !cache.contains((d, code)) }
+    if (missing.isEmpty) return // another thread already ran it
     implicit val ec: ExecutionContext = pool
-    val launched = members.toSeq.map { case (code, fn) =>
+    val launched = missing.map { case (code, fn) =>
       code -> Future(Try(fn(s.newSession(), d)))
     }
     launched.foreach { case (code, f) =>
