@@ -55,7 +55,7 @@ object PlanAudit {
   /** Every node of the physical plan, descending into AQE input plans,
     * cached-relation plans, and expression subqueries — the same walk the
     * plan-shape specs use. */
-  private def walk(p: SparkPlan): Seq[SparkPlan] =
+  private[graft] def walk(p: SparkPlan): Seq[SparkPlan] =
     p.collect { case n => n }.flatMap {
       // initialPlan, not inputPlan: the prepared plan AFTER
       // EnsureRequirements (exchanges present), BEFORE any stage runs —
@@ -64,6 +64,12 @@ object PlanAudit {
       case m: InMemoryTableScanExec => m +: walk(m.relation.cachedPlan)
       case n => Seq(n)
     } ++ p.subqueries.flatMap(walk)
+
+  /** Exchange count by typed node walk — exposed for PlanAuditSpec's
+    * cross-check against ShuffleBudgetSpec's regex method, so the recorded
+    * artifact and the CI budgets can never silently count differently. */
+  private[graft] def exchangeCount(p: SparkPlan): Int =
+    walk(p).count(_.isInstanceOf[ShuffleExchangeExec])
 
   private def jstr(s: String): String =
     "\"" + s.flatMap {
