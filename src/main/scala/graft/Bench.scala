@@ -123,6 +123,17 @@ object Bench {
     // driver (unset ⇒ full registry).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // Isolating a subset of st rows without SPARK_GRAFT_ST_SOLO times the
+    // full concurrent family launch on the first row reached, not the row
+    // itself — warn loudly so an isolation audit can't misread the number.
+    val stCodes = graft.streaming.StFamily.members.keySet
+    only.foreach { sel =>
+      val st = sel.intersect(stCodes)
+      if (st.nonEmpty && st != stCodes && !sys.env.contains("SPARK_GRAFT_ST_SOLO"))
+        println(s"[bench] WARNING: SPARK_GRAFT_ONLY selects ${st.mkString(",")} " +
+          "without SPARK_GRAFT_ST_SOLO=1 — the first st reading is the FULL " +
+          "family launch, not the row's own cost")
+    }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name.takeWhile(_ != '_'))) }
     def fmt(v: Double): String = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
@@ -164,11 +175,18 @@ object Bench {
         println(s"[bench] unparseable SPARK_GRAFT_REF_SCALE '$v', using 1.0"); 1.0
       }
     }.getOrElse(1.0)
+    // st2–st8 are single-shot cache fetches whose family entries were
+    // consumed in the first pass: a re-time would relaunch the ENTIRE
+    // family (~9 s) yet min-of-2 keeps the first reading, so the re-run
+    // cost is pure waste and a genuinely slow fetch can never be
+    // corrected — exempt them. st1 stays re-timeable: its reading IS a
+    // family launch, so a second launch is the like-for-like re-measure.
+    val stFetchRows = graft.streaming.StFamily.members.keySet - "st1"
     val results = firstPass.map { case (name, sec) =>
       // the 1.0 s missing-ref default stays UNSCALED: it is a floor for
       // queries with no history, not an sf0.1 reading to extrapolate
       val ref = RefSeconds.get(code(name)).map(_ * refScale).getOrElse(1.0)
-      if (sec >= 0 && sec > math.max(1.5, 2.0 * ref)) {
+      if (sec >= 0 && sec > math.max(1.5, 2.0 * ref) && !stFetchRows.contains(code(name))) {
         val second = timed(name, SparkEntry.queries(name))
         if (second >= 0 && second < sec) {
           retimed += code(name) -> sec
@@ -199,7 +217,14 @@ object Bench {
           .mkString(""","retimed":{""", ",", "}")
       else s""","retimed_n":${retimed.size}"""
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errJson$rtJson,"sf":"$sfDir"}"""
+    // Attribution marker (since r10): st rows run as ONE concurrent family —
+    // flagged in the artifact itself so a cross-round per-query diff does
+    // not read the restructuring as a 7x st2–st8 speedup (or st1 slowdown).
+    val famJson =
+      if (results.exists(r => stCodes.contains(code(r._1))))
+        ""","st_family":"st1 carries the concurrent family wall-clock; st2-st8 are cache fetches""""
+      else ""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errJson$rtJson$famJson,"sf":"$sfDir"}"""
     // Last-resort guard: if the registry ever grows the line past the tail
     // window, drop per-query detail rather than emit an unparseable line.
     println(if (line.length <= 1800) line

@@ -81,12 +81,30 @@ object StFamily {
 
   private def fetch(s: SparkSession, d: String, code: String): DataFrame = {
     if (solo) return members(code)(s, d)
-    cache.remove((d, code)).getOrElse {
-      runFamily(s, d)
-      cache.remove((d, code))
-        .getOrElse(sys.error(s"family run did not produce $code"))
-    }.get
+    takeOrRun(s, d, code, attempts = 0).get
   }
+
+  /** Remove-then-run loop: runFamily always (re)produces every missing
+    * member, but a CONCURRENT fetch of the same (dir, code) can steal the
+    * entry between this thread's runFamily and its remove — the launcher
+    * is explicitly built for concurrent use, so that interleaving must
+    * retry (re-running the family for the stolen row), not error. The
+    * attempt bound only guards a pathological livelock (more concurrent
+    * stealers of one row than attempts, every single race lost); each
+    * retry that loses did still produce seven OTHER cached rows, so
+    * forward progress for the family as a whole is preserved. */
+  @annotation.tailrec
+  private def takeOrRun(s: SparkSession, d: String, code: String,
+                        attempts: Int): Try[DataFrame] =
+    cache.remove((d, code)) match {
+      case Some(r) => r
+      case None =>
+        require(attempts < 8,
+          s"family run did not produce $code after $attempts attempts " +
+            "(lost every concurrent-steal race)")
+        runFamily(s, d)
+        takeOrRun(s, d, code, attempts + 1)
+    }
 
   /** Launch every member whose result is not already cached, concurrently,
     * and cache the results. Launching only the MISSING members matters

@@ -1107,16 +1107,28 @@ object StreamingOps {
     * the re-stamp restores mtime order = zero-padded path order = range
     * order, so the one-file-per-trigger choreography is exactly what it
     * was under serial staging. Stamps land on the leaf part files (what
-    * the source lists) and the directory itself. */
+    * the source lists) and the directory itself.
+    *
+    * Batch order is LOAD-BEARING for correctness (st1's first-seen dedup,
+    * st2/st3 watermark advance, st4's delay=interval completeness proof all
+    * assume ts-range-ordered batches), so a filesystem where the restamp
+    * silently fails must fail HERE, not as a watermark-dropped wrong
+    * answer downstream: every setLastModified return is checked and read
+    * back. Stamps are 2 s apart and 2 s-aligned so even a coarse-mtime
+    * filesystem (FAT-class 2 s granularity) stores them exactly. */
   private def restampInOrder(inDir: String): Unit = {
     val dirs = Option(new java.io.File(inDir).listFiles()).getOrElse(Array.empty[java.io.File])
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-    val base = System.currentTimeMillis()
+    val base = (System.currentTimeMillis() / 2000L) * 2000L
+    def stampOrFail(f: java.io.File, stamp: Long): Unit =
+      require(f.setLastModified(stamp) && f.lastModified() == stamp,
+        s"cannot restamp $f to $stamp (have ${f.lastModified()}) — " +
+          "staged batch order is not guaranteed on this filesystem")
     dirs.zipWithIndex.foreach { case (d, i) =>
-      val stamp = base + i * 1000L
-      d.setLastModified(stamp)
+      val stamp = base + i * 2000L
+      stampOrFail(d, stamp)
       Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
-        .foreach(_.setLastModified(stamp))
+        .foreach(stampOrFail(_, stamp))
     }
   }
 

@@ -54,16 +54,22 @@ object PlanAudit {
 
   /** Every node of the physical plan, descending into AQE input plans,
     * cached-relation plans, and expression subqueries — the same walk the
-    * plan-shape specs use. */
-  private[graft] def walk(p: SparkPlan): Seq[SparkPlan] =
-    p.collect { case n => n }.flatMap {
+    * plan-shape specs use. `QueryPlan.subqueries` is PER-NODE (not
+    * recursive), so they are collected from EVERY walked node, not just
+    * the recursion root — a scalar subquery hanging off a Filter three
+    * levels down counts its exchanges like ShuffleBudgetSpec's regex over
+    * treeString does (treeString renders subqueries as innerChildren). */
+  private[graft] def walk(p: SparkPlan): Seq[SparkPlan] = {
+    val nodes = p.collect { case n => n }
+    nodes.flatMap {
       // initialPlan, not inputPlan: the prepared plan AFTER
       // EnsureRequirements (exchanges present), BEFORE any stage runs —
       // the static shape this audit records
       case a: AdaptiveSparkPlanExec => a +: walk(a.initialPlan)
       case m: InMemoryTableScanExec => m +: walk(m.relation.cachedPlan)
       case n => Seq(n)
-    } ++ p.subqueries.flatMap(walk)
+    } ++ nodes.flatMap(_.subqueries).flatMap(walk)
+  }
 
   /** Exchange count by typed node walk — exposed for PlanAuditSpec's
     * cross-check against ShuffleBudgetSpec's regex method, so the recorded

@@ -47,4 +47,26 @@ class StFamilySpec extends AnyFunSuite {
     Seq("st1", "st3", "st4", "st5", "st6", "st7", "st8")
       .foreach(c => StFamily.row(c)(spark, sf).count())
   }
+
+  test("concurrent fetches of the same row all succeed and agree (steal-race retry, r11)") {
+    // Four threads fetch the SAME single-shot row: one launches the family
+    // and the rest race it (and each other) for the one cache entry —
+    // exactly the interleaving where the pre-r11 fetch threw "family run
+    // did not produce st7" after losing a steal between its runFamily and
+    // its second remove. The retry loop must hand EVERY thread a result,
+    // each one paid for by a (re-)produced member run, and all equal.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try {
+      val fetched = (1 to 4)
+        .map(_ => Future(rows(StFamily.row("st7")(spark, sf))))
+        .map(Await.result(_, Duration.Inf))
+      assert(fetched.head.nonEmpty && fetched.forall(_ == fetched.head))
+    } finally pool.shutdown()
+    // drain the seven untouched members' entries left by the launch
+    Seq("st1", "st2", "st3", "st4", "st5", "st6", "st8")
+      .foreach(c => StFamily.row(c)(spark, sf).count())
+  }
 }
