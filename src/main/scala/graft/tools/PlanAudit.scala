@@ -26,9 +26,10 @@ import org.apache.spark.sql.execution.window.WindowExec
   *    diffs, the way CORRECTNESS artifacts do for results: a refactor
   *    that silently adds a shuffle, loses a broadcast, widens a scan or
   *    plans a cartesian shows up as a JSON diff against the prior round.
-  *    A top-level "violations" list flags the two hard invariants
-  *    (unpartitioned windows, cartesian products) so the gate needs no
-  *    diffing to read.
+  *    A top-level "violations" list flags the three hard invariants
+  *    (unpartitioned windows, cartesian products, nondeterministic
+  *    expressions — the last is retry/speculation safety, r11) so the
+  *    gate needs no diffing to read.
   *
   * Eager-construction rows (training loops, LSH+CC, BPE rounds, the
   * streaming family) necessarily return a plan over their MATERIALIZED
@@ -77,6 +78,29 @@ object PlanAudit {
   private[graft] def exchangeCount(p: SparkPlan): Int =
     walk(p).count(_.isInstanceOf[ShuffleExchangeExec])
 
+  /** Nondeterministic expressions anywhere in the walked plan, by class
+    * name. At 1000 executors a task can run TWICE — retries and
+    * speculative execution — and any rand()/uuid()/
+    * monotonically_increasing_id()/input_file_name() in a query makes the
+    * two attempts disagree, a wrong-results class no small-scale
+    * correctness test catches (both attempts' outputs pass the oracle;
+    * they just wouldn't have agreed with EACH OTHER). The registry's
+    * contract is hard-zero: every operator derives identity and membership
+    * from content hashes, never from physical placement. The one internal
+    * `spark_partition_id()` (Prefix.rankedIds) is severed behind a
+    * localCheckpoint — a single materialization whose blocks are reused,
+    * never recomputed per consumer — so it cannot appear in (and is not
+    * exempted from) the visible plans swept here. */
+  private[graft] def nondeterministicExprs(p: SparkPlan): Map[String, Int] =
+    walk(p).flatMap(_.expressions)
+      // count the SOURCES (a nondeterministic node whose children are all
+      // deterministic), not every ancestor the flag propagates through
+      .flatMap(_.collect {
+        case e if !e.deterministic && e.children.forall(_.deterministic) =>
+          e.getClass.getSimpleName
+      })
+      .groupBy(identity).view.mapValues(_.size).toMap
+
   private def jstr(s: String): String =
     "\"" + s.flatMap {
       case '"' => "\\\""
@@ -118,6 +142,7 @@ object PlanAudit {
             case _ => false
           }
           val cartesian = nodes.count(_.isInstanceOf[CartesianProductExec])
+          val nondet = nondeterministicExprs(plan)
           val bhj = nodes.count(_.isInstanceOf[BroadcastHashJoinExec])
           val smj = nodes.count(_.isInstanceOf[SortMergeJoinExec])
           val shj = nodes.count(_.isInstanceOf[ShuffledHashJoinExec])
@@ -144,9 +169,10 @@ object PlanAudit {
              |   "cartesian_products": $cartesian,
              |   "joins": {"broadcast_hash": $bhj, "sort_merge": $smj, "shuffled_hash": $shj, "broadcast_nested_loop": $bnlj},
              |   "broadcast_exchanges": $bcast,
+             |   "nondeterministic_exprs": {${nondet.toSeq.sorted.map { case (k, v) => s"${jstr(k)}: $v" }.mkString(", ")}},
              |   "scans": [${scans.mkString(",\n     ")}],
              |   "err": null
-             |  }""".stripMargin -> (unpartWindows > 0 || cartesian > 0)
+             |  }""".stripMargin -> (unpartWindows > 0 || cartesian > 0 || nondet.nonEmpty)
         } catch {
           case e: Throwable =>
             val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
@@ -159,7 +185,7 @@ object PlanAudit {
     val json =
       s"""{
          | "sf": ${jstr(sf)},
-         | "invariants": "hard: unpartitioned_windows == 0 and cartesian_products == 0 for every query; soft: exchange counts, join mix, scan column sets and pushed filters are DIFFED against the prior round's artifact",
+         | "invariants": "hard: unpartitioned_windows == 0, cartesian_products == 0 and nondeterministic_exprs == {} for every query (the last is retry/speculation safety: two attempts of one task must produce identical rows); soft: exchange counts, join mix, scan column sets and pushed filters are DIFFED against the prior round's artifact",
          | "violations": [${violations.mkString(", ")}],
          | "queries": {
          |${rows.map(_._2).mkString(",\n")}

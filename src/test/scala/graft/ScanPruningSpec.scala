@@ -70,14 +70,20 @@ class ScanPruningSpec extends AnyFunSuite {
     "mm1_media_features", "mm2_frame_sample", "mm3_binary_dedup",
     "mm4_media_neardup", "mm5_resize_audit")
 
+  /** One planning pass over every non-eager registered query, shared by
+    * the text-pruning ratchet and the determinism ratchet below (planning
+    * 126 queries costs ~a minute; doing it twice would be pure waste). */
+  private lazy val visiblePlans: Seq[(String, SparkPlan)] = Registry.all
+    .filterNot(r => eagerConstruction.contains(r.name))
+    .map(r => r.name -> r.fn(spark, sf).queryExecution.executedPlan)
+
   test("only allowlisted queries read documents.text at the scan") {
-    val offenders = Registry.all
-      .filterNot(r => eagerConstruction.contains(r.name))
-      .flatMap { r =>
-        val reads = scans(r.fn(spark, sf).queryExecution.executedPlan)
+    val offenders = visiblePlans
+      .flatMap { case (name, plan) =>
+        val reads = scans(plan)
           .filter(_.relation.location.rootPaths.exists(_.toString.contains("documents")))
           .exists(_.requiredSchema.fieldNames.contains("text"))
-        if (reads) Seq(r.name) else Nil
+        if (reads) Seq(name) else Nil
       }.toSet
     val unexpected = offenders -- textReaders
     val stale = textReaders -- offenders
@@ -86,6 +92,27 @@ class ScanPruningSpec extends AnyFunSuite {
         "prune the column or allowlist with justification")
     assert(stale.isEmpty,
       s"allowlist entries that no longer read text (tighten the list): ${stale.toSeq.sorted.mkString(", ")}")
+  }
+
+  test("no registered visible plan contains a nondeterministic expression") {
+    // Retry/speculation safety at cluster scale: a task can run TWICE
+    // (failure retry, speculative attempt) and rand()/uuid()/
+    // monotonically_increasing_id()/input_file_name()/spark_partition_id()
+    // make the attempts disagree — a wrong-results class invisible to
+    // single-run oracles (each attempt alone looks fine). The registry
+    // derives identity/membership from content hashes everywhere, so the
+    // contract is hard-zero. The one internal spark_partition_id
+    // (Prefix.rankedIds) is severed behind a localCheckpoint — one
+    // materialization, blocks reused not recomputed — and so never appears
+    // in a visible plan. Eager-construction rows are excluded here like
+    // everywhere else (plan build runs jobs); the per-round PLANAUDIT
+    // artifact sweeps ALL 134 including their materialized tails.
+    val dirty = visiblePlans
+      .map { case (name, plan) => name -> graft.tools.PlanAudit.nondeterministicExprs(plan) }
+      .filter(_._2.nonEmpty)
+    assert(dirty.isEmpty,
+      "nondeterministic expressions in visible plans (two task attempts " +
+        s"would disagree): ${dirty.map { case (n, m) => s"$n -> $m" }.mkString("; ")}")
   }
 
   // ---- events.ts predicate pushdown, per parquet encoding generation ----
