@@ -7,13 +7,51 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // Chaos tier (SPARK_GRAFT_CHAOS, see Tables.injectChaos): first
+    // attempts of ~20% of source tasks throw, so the master must allow
+    // retries — local[N,3] (maxFailures 3: one injected failure + margin).
+    val chaos = sys.env.contains("SPARK_GRAFT_CHAOS")
+    // Cluster tier (SPARK_GRAFT_MASTER, e.g. local-cluster[2,16,6144]):
+    // run the whole registry across REAL executor JVMs — serialization of
+    // every task closure/kernel over RPC, broadcasts and shuffles over
+    // netty, state stores and localCheckpoint blocks on remote executors —
+    // the multi-executor surface local[N] structurally cannot exercise.
+    // Needs SPARK_SCALA_VERSION=2.13 in the env (the executor launcher
+    // resolves its classpath without the shell scripts) and ships the
+    // library to executors via extraClassPath. In cluster form retry
+    // tolerance is a conf, not a master-string suffix, so chaos composes.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER",
+      if (chaos) s"local[$cpus,3]" else s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (master.startsWith("local-cluster")) {
+      builder.config("spark.executor.extraClassPath",
+        sys.env.getOrElse("SPARK_GRAFT_EXEC_CLASSPATH",
+          new java.io.File("target/scala-2.13/classes").getAbsolutePath))
+      if (chaos) builder.config("spark.task.maxFailures", "3")
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Non-vacuity evidence for the chaos tier: count injected failures and
+    // the successful second attempts, printed at the end — a chaos run
+    // that recorded zero retried tasks proved nothing.
+    val (chaosFailures, chaosRetriedOk) =
+      (new java.util.concurrent.atomic.AtomicLong, new java.util.concurrent.atomic.AtomicLong)
+    if (chaos) spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          e.reason match {
+            case f: org.apache.spark.ExceptionFailure
+                if f.description.contains("graft-chaos") => chaosFailures.incrementAndGet()
+            case _ =>
+              if (e.taskInfo != null && e.taskInfo.successful && e.taskInfo.attemptNumber > 0)
+                chaosRetriedOk.incrementAndGet()
+          }
+        }
+      })
     new java.io.File(outDir).mkdirs()
     // local-iteration aid: SPARK_GRAFT_ONLY=q48,tx6 restricts the dump to
     // matching query names (comma-separated prefixes); unset = full run,
@@ -43,6 +81,9 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    if (chaos)
+      println(s"[chaos] injected_failures=${chaosFailures.get} retried_ok=${chaosRetriedOk.get}" +
+        (if (chaosFailures.get == 0) " — VACUOUS: no task was actually killed" else ""))
     spark.stop()
   }
 }

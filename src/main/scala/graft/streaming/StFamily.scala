@@ -119,8 +119,15 @@ object StFamily {
     val missing = members.toSeq.filter { case (code, _) => !cache.contains((d, code)) }
     if (missing.isEmpty) return // another thread already ran it
     implicit val ec: ExecutionContext = pool
+    val t0 = System.nanoTime()
     val launched = missing.map { case (code, fn) =>
-      code -> Future(Try(fn(s.newSession(), d)))
+      code -> Future {
+        val r = Try(fn(s.newSession(), d))
+        // per-member completion offset from family launch: the family's
+        // wall-clock is max(member), so this names the critical-path member
+        println(f"[stfamily] $code done at +${(System.nanoTime() - t0) / 1e9}%.2f s")
+        r
+      }
     }
     launched.foreach { case (code, f) =>
       cache((d, code)) = Await.result(f, Duration.Inf)
