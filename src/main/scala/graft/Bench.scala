@@ -181,7 +181,13 @@ object Bench {
     // cost is pure waste and a genuinely slow fetch can never be
     // corrected — exempt them. st1 stays re-timeable: its reading IS a
     // family launch, so a second launch is the like-for-like re-measure.
-    val stFetchRows = graft.streaming.StFamily.members.keySet - "st1"
+    // Under SPARK_GRAFT_ST_SOLO every st row is a genuine standalone run
+    // (StFamily.solo bypasses the launcher), so the exemption — and the
+    // family attribution marker below — must not apply (r11 advisor).
+    val stSolo = sys.env.contains("SPARK_GRAFT_ST_SOLO")
+    val stFetchRows =
+      if (stSolo) Set.empty[String]
+      else graft.streaming.StFamily.members.keySet - "st1"
     val results = firstPass.map { case (name, sec) =>
       // the 1.0 s missing-ref default stays UNSCALED: it is a floor for
       // queries with no history, not an sf0.1 reading to extrapolate
@@ -221,7 +227,7 @@ object Bench {
     // flagged in the artifact itself so a cross-round per-query diff does
     // not read the restructuring as a 7x st2–st8 speedup (or st1 slowdown).
     val famJson =
-      if (results.exists(r => stCodes.contains(code(r._1))))
+      if (!stSolo && results.exists(r => stCodes.contains(code(r._1))))
         ""","st_family":"st1 carries the concurrent family wall-clock; st2-st8 are cache fetches""""
       else ""
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errJson$rtJson$famJson,"sf":"$sfDir"}"""

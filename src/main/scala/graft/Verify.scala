@@ -10,7 +10,11 @@ object Verify {
     // Chaos tier (SPARK_GRAFT_CHAOS, see Tables.injectChaos): first
     // attempts of ~20% of source tasks throw, so the master must allow
     // retries — local[N,3] (maxFailures 3: one injected failure + margin).
-    val chaos = sys.env.contains("SPARK_GRAFT_CHAOS")
+    // SPARK_GRAFT_ST_CHAOS (r12 tier) injects INSIDE stateful micro-batch
+    // tasks (StreamingOps.injectStChaos) — same retry-tolerance and
+    // listener needs as batch chaos, so the two flags share the plumbing.
+    val chaos = sys.env.contains("SPARK_GRAFT_CHAOS") ||
+      sys.env.contains("SPARK_GRAFT_ST_CHAOS")
     // Cluster tier (SPARK_GRAFT_MASTER, e.g. local-cluster[2,16,6144]):
     // run the whole registry across REAL executor JVMs — serialization of
     // every task closure/kernel over RPC, broadcasts and shuffles over
@@ -20,18 +24,29 @@ object Verify {
     // resolves its classpath without the shell scripts) and ships the
     // library to executors via extraClassPath. In cluster form retry
     // tolerance is a conf, not a master-string suffix, so chaos composes.
-    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER",
+    val masterRaw = sys.env.getOrElse("SPARK_GRAFT_MASTER",
       if (chaos) s"local[$cpus,3]" else s"local[$cpus]")
+    // Chaos must compose with ANY master (r11 advisor): an explicit
+    // local[N] master leaves maxFailures at the local default of 1, so
+    // every injected first-attempt failure would fail the job outright.
+    // In local mode retries come from the master-string suffix (the conf
+    // is ignored), so rewrite local[N] -> local[N,3]; everywhere else the
+    // conf is authoritative, set it whenever chaos is on.
+    val LocalN = """local\[(\d+|\*)\]""".r
+    val master = masterRaw match {
+      case LocalN(n) if chaos => s"local[$n,3]"
+      case m => m
+    }
     val builder = SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    if (chaos) builder.config("spark.task.maxFailures", "3")
     if (master.startsWith("local-cluster")) {
       builder.config("spark.executor.extraClassPath",
         sys.env.getOrElse("SPARK_GRAFT_EXEC_CLASSPATH",
           new java.io.File("target/scala-2.13/classes").getAbsolutePath))
-      if (chaos) builder.config("spark.task.maxFailures", "3")
     }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Ckpt.PinOps
 import java.util.regex.{Matcher, Pattern}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -326,9 +327,9 @@ object Bpe {
         concat(
           array_join(filter(split(col("w"), ""), c => length(c) > 0), " "),
           lit(" " + EndOfWord)).as("sym"))
-      .localCheckpoint()
+      .pin()
     // the ONE full corpus-wide pair count; delta-maintained afterwards
-    var pairCounts = pairCountsOf(cur).localCheckpoint()
+    var pairCounts = pairCountsOf(cur).pin()
 
     val merges = Seq.newBuilder[(Long, String, String, String, Long)]
     var rank = 1L
@@ -363,11 +364,11 @@ object Bpe {
         pairCounts = pairCounts.union(delta)
           .groupBy("left", "right").agg(sum("cnt").as("cnt"))
           .filter(col("cnt") > 0)
-          .localCheckpoint(false)
+          .pinLazy()
         cur = cur
           .select(col("freq"),
             regexp_replace(col("sym"), pat, repl).as("sym"))
-          .localCheckpoint(false)
+          .pinLazy()
         rank += 1
       }
     }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Ckpt.PinOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions.{window => timeWindow, _}
@@ -351,7 +352,7 @@ object Events {
     val days = e.select("day").distinct()
       .join(newPerDay, Seq("day"), "left")
       .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
-      .localCheckpoint()
+      .pin()
     val stat = days.agg(min("day").as("mnd"), max("day").as("mxd"))
     Prefix.exclusiveSum(
         days.crossJoin(broadcast(stat)),
@@ -512,18 +513,18 @@ object Events {
     val tix = ev.select("event_type").distinct()
       .agg(sort_array(collect_list("event_type")).as("ts"))
       .select(posexplode(col("ts"))).toDF("tix", "event_type")
-      .localCheckpoint()
+      .pin()
     val in1 = ev.join(broadcast(tix), "event_type")
       .select(col("tix"), col("event_id"), col("value").as("__v"))
-      .localCheckpoint() // exclusiveSum + dev + output all read these blocks
-    val stats1 = in1.agg(min("__v").as("mn"), max("__v").as("mx")).localCheckpoint()
+      .pin() // exclusiveSum + dev + output all read these blocks
+    val stats1 = in1.agg(min("__v").as("mn"), max("__v").as("mx")).pin()
     val counts = in1.groupBy("tix").agg(count(lit(1)).as("n"))
-    val starts = Prefix.triangularOffsets(counts, "tix", "n", "start").localCheckpoint()
+    val starts = Prefix.triangularOffsets(counts, "tix", "n", "start").pin()
     val med = groupMedianCore(in1, stats1, starts, "med")
     val dv = in1.join(broadcast(med), "tix")
       .withColumn("dev", abs(col("__v") - col("med")))
     val in2 = dv.select(col("tix"), col("event_id"), col("dev").as("__v"))
-      .localCheckpoint()
+      .pin()
     // dev ∈ [0, mx − mn] for every group — derived bounds, no second agg
     val stats2 = stats1.select(
       lit(0.0).as("mn"), (col("mx") - col("mn")).cast("double").as("mx"))

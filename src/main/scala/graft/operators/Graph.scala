@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Ckpt.PinOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -53,8 +54,8 @@ object Graph {
     val edges = pairs.toDF("a", "b")
     val sym = edges.unionByName(edges.select(col("b").as("a"), col("a").as("b")))
       .filter(col("a") =!= col("b")).distinct()
-      .localCheckpoint()
-    val nodes = sym.select(col("a").as("node")).distinct().localCheckpoint()
+      .pin()
+    val nodes = sym.select(col("a").as("node")).distinct().pin()
     val n = nodes.count()
     require(n > 0, "pageRank needs at least one edge")
 
@@ -64,13 +65,13 @@ object Graph {
     // from the run.
     val deg = sym.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
     val weightedEdges = sym.join(deg.withColumnRenamed("node", "a"), "a")
-      .select(col("a"), col("b"), col("deg")).localCheckpoint()
+      .select(col("a"), col("b"), col("deg")).pin()
     // teleport (1−d)/n in fixed point: (100−pct)·10¹⁶ is exact (10¹⁸/100),
     // then one truncating division by n — mirrored verbatim in the oracle
     val teleport = (100L - dampingPct) * (FpScale / 100L) / n
 
     var ranks = nodes.withColumn("s", lit(FpScale / n))
-      .localCheckpoint()
+      .pin()
     for (_ <- 1 to iterations) {
       val contribs = weightedEdges
         .join(ranks.withColumnRenamed("node", "a"), "a")
@@ -85,7 +86,7 @@ object Graph {
         // checkpoint is a LogicalRDD, so analysis cost stays O(1) per
         // round); blocks materialize transitively inside the final action
         // — the 10 per-iteration checkpoint jobs collapse into one
-        .localCheckpoint(false)
+        .pinLazy()
     }
     ranks.select(col("node"), col("s").as("rank_fp"),
       (col("s").cast("double") / FpScale.toDouble).as("rank"))
@@ -111,7 +112,7 @@ object Graph {
     * candidate join that produced the edges). The edge relation is
     * materialized once and reused by all three join branches. */
   def triangleCounts(pairs: DataFrame): DataFrame = {
-    val e = pairs.toDF("a", "b").localCheckpoint()
+    val e = pairs.toDF("a", "b").pin()
     val wedge = e.join(
       e.select(col("a").as("b"), col("b").as("c")), "b")
     val tri = wedge.join(

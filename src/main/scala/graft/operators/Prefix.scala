@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Ckpt.PinOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -81,7 +82,7 @@ object Prefix {
   def rankedIds(df: DataFrame, ord: Seq[Column], parts: Int, as: String): DataFrame = {
     val ranged = df.repartitionByRange(parts, ord: _*)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
+      .pin()
     val local = Window.partitionBy("__pid").orderBy(ord: _*)
     val counts = ranged.groupBy("__pid").agg(count(lit(1)).as("__pn"))
     val offsets = triangularOffsets(counts, "__pid", "__pn", "__off")

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Ckpt.PinOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -809,7 +810,7 @@ object Relational {
         when(col("nt") - col("t") <= gapUs && col("nt2") - col("nt") <= gapUs,
           col("nk2")).as("succ2"),
         (col("pt").isNull || col("t") - col("pt") > gapUs).as("is_seed"))
-      .localCheckpoint()
+      .pin()
       .createOrReplaceTempView("q42_edges")
     // non-recursive two-position anchor (a view — evaluated once per run)
     s.sql(
@@ -928,7 +929,7 @@ object Relational {
     // for the localCheckpoint-over-cache rationale
     val v = t(s, d, "orders")
       .groupBy(col("o_totalprice").as("price")).agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+      .pin()
     val tot = v.agg(sum("c").as("n"), min("price").as("mn"), max("price").as("mx"))
     Prefix.exclusiveSum(
         v.crossJoin(broadcast(tot)),

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Ckpt.PinOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -152,7 +153,7 @@ object Similarity {
       k: Int = 8, iters: Int = 3, nprobe: Int = 2): DataFrame = {
     val e = vectors(s, d)
       .select(col("vec_id"), col("embedding"))
-      .localCheckpoint() // reused by every Lloyd pass + the final search
+      .pin() // reused by every Lloyd pass + the final search
     def centLit(c: Array[Double]): Column = array(c.map(x => lit(x.toFloat)): _*)
     // argmin_c |x-c|^2 = argmin_c (|c|^2 - 2 x·c): one codegen'd dot per
     // centroid, ties broken by cell id through struct ordering
@@ -322,7 +323,7 @@ object Similarity {
       m: Int, ksub: Int, iters: Int, shortlist: Int): DataFrame = {
     val sub = Dim / m
     val e = corpus
-      .localCheckpoint() // reused: training passes, encode, rescore
+      .pin() // reused: training passes, encode, rescore
     def subvec(v: Column, j: Int): Column = slice(v, j * sub + 1, sub)
     def centLit(c: Array[Double]): Column = array(c.map(x => lit(x.toFloat)): _*)
     // argmin over the subspace's centroids, ties to the lower cell id
@@ -338,7 +339,7 @@ object Similarity {
     // needs a representative subset, not the corpus, and at 100 TB a
     // full-corpus Lloyd pass per iteration would dominate the build.
     val sampleMod = math.max(1L, e.count() / 4096)
-    val train = e.filter(col("vec_id") % sampleMod === 0).localCheckpoint()
+    val train = e.filter(col("vec_id") % sampleMod === 0).pin()
 
     // seeds: sub-vectors of the ksub lowest vec_ids, per subspace. ksub is
     // clamped to the vectors actually available — a tiny corpus (or a
@@ -359,7 +360,7 @@ object Similarity {
       // same re-evaluation trap as TextAnalysis.bigramStream's re-split)
       val assigned = train
         .select(col("embedding"), cells.as("cells"))
-        .localCheckpoint(false) // severs the plan; materializes in the collect below
+        .pinLazy() // severs the plan; materializes in the collect below
       val means = assigned
         .select(col("cells"), posexplode(col("embedding")))
         .toDF("cells", "pos", "x")
@@ -392,7 +393,7 @@ object Similarity {
     // re-encode under the join
     val codes = e.select(col("vec_id").as("c_id"),
       array((0 until m).map(j => cellOf(books, j, col("embedding"))): _*).as("codes"))
-      .localCheckpoint(false) // severed plan; blocks land on the first scan
+      .pinLazy() // severed plan; blocks land on the first scan
     // centroid squared-norm tables (query-independent literals)
     val normLut: Seq[Column] =
       (0 until m).map(j => array(books(j).map(c => lit(c.map(x => x * x).sum)): _*))

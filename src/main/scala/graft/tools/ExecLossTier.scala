@@ -1,0 +1,204 @@
+package graft.tools
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Executor-LOSS tier (r12): kill -9 a REAL executor JVM mid-query on
+  * `local-cluster[2,16,8192]` and record, per recovery class, what the
+  * engine actually did. The r11 chaos tiers proved task-RETRY recovery
+  * (in-task throws); this tier proves the harder fault a 1000-executor
+  * cluster sees daily — a whole executor dying with its shuffle outputs
+  * and cached blocks — against the library's two lineage shapes:
+  *
+  *  - pure-lineage rows (declarative plans, no pinned blocks): Spark
+  *    re-schedules lost tasks, regenerates lost shuffle outputs via stage
+  *    resubmission, and the row must come back EXACT — `recovered_exact`.
+  *  - pin-severed rows (`Ckpt.pin`, default localCheckpoint): blocks on
+  *    the dead executor are unrecoverable by design, so the CONTRACT is
+  *    fail-fast-never-wrong: either the kill landed harmlessly (blocks
+  *    elsewhere / already consumed → `recovered_exact`) or the query
+  *    throws and a from-scratch rerun is exact — `failfast_rerun_exact`.
+  *    The one outcome that must never appear is `WRONG` (silent result
+  *    corruption after a loss).
+  *  - the same pinned rows under `graft.reliableCkpt=true` (`Ckpt.pin` →
+  *    reliable `checkpoint()`): checkpoint files live on the shared FS,
+  *    not in executor memory, so the loss must recover in-query —
+  *    `recovered_exact` expected even when the kill lands mid-iteration.
+  *
+  * Outcomes are judged against a no-kill baseline hash computed in the
+  * same JVM/session first. One JSON line per (row, phase) goes to the
+  * artifact path in arg(0) (default CORRECTNESS_execloss_r12.json).
+  * Kills that land after the row already finished are recorded
+  * `kill_missed` (honest non-evidence, per the r11 advisor's note on
+  * sleep-placed kills) and retried once with a shorter fuse.
+  */
+object ExecLossTier {
+
+  private def executorPids(): Seq[Long] =
+    ProcessHandle.current().descendants().iterator().asScala
+      .filter(_.info().commandLine().orElse("")
+        .contains("CoarseGrainedExecutorBackend"))
+      .map(_.pid()).toSeq
+
+  /** Order-independent canonical hash of a small result. */
+  private def resultHash(df: DataFrame): String = {
+    val rows = df.collect().map(_.toString).sorted
+    val md = java.security.MessageDigest.getInstance("MD5")
+    rows.foreach(r => md.update(r.getBytes("UTF-8")))
+    java.util.Base64.getEncoder.encodeToString(md.digest())
+  }
+
+  private def waitForExecutors(n: Int, timeoutMs: Long = 120000): Boolean = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (executorPids().size < n && System.currentTimeMillis() < deadline)
+      Thread.sleep(500)
+    executorPids().size >= n
+  }
+
+  def main(args: Array[String]): Unit = {
+    val artifact = args.headOption.getOrElse("CORRECTNESS_execloss_r12.json")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local-cluster[2,16,8192]"))
+      .config("spark.executor.extraClassPath",
+        sys.env.getOrElse("SPARK_GRAFT_EXEC_CLASSPATH",
+          new java.io.File("target/scala-2.13/classes").getAbsolutePath))
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // (row, fn, pinned?) — two pure-lineage rows, three pin-severed rows
+    // across the iterative families (LSH+CC candidates, Lloyd iterations,
+    // BPE delta rounds), one streaming row (state stores + pinned drain).
+    val rows: Seq[(String, (SparkSession, String) => DataFrame, Boolean)] = Seq(
+      ("q03_top_revenue_orders", graft.SparkEntry.queries("q03_top_revenue_orders"), false),
+      ("q10_grouping_sets", graft.SparkEntry.queries("q10_grouping_sets"), false),
+      ("dd4_minhash_lsh", graft.SparkEntry.queries("dd4_minhash_lsh"), true),
+      ("ss4_ivf_kmeans", graft.SparkEntry.queries("ss4_ivf_kmeans"), true),
+      ("bp3_bpe_merges_distributed", graft.SparkEntry.queries("bp3_bpe_merges_distributed"), true),
+      // direct call: bypasses the StFamily concurrent launcher (solo shape)
+      ("st8_stream_closed_windows",
+        (s: SparkSession, d: String) => graft.streaming.StreamingOps.closedTumblingFromStream(s, d),
+        true))
+
+    require(waitForExecutors(2), s"expected 2 executor JVMs, saw ${executorPids()}")
+
+    val out = new StringBuilder
+    def record(fields: (String, String)*): Unit = {
+      val line = fields.map { case (k, v) => s""""$k": $v""" }.mkString("{", ", ", "}")
+      println(s"[execloss] $line")
+      out.append(line).append('\n')
+    }
+    def str(s: String) = "\"" + s + "\""
+
+    def runWithKill(name: String, fn: (SparkSession, String) => DataFrame,
+                    fuseMs: Long): (Either[String, String], Boolean) = {
+      require(waitForExecutors(2), "executors did not recover before phase")
+      @volatile var killedAt = -1L
+      @volatile var killedPid = -1L
+      val killer = new Thread(() => {
+        Thread.sleep(fuseMs)
+        executorPids().headOption.foreach { pid =>
+          killedPid = pid
+          ProcessHandle.of(pid).ifPresent(_.destroyForcibly())
+          killedAt = System.nanoTime()
+        }
+      }, "graft-execloss-killer")
+      killer.setDaemon(true)
+      killer.start()
+      val res =
+        try Right(resultHash(fn(spark, sfDir)))
+        catch { case e: Throwable =>
+          Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(120))
+        }
+      val doneAt = System.nanoTime()
+      killer.join(fuseMs + 5000)
+      val landed = killedPid > 0 && killedAt > 0 && killedAt < doneAt
+      (res, landed)
+    }
+
+    rows.foreach { case (name, fn, pinned) =>
+      // no-kill baseline in this same session (also warms codegen/scans
+      // so the kill run's duration estimate below is steady-state)
+      val t0 = System.nanoTime()
+      val baseline = resultHash(fn(spark, sfDir))
+      val baseSec = (System.nanoTime() - t0) / 1e9
+      var fuse = math.max(500L, (baseSec * 1000 * 0.4).toLong)
+      var attempt = 0
+      var done = false
+      while (!done && attempt < 2) {
+        attempt += 1
+        val (res, landed) = runWithKill(name, fn, fuse)
+        (res, landed) match {
+          case (_, false) =>
+            record("query" -> str(name), "phase" -> str("local_ckpt"),
+              "outcome" -> str("kill_missed"), "attempt" -> attempt.toString)
+            fuse = math.max(200L, fuse / 3) // shorter fuse, try once more
+          case (Right(h), true) =>
+            record("query" -> str(name), "phase" -> str("local_ckpt"),
+              "outcome" -> str(if (h == baseline) "recovered_exact" else "WRONG"),
+              "pinned" -> pinned.toString, "attempt" -> attempt.toString)
+            done = true
+          case (Left(err), true) =>
+            // fail-fast half of the contract: the rerun (executors
+            // recovered) must be exact from scratch
+            require(waitForExecutors(2), "executors did not recover for rerun")
+            val rerun = resultHash(fn(spark, sfDir))
+            record("query" -> str(name), "phase" -> str("local_ckpt"),
+              "outcome" -> str(if (rerun == baseline) "failfast_rerun_exact" else "WRONG"),
+              "pinned" -> pinned.toString, "attempt" -> attempt.toString,
+              "error" -> str(err.replaceAll("[\"\\\\\\n\\r\\t]", " ")))
+            done = true
+        }
+      }
+      if (!done)
+        record("query" -> str(name), "phase" -> str("local_ckpt"),
+          "outcome" -> str("kill_missed_twice"))
+
+      // reliable-checkpoint phase for the pinned rows: same kill, but
+      // Ckpt.pin now writes checkpoint files to the shared FS — the
+      // in-query loss-tolerance switch RUNBOOK documents, exercised
+      if (pinned && name != "st8_stream_closed_windows") {
+        sys.props("graft.reliableCkpt") = "true"
+        try {
+          val base2 = resultHash(fn(spark, sfDir))
+          record("query" -> str(name), "phase" -> str("reliable_ckpt_baseline"),
+            "outcome" -> str(if (base2 == baseline) "flag_identical" else "WRONG"))
+          var f2 = fuse
+          var done2 = false
+          var att2 = 0
+          while (!done2 && att2 < 2) {
+            att2 += 1
+            val (res, landed) = runWithKill(name, fn, f2)
+            (res, landed) match {
+              case (_, false) =>
+                record("query" -> str(name), "phase" -> str("reliable_ckpt"),
+                  "outcome" -> str("kill_missed"), "attempt" -> att2.toString)
+                f2 = math.max(200L, f2 / 3)
+              case (Right(h), true) =>
+                record("query" -> str(name), "phase" -> str("reliable_ckpt"),
+                  "outcome" -> str(if (h == baseline) "recovered_exact" else "WRONG"),
+                  "attempt" -> att2.toString)
+                done2 = true
+              case (Left(err), true) =>
+                require(waitForExecutors(2), "executors did not recover for rerun")
+                val rerun = resultHash(fn(spark, sfDir))
+                record("query" -> str(name), "phase" -> str("reliable_ckpt"),
+                  "outcome" -> str(if (rerun == baseline) "failfast_rerun_exact" else "WRONG"),
+                  "attempt" -> att2.toString,
+                  "error" -> str(err.replaceAll("[\"\\\\\\n\\r\\t]", " ")))
+                done2 = true
+            }
+          }
+        } finally sys.props.remove("graft.reliableCkpt")
+      }
+    }
+
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(artifact), out.toString)
+    println(s"[execloss] artifact -> $artifact")
+    spark.stop()
+  }
+}

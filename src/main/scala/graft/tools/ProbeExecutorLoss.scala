@@ -29,8 +29,12 @@ import org.apache.spark.sql.SparkSession
   */
 object ProbeExecutorLoss {
 
+  /** Executor JVMs belonging to THIS application only: local-cluster
+    * forks Worker → executor processes under the driver JVM, so scanning
+    * descendants of the current process (not allProcesses — r11 advisor:
+    * a host-wide scan could kill an unrelated Spark app's executor). */
   private def executorPids(): Seq[Long] =
-    ProcessHandle.allProcesses().iterator().asScala
+    ProcessHandle.current().descendants().iterator().asScala
       .filter(_.info().commandLine().orElse("")
         .contains("CoarseGrainedExecutorBackend"))
       .map(_.pid()).toSeq
@@ -58,11 +62,13 @@ object ProbeExecutorLoss {
     require(before.size >= 2, s"expected 2 executor JVMs, saw $before")
 
     @volatile var killed = -1L
+    @volatile var killedAtNanos = -1L
     val killer = new Thread(() => {
-      Thread.sleep(3000) // land mid-map-stage (map stage runs ~8 s)
+      Thread.sleep(3000) // aim mid-map-stage (map stage runs ~8 s)
       executorPids().headOption.foreach { pid =>
         killed = pid
         ProcessHandle.of(pid).ifPresent(_.destroyForcibly())
+        killedAtNanos = System.nanoTime()
       }
     }, "graft-executor-killer")
     killer.setDaemon(true)
@@ -75,11 +81,18 @@ object ProbeExecutorLoss {
       .mapPartitions { it => Thread.sleep(150); it }
       .groupByKey(_ % 97).mapValues(identity).reduceGroups(_ + _)
       .map(_._2).reduce(_ + _)
+    val jobDoneNanos = System.nanoTime()
 
     killer.join(1000)
     val after = executorPids()
-    val ok = total == expected && killed > 0
+    // The kill must land BEFORE the job completes (r11 advisor: a fixed
+    // sleep on a fast map stage could kill after the answer was already
+    // in hand, silently weakening the proof to "killed>0") — assert the
+    // ordering instead of trusting the sleep.
+    val landedMidJob = killed > 0 && killedAtNanos > 0 && killedAtNanos < jobDoneNanos
+    val ok = total == expected && landedMidJob
     println(s"[probe-exec-loss] sum=$total (want $expected) killed_pid=$killed " +
+      s"kill_before_job_end=$landedMidJob " +
       s"executors_before=${before.mkString(",")} executors_after=${after.mkString(",")} " +
       (if (ok) "EXACT-AFTER-EXECUTOR-LOSS" else "NOT PROVEN"))
     spark.stop()
