@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.Ckpt.PinOps
+
+/** Contract of the central pin dispatch (`Ckpt.pin`/`pinLazy`) — the
+  * executor-loss-tolerance switch the RUNBOOK documents and the
+  * ExecLossTier artifact exercises on real executor JVMs.
+  *
+  * Pinned here, runnable on local[4]:
+  *  1. mechanism — default pins are LOCAL checkpoints (executor blocks,
+  *     fail-fast on executor loss); under the flag they are RELIABLE
+  *     checkpoints with files on the (shared/DFS) checkpoint dir, which
+  *     is what survives an executor loss in-query;
+  *  2. both forms sever the logical plan (downstream sees a scan of the
+  *     materialized RDD, no lineage into the construction);
+  *  3. the flag changes no results — a pin-severed operator returns
+  *     value-identical rows with the flag on and off.
+  * The loss behavior itself (recovered_exact vs failfast_rerun_exact)
+  * cannot execute on local[4] — that half of the contract is recorded by
+  * `tools/ExecLossTier.scala` on local-cluster (CORRECTNESS_execloss).
+  */
+class CkptSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = SparkTestSession.sf
+
+  private def withReliable[T](body: => T): T = {
+    sys.props("graft.reliableCkpt") = "true"
+    try body finally sys.props.remove("graft.reliableCkpt")
+  }
+
+  test("default pin is a local checkpoint; flag switches it to a reliable one") {
+    import spark.implicits._
+    val df = spark.range(100).map(_ * 2).toDF("v")
+
+    // Dataset.rdd rebuilds a fresh (uncheckpointed) RDD per access; the
+    // checkpointed one is the LogicalRDD's internal row RDD. The public
+    // local-vs-reliable discriminator is getCheckpointFile — defined only
+    // for RELIABLE checkpoints (local checkpoint data has no file).
+    def pinnedRdd(ds: org.apache.spark.sql.Dataset[_]) =
+      ds.queryExecution.analyzed
+        .asInstanceOf[org.apache.spark.sql.execution.LogicalRDD].rdd
+
+    val local = pinnedRdd(df.pin())
+    assert(local.isCheckpointed,
+      "default pin() must be an (eager local) checkpoint")
+    assert(local.getCheckpointFile.isEmpty,
+      "default pin() must hold executor blocks, not checkpoint files")
+
+    withReliable {
+      val reliableDs = spark.range(100).map(_ * 2).toDF("v").pin()
+      val reliable = pinnedRdd(reliableDs)
+      assert(reliable.isCheckpointed,
+        "flagged pin() must be a reliable checkpoint")
+      assert(reliable.getCheckpointFile.isDefined,
+        "reliable checkpoint must have files on the checkpoint dir")
+      assert(reliableDs.as[Long].collect().sorted.toSeq == (0L until 100).map(_ * 2))
+    }
+  }
+
+  test("both pin forms sever the logical plan") {
+    import org.apache.spark.sql.execution.LogicalRDD
+    val df = spark.range(50).toDF("v").groupBy().sum("v")
+    assert(df.pin().queryExecution.analyzed.isInstanceOf[LogicalRDD])
+    withReliable {
+      assert(df.pin().queryExecution.analyzed.isInstanceOf[LogicalRDD])
+    }
+    // lazy form severs immediately too (materializes on first job)
+    assert(df.pinLazy().queryExecution.analyzed.isInstanceOf[LogicalRDD])
+  }
+
+  test("flag changes no results on a pin-severed operator (dd4 at sf0.001)") {
+    val q = SparkEntry.queries("dd4_minhash_lsh")
+    val off = q(spark, sf).collect().map(_.toString).sorted.toSeq
+    val on = withReliable(q(spark, sf).collect().map(_.toString).sorted.toSeq)
+    assert(off == on, "reliable-checkpoint flag must be result-invisible")
+    assert(off.nonEmpty)
+  }
+}
