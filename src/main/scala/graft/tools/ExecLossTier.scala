@@ -58,7 +58,11 @@ object ExecLossTier {
 
   def main(args: Array[String]): Unit = {
     val artifact = args.headOption.getOrElse("CORRECTNESS_execloss_r12.json")
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    // sf0.1 by default: cluster-mode queries run seconds there, so the
+    // mid-query kill has a real window to land even on the fast
+    // pure-lineage rows (at sf0.01 q03/q10 complete in well under a
+    // second warm and most kills would record kill_missed)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local-cluster[2,16,8192]"))
       .config("spark.executor.extraClassPath",
