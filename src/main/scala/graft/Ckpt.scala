@@ -30,6 +30,16 @@ import org.apache.spark.sql.Dataset
   * the materialized RDD), so operator semantics, the determinism
   * invariant (PlanAudit), and every oracle row are unaffected by the
   * flag — pinned by CkptSpec and the executor-loss tier artifact.
+  *
+  * Long-job housekeeping under the flag: the iterative operators pin
+  * once per round (BPE merges, CC label propagation, Lloyd passes), and
+  * reliable checkpoint files are NOT deleted when the round's Dataset
+  * goes out of scope unless the session was built with
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (a
+  * context-start conf — it cannot be set here). Deployments enabling
+  * SPARK_GRAFT_RELIABLE_CKPT should set that conf too, or sweep the
+  * checkpoint dir between jobs; otherwise a long iterative job
+  * accumulates one pinned snapshot per round on the DFS.
   */
 object Ckpt {
 

@@ -77,4 +77,25 @@ class CkptSpec extends AnyFunSuite {
     assert(off == on, "reliable-checkpoint flag must be result-invisible")
     assert(off.nonEmpty)
   }
+
+  test("lost local-checkpoint blocks fail fast — never partial/wrong rows") {
+    // The executable half of the fail-fast-never-wrong contract: a local
+    // checkpoint's blocks are the ONLY copy of the data (lineage is
+    // truncated), so losing them must make reads THROW, not silently
+    // return fewer/other rows. ExecLossTier proves this with a real
+    // executor kill; here the same loss is simulated in-CI by dropping
+    // the checkpointed RDD's blocks through the block-manager master.
+    import spark.implicits._
+    val pinned = spark.range(1000).map(_ + 1).toDF("v").pin()
+    assert(pinned.as[Long].collect().length == 1000) // blocks live, readable
+    val rdd = pinned.queryExecution.analyzed
+      .asInstanceOf[org.apache.spark.sql.execution.LogicalRDD].rdd
+    assert(rdd.isCheckpointed && rdd.getCheckpointFile.isEmpty)
+    spark.sparkContext.env.blockManager.master.removeRdd(rdd.id, blocking = true)
+    val e = intercept[org.apache.spark.SparkException](pinned.count())
+    val msg = Option(e.getMessage).getOrElse("") + Option(e.getCause)
+      .map(c => " " + c.getMessage).getOrElse("")
+    assert(msg.toLowerCase.contains("checkpoint") || msg.contains("not found"),
+      s"loss must surface as the checkpoint-block error, got: $msg")
+  }
 }
