@@ -43,6 +43,16 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     if (chaos) builder.config("spark.task.maxFailures", "3")
+    // Tier plumbing: SPARK_GRAFT_CONF_<spark.conf.key>=<value> env vars
+    // become session confs verbatim — context-start confs a tier needs
+    // (e.g. the spill tier starves execution memory with
+    // env 'SPARK_GRAFT_CONF_spark.memory.fraction=0.15') without a
+    // bespoke flag per conf. Applied after the fixed confs above so a
+    // tier cannot silently fork the shuffle-partition/timezone contract.
+    sys.env.foreach { case (k, v) =>
+      if (k.startsWith("SPARK_GRAFT_CONF_"))
+        builder.config(k.stripPrefix("SPARK_GRAFT_CONF_"), v)
+    }
     if (master.startsWith("local-cluster")) {
       builder.config("spark.executor.extraClassPath",
         sys.env.getOrElse("SPARK_GRAFT_EXEC_CLASSPATH",
@@ -66,6 +76,21 @@ object Verify {
                 chaosRetriedOk.incrementAndGet()
           }
         }
+      })
+    // Spill tier (SPARK_GRAFT_SPILL_REPORT=1): non-vacuity evidence that a
+    // memory-starved run actually spilled — a "correct under pressure" tier
+    // where nothing spilled proved only that the pressure knob was too
+    // loose. Totals from executed task metrics, printed at the end.
+    val spillReport = sys.env.contains("SPARK_GRAFT_SPILL_REPORT")
+    val (spillMem, spillDisk) =
+      (new java.util.concurrent.atomic.AtomicLong, new java.util.concurrent.atomic.AtomicLong)
+    if (spillReport) spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (e.taskMetrics != null) {
+            spillMem.addAndGet(e.taskMetrics.memoryBytesSpilled)
+            spillDisk.addAndGet(e.taskMetrics.diskBytesSpilled)
+          }
       })
     new java.io.File(outDir).mkdirs()
     // local-iteration aid: SPARK_GRAFT_ONLY=q48,tx6 restricts the dump to
@@ -99,6 +124,9 @@ object Verify {
     if (chaos)
       println(s"[chaos] injected_failures=${chaosFailures.get} retried_ok=${chaosRetriedOk.get}" +
         (if (chaosFailures.get == 0) " — VACUOUS: no task was actually killed" else ""))
+    if (spillReport)
+      println(s"[spill] memory_spilled_bytes=${spillMem.get} disk_spilled_bytes=${spillDisk.get}" +
+        (if (spillDisk.get == 0) " — VACUOUS: nothing spilled, tighten the pressure" else ""))
     spark.stop()
   }
 }
