@@ -844,7 +844,7 @@ object StreamingOps {
     val outDir = new java.io.File(base, "fill").getPath
     val ckpt = new java.io.File(base, "ckpt").getPath
     withShufflePartitions(s, 8) {
-      val q = locfUpdates(stream)(s).toDF().writeStream
+      val q = injectStChaos(locfUpdates(stream)(s).toDF()).writeStream
         .outputMode(OutputMode.Append)
         .format("parquet")
         .option("path", outDir)
@@ -1255,10 +1255,13 @@ object StreamingOps {
     * whenever the env is set). Tier-only: the wrapper is an object
     * boundary, never in the benchmarked path. Applied to the five
     * built-in-state rows (st2 session-merge, st3 session-evict, st4
-    * stream-stream join, st7 watermark dedup, st8 window-evict); st1/st6
-    * recover via the foreachBatch/file-log idempotence their own specs
-    * pin, and st5's arbitrary-state surface is covered by its
-    * checkpoint-restart spec. */
+    * stream-stream join, st7 watermark dedup, st8 window-evict) and to
+    * st5 — the arbitrary-state provider (flatMapGroupsWithState), where
+    * the mid-batch kill additionally lands with a parquet FILE sink in
+    * flight, so the retry exercises both the custom-state replay and the
+    * file-sink commit protocol discarding the failed attempt's file;
+    * st1/st6 recover via the foreachBatch/file-log idempotence their own
+    * specs pin. */
   private lazy val stChaosEnabled: Boolean =
     sys.env.contains("SPARK_GRAFT_ST_CHAOS")
 
