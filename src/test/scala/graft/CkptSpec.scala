@@ -84,14 +84,15 @@ class CkptSpec extends AnyFunSuite {
     // truncated), so losing them must make reads THROW, not silently
     // return fewer/other rows. ExecLossTier proves this with a real
     // executor kill; here the same loss is simulated in-CI by dropping
-    // the checkpointed RDD's blocks through the block-manager master.
+    // the blocks via unpersist — Spark itself warns at that call that a
+    // locally-checkpointed RDD "cannot be recomputed after unpersisting".
     import spark.implicits._
     val pinned = spark.range(1000).map(_ + 1).toDF("v").pin()
     assert(pinned.as[Long].collect().length == 1000) // blocks live, readable
     val rdd = pinned.queryExecution.analyzed
       .asInstanceOf[org.apache.spark.sql.execution.LogicalRDD].rdd
     assert(rdd.isCheckpointed && rdd.getCheckpointFile.isEmpty)
-    spark.sparkContext.env.blockManager.master.removeRdd(rdd.id, blocking = true)
+    rdd.unpersist(blocking = true)
     val e = intercept[org.apache.spark.SparkException](pinned.count())
     val msg = Option(e.getMessage).getOrElse("") + Option(e.getCause)
       .map(c => " " + c.getMessage).getOrElse("")
