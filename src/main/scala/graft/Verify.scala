@@ -47,8 +47,10 @@ object Verify {
     // become session confs verbatim — context-start confs a tier needs
     // (e.g. the spill tier starves execution memory with
     // env 'SPARK_GRAFT_CONF_spark.memory.fraction=0.15') without a
-    // bespoke flag per conf. Applied after the fixed confs above so a
-    // tier cannot silently fork the shuffle-partition/timezone contract.
+    // bespoke flag per conf. Applied LAST, so an explicitly-set env var
+    // overrides the fixed confs above — deliberate: the config-robustness
+    // tiers re-run the registry under a different shuffle-partition count
+    // / AQE off / broadcasts disabled and require hash-identical results.
     sys.env.foreach { case (k, v) =>
       if (k.startsWith("SPARK_GRAFT_CONF_"))
         builder.config(k.stripPrefix("SPARK_GRAFT_CONF_"), v)
