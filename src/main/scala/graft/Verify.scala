@@ -27,14 +27,19 @@ object Verify {
     val masterRaw = sys.env.getOrElse("SPARK_GRAFT_MASTER",
       if (chaos) s"local[$cpus,3]" else s"local[$cpus]")
     // Chaos must compose with ANY master (r11 advisor): an explicit
-    // local[N] master leaves maxFailures at the local default of 1, so
+    // local master leaves maxFailures at the local default of 1, so
     // every injected first-attempt failure would fail the job outright.
     // In local mode retries come from the master-string suffix (the conf
-    // is ignored), so rewrite local[N] -> local[N,3]; everywhere else the
-    // conf is authoritative, set it whenever chaos is on.
+    // is ignored), so rewrite EVERY local form — bare `local`, `local[N]`,
+    // `local[*]`, and `local[N,F]` with F<3 — to carry maxFailures 3;
+    // everywhere else the conf is authoritative, set it whenever chaos is
+    // on.
     val LocalN = """local\[(\d+|\*)\]""".r
+    val LocalNF = """local\[(\d+|\*),(\d+)\]""".r
     val master = masterRaw match {
+      case "local" if chaos => "local[1,3]"
       case LocalN(n) if chaos => s"local[$n,3]"
+      case LocalNF(n, f) if chaos && f.toInt < 3 => s"local[$n,3]"
       case m => m
     }
     val builder = SparkSession.builder()
@@ -43,22 +48,23 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     if (chaos) builder.config("spark.task.maxFailures", "3")
-    // Tier plumbing: SPARK_GRAFT_CONF_<spark.conf.key>=<value> env vars
-    // become session confs verbatim — context-start confs a tier needs
-    // (e.g. the spill tier starves execution memory with
-    // env 'SPARK_GRAFT_CONF_spark.memory.fraction=0.15') without a
-    // bespoke flag per conf. Applied LAST, so an explicitly-set env var
-    // overrides the fixed confs above — deliberate: the config-robustness
-    // tiers re-run the registry under a different shuffle-partition count
-    // / AQE off / broadcasts disabled and require hash-identical results.
-    sys.env.foreach { case (k, v) =>
-      if (k.startsWith("SPARK_GRAFT_CONF_"))
-        builder.config(k.stripPrefix("SPARK_GRAFT_CONF_"), v)
-    }
     if (master.startsWith("local-cluster")) {
       builder.config("spark.executor.extraClassPath",
         sys.env.getOrElse("SPARK_GRAFT_EXEC_CLASSPATH",
           new java.io.File("target/scala-2.13/classes").getAbsolutePath))
+    }
+    // Tier plumbing: SPARK_GRAFT_CONF_<spark.conf.key>=<value> env vars
+    // become session confs verbatim — context-start confs a tier needs
+    // (e.g. the spill tier starves execution memory with
+    // env 'SPARK_GRAFT_CONF_spark.memory.fraction=0.15') without a
+    // bespoke flag per conf. Applied LAST — after every fixed conf,
+    // including the local-cluster extraClassPath default — so an
+    // explicitly-set env var always wins: the config-robustness tiers
+    // re-run the registry under a different shuffle-partition count /
+    // AQE off / broadcasts disabled and require hash-identical results.
+    sys.env.foreach { case (k, v) =>
+      if (k.startsWith("SPARK_GRAFT_CONF_"))
+        builder.config(k.stripPrefix("SPARK_GRAFT_CONF_"), v)
     }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1,7 +1,5 @@
 package graft.tools
 
-import scala.jdk.CollectionConverters._
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Executor-LOSS tier (r12): kill -9 a REAL executor JVM mid-query on
@@ -27,19 +25,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    `recovered_exact` expected even when the kill lands mid-iteration.
   *
   * Outcomes are judged against a no-kill baseline hash computed in the
-  * same JVM/session first. One JSON line per (row, phase) goes to the
-  * artifact path in arg(0) (default CORRECTNESS_execloss_r12.json).
-  * Kills that land after the row already finished are recorded
-  * `kill_missed` (honest non-evidence, per the r11 advisor's note on
-  * sleep-placed kills) and retried once with a shorter fuse.
+  * same JVM/session first (behind a 2-executor readiness wait, so a
+  * degraded post-kill cluster cannot inflate the fuse estimate). One
+  * JSON line per (row, phase) is APPENDED to the artifact path in
+  * arg(0) as it is produced — a mid-run abort loses nothing already
+  * recorded (r12 review; default CORRECTNESS_execloss_r12.json).
+  * Outcome vocabulary:
+  *  - `kill_missed`: the query finished before the fuse fired — honest
+  *    non-evidence (r11 advisor), retried once with a shorter fuse;
+  *  - `error_no_kill`: the query FAILED but no kill had landed — a
+  *    genuine anomaly recorded with its error text, never conflated
+  *    with kill_missed (r12 review), retried once;
+  *  - `recovered_exact` / `failfast_rerun_exact` / `WRONG`: see above.
   */
 object ExecLossTier {
 
-  private def executorPids(): Seq[Long] =
-    ProcessHandle.current().descendants().iterator().asScala
-      .filter(_.info().commandLine().orElse("")
-        .contains("CoarseGrainedExecutorBackend"))
-      .map(_.pid()).toSeq
+  import ExecutorKill.{waitForExecutors, executorPids, Killer}
 
   /** Order-independent canonical hash of a small result. */
   private def resultHash(df: DataFrame): String = {
@@ -47,13 +48,6 @@ object ExecLossTier {
     val md = java.security.MessageDigest.getInstance("MD5")
     rows.foreach(r => md.update(r.getBytes("UTF-8")))
     java.util.Base64.getEncoder.encodeToString(md.digest())
-  }
-
-  private def waitForExecutors(n: Int, timeoutMs: Long = 120000): Boolean = {
-    val deadline = System.currentTimeMillis() + timeoutMs
-    while (executorPids().size < n && System.currentTimeMillis() < deadline)
-      Thread.sleep(500)
-    executorPids().size >= n
   }
 
   def main(args: Array[String]): Unit = {
@@ -90,28 +84,23 @@ object ExecLossTier {
 
     require(waitForExecutors(2), s"expected 2 executor JVMs, saw ${executorPids()}")
 
-    val out = new StringBuilder
+    // Append each record as it is produced: a require()-abort or fatal
+    // error mid-run must not discard the minutes of evidence before it.
+    val out = java.nio.file.Files.newBufferedWriter(
+      java.nio.file.Paths.get(artifact),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
     def record(fields: (String, String)*): Unit = {
       val line = fields.map { case (k, v) => s""""$k": $v""" }.mkString("{", ", ", "}")
       println(s"[execloss] $line")
-      out.append(line).append('\n')
+      out.write(line); out.newLine(); out.flush()
     }
-    def str(s: String) = "\"" + s + "\""
+    def str(s: String) = "\"" + s.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\""
 
     def runWithKill(name: String, fn: (SparkSession, String) => DataFrame,
                     fuseMs: Long): (Either[String, String], Boolean) = {
       require(waitForExecutors(2), "executors did not recover before phase")
-      @volatile var killedAt = -1L
-      @volatile var killedPid = -1L
-      val killer = new Thread(() => {
-        Thread.sleep(fuseMs)
-        executorPids().headOption.foreach { pid =>
-          killedPid = pid
-          ProcessHandle.of(pid).ifPresent(_.destroyForcibly())
-          killedAt = System.nanoTime()
-        }
-      }, "graft-execloss-killer")
-      killer.setDaemon(true)
+      val killer = new Killer(fuseMs, name)
       killer.start()
       val res =
         try Right(resultHash(fn(spark, sfDir)))
@@ -120,47 +109,68 @@ object ExecLossTier {
         }
       val doneAt = System.nanoTime()
       killer.join(fuseMs + 5000)
-      val landed = killedPid > 0 && killedAt > 0 && killedAt < doneAt
-      (res, landed)
+      (res, killer.landedBefore(doneAt))
     }
 
-    rows.foreach { case (name, fn, pinned) =>
-      // no-kill baseline in this same session (also warms codegen/scans
-      // so the kill run's duration estimate below is steady-state)
-      val t0 = System.nanoTime()
-      val baseline = resultHash(fn(spark, sfDir))
-      val baseSec = (System.nanoTime() - t0) / 1e9
-      var fuse = math.max(500L, (baseSec * 1000 * 0.4).toLong)
+    /** One (row, phase): up to two kill attempts against `baseline`,
+      * shrinking the fuse after a missed kill; the same judging policy
+      * for both the local_ckpt and reliable_ckpt phases (r12 review —
+      * previously two hand-synced copies of this loop). */
+    def runPhase(name: String, phase: String,
+                 fn: (SparkSession, String) => DataFrame,
+                 baseline: String, fuse0: Long,
+                 extra: Seq[(String, String)]): Unit = {
+      var fuse = fuse0
       var attempt = 0
       var done = false
       while (!done && attempt < 2) {
         attempt += 1
-        val (res, landed) = runWithKill(name, fn, fuse)
-        (res, landed) match {
-          case (_, false) =>
-            record("query" -> str(name), "phase" -> str("local_ckpt"),
-              "outcome" -> str("kill_missed"), "attempt" -> attempt.toString)
+        runWithKill(name, fn, fuse) match {
+          case (Right(_), false) =>
+            // finished before the fuse fired: honest non-evidence
+            record(Seq("query" -> str(name), "phase" -> str(phase),
+              "outcome" -> str("kill_missed"), "attempt" -> attempt.toString): _*)
             fuse = math.max(200L, fuse / 3) // shorter fuse, try once more
+          case (Left(err), false) =>
+            // FAILED with no kill landed: a genuine anomaly, never to be
+            // conflated with kill_missed — record the error and retry
+            record(Seq("query" -> str(name), "phase" -> str(phase),
+              "outcome" -> str("error_no_kill"), "attempt" -> attempt.toString,
+              "error" -> str(err)): _*)
           case (Right(h), true) =>
-            record("query" -> str(name), "phase" -> str("local_ckpt"),
+            record((Seq("query" -> str(name), "phase" -> str(phase),
               "outcome" -> str(if (h == baseline) "recovered_exact" else "WRONG"),
-              "pinned" -> pinned.toString, "attempt" -> attempt.toString)
+              "attempt" -> attempt.toString) ++ extra): _*)
             done = true
           case (Left(err), true) =>
             // fail-fast half of the contract: the rerun (executors
             // recovered) must be exact from scratch
             require(waitForExecutors(2), "executors did not recover for rerun")
             val rerun = resultHash(fn(spark, sfDir))
-            record("query" -> str(name), "phase" -> str("local_ckpt"),
+            record((Seq("query" -> str(name), "phase" -> str(phase),
               "outcome" -> str(if (rerun == baseline) "failfast_rerun_exact" else "WRONG"),
-              "pinned" -> pinned.toString, "attempt" -> attempt.toString,
-              "error" -> str(err.replaceAll("[\"\\\\\\n\\r\\t]", " ")))
+              "attempt" -> attempt.toString, "error" -> str(err)) ++ extra): _*)
             done = true
         }
       }
       if (!done)
-        record("query" -> str(name), "phase" -> str("local_ckpt"),
-          "outcome" -> str("kill_missed_twice"))
+        record(Seq("query" -> str(name), "phase" -> str(phase),
+          "outcome" -> str("no_kill_landed_twice")): _*)
+    }
+
+    try rows.foreach { case (name, fn, pinned) =>
+      // no-kill baseline in this same session (also warms codegen/scans
+      // so the kill run's duration estimate below is steady-state) —
+      // behind the same 2-executor readiness wait as the kill runs, so a
+      // cluster still recovering from the previous row's kill cannot
+      // inflate baseSec and overshoot the fuse (r12 review)
+      require(waitForExecutors(2), "executors did not recover before baseline")
+      val t0 = System.nanoTime()
+      val baseline = resultHash(fn(spark, sfDir))
+      val baseSec = (System.nanoTime() - t0) / 1e9
+      val fuse = math.max(500L, (baseSec * 1000 * 0.4).toLong)
+      runPhase(name, "local_ckpt", fn, baseline, fuse,
+        Seq("pinned" -> pinned.toString))
 
       // reliable-checkpoint phase for the pinned rows: same kill, but
       // Ckpt.pin now writes checkpoint files to the shared FS — the
@@ -168,40 +178,15 @@ object ExecLossTier {
       if (pinned && name != "st8_stream_closed_windows") {
         sys.props("graft.reliableCkpt") = "true"
         try {
+          require(waitForExecutors(2), "executors did not recover before reliable baseline")
           val base2 = resultHash(fn(spark, sfDir))
-          record("query" -> str(name), "phase" -> str("reliable_ckpt_baseline"),
-            "outcome" -> str(if (base2 == baseline) "flag_identical" else "WRONG"))
-          var f2 = fuse
-          var done2 = false
-          var att2 = 0
-          while (!done2 && att2 < 2) {
-            att2 += 1
-            val (res, landed) = runWithKill(name, fn, f2)
-            (res, landed) match {
-              case (_, false) =>
-                record("query" -> str(name), "phase" -> str("reliable_ckpt"),
-                  "outcome" -> str("kill_missed"), "attempt" -> att2.toString)
-                f2 = math.max(200L, f2 / 3)
-              case (Right(h), true) =>
-                record("query" -> str(name), "phase" -> str("reliable_ckpt"),
-                  "outcome" -> str(if (h == baseline) "recovered_exact" else "WRONG"),
-                  "attempt" -> att2.toString)
-                done2 = true
-              case (Left(err), true) =>
-                require(waitForExecutors(2), "executors did not recover for rerun")
-                val rerun = resultHash(fn(spark, sfDir))
-                record("query" -> str(name), "phase" -> str("reliable_ckpt"),
-                  "outcome" -> str(if (rerun == baseline) "failfast_rerun_exact" else "WRONG"),
-                  "attempt" -> att2.toString,
-                  "error" -> str(err.replaceAll("[\"\\\\\\n\\r\\t]", " ")))
-                done2 = true
-            }
-          }
+          record(Seq("query" -> str(name), "phase" -> str("reliable_ckpt_baseline"),
+            "outcome" -> str(if (base2 == baseline) "flag_identical" else "WRONG")): _*)
+          runPhase(name, "reliable_ckpt", fn, baseline, fuse, Seq.empty)
         } finally sys.props.remove("graft.reliableCkpt")
       }
-    }
+    } finally out.close()
 
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(artifact), out.toString)
     println(s"[execloss] artifact -> $artifact")
     spark.stop()
   }

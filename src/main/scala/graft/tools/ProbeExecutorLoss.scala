@@ -1,7 +1,5 @@
 package graft.tools
 
-import scala.jdk.CollectionConverters._
-
 import org.apache.spark.sql.SparkSession
 
 /** Probe: executor LOSS recovery on a real multi-executor cluster.
@@ -29,15 +27,9 @@ import org.apache.spark.sql.SparkSession
   */
 object ProbeExecutorLoss {
 
-  /** Executor JVMs belonging to THIS application only: local-cluster
-    * forks Worker → executor processes under the driver JVM, so scanning
-    * descendants of the current process (not allProcesses — r11 advisor:
-    * a host-wide scan could kill an unrelated Spark app's executor). */
-  private def executorPids(): Seq[Long] =
-    ProcessHandle.current().descendants().iterator().asScala
-      .filter(_.info().commandLine().orElse("")
-        .contains("CoarseGrainedExecutorBackend"))
-      .map(_.pid()).toSeq
+  // pid scan / kill machinery shared with ExecLossTier (r12 review:
+  // previously two hand-synced copies)
+  import ExecutorKill.{executorPids, Killer}
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -61,17 +53,8 @@ object ProbeExecutorLoss {
     }
     require(before.size >= 2, s"expected 2 executor JVMs, saw $before")
 
-    @volatile var killed = -1L
-    @volatile var killedAtNanos = -1L
-    val killer = new Thread(() => {
-      Thread.sleep(3000) // aim mid-map-stage (map stage runs ~8 s)
-      executorPids().headOption.foreach { pid =>
-        killed = pid
-        ProcessHandle.of(pid).ifPresent(_.destroyForcibly())
-        killedAtNanos = System.nanoTime()
-      }
-    }, "graft-executor-killer")
-    killer.setDaemon(true)
+    // aim mid-map-stage (map stage runs ~8 s)
+    val killer = new Killer(3000, "probe")
     killer.start()
 
     // slowed map stage (64 tasks × ~150 ms) → shuffle → sum: the kill
@@ -89,9 +72,9 @@ object ProbeExecutorLoss {
     // sleep on a fast map stage could kill after the answer was already
     // in hand, silently weakening the proof to "killed>0") — assert the
     // ordering instead of trusting the sleep.
-    val landedMidJob = killed > 0 && killedAtNanos > 0 && killedAtNanos < jobDoneNanos
+    val landedMidJob = killer.landedBefore(jobDoneNanos)
     val ok = total == expected && landedMidJob
-    println(s"[probe-exec-loss] sum=$total (want $expected) killed_pid=$killed " +
+    println(s"[probe-exec-loss] sum=$total (want $expected) killed_pid=${killer.killedPid} " +
       s"kill_before_job_end=$landedMidJob " +
       s"executors_before=${before.mkString(",")} executors_after=${after.mkString(",")} " +
       (if (ok) "EXACT-AFTER-EXECUTOR-LOSS" else "NOT PROVEN"))
