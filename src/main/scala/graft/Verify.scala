@@ -4,6 +4,25 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Chaos must compose with ANY master: local mode reads task retries
+    * from the master-string suffix (the `spark.task.maxFailures` conf is
+    * ignored there), so every local form — bare `local`, `local[N]`,
+    * `local[*]`, and `local[N,F]` with F<3 — is rewritten to carry
+    * maxFailures 3 when injection is on. Non-local masters pass through
+    * (the conf is authoritative and set separately). Pinned by
+    * VerifyMasterSpec. */
+  private[graft] def chaosMaster(raw: String, chaos: Boolean): String = {
+    val LocalN = """local\[(\d+|\*)\]""".r
+    val LocalNF = """local\[(\d+|\*),(\d+)\]""".r
+    raw match {
+      case "local" if chaos => "local[1,3]"
+      case LocalN(n) if chaos => s"local[$n,3]"
+      case LocalNF(n, f) if chaos && f.toInt < 3 => s"local[$n,3]"
+      case m => m
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -26,22 +45,10 @@ object Verify {
     // tolerance is a conf, not a master-string suffix, so chaos composes.
     val masterRaw = sys.env.getOrElse("SPARK_GRAFT_MASTER",
       if (chaos) s"local[$cpus,3]" else s"local[$cpus]")
-    // Chaos must compose with ANY master (r11 advisor): an explicit
-    // local master leaves maxFailures at the local default of 1, so
-    // every injected first-attempt failure would fail the job outright.
-    // In local mode retries come from the master-string suffix (the conf
-    // is ignored), so rewrite EVERY local form — bare `local`, `local[N]`,
-    // `local[*]`, and `local[N,F]` with F<3 — to carry maxFailures 3;
-    // everywhere else the conf is authoritative, set it whenever chaos is
-    // on.
-    val LocalN = """local\[(\d+|\*)\]""".r
-    val LocalNF = """local\[(\d+|\*),(\d+)\]""".r
-    val master = masterRaw match {
-      case "local" if chaos => "local[1,3]"
-      case LocalN(n) if chaos => s"local[$n,3]"
-      case LocalNF(n, f) if chaos && f.toInt < 3 => s"local[$n,3]"
-      case m => m
-    }
+    // An explicit local master would leave maxFailures at the local
+    // default of 1, failing every injected first attempt outright (r11
+    // advisor) — see chaosMaster above for the rewrite rules.
+    val master = chaosMaster(masterRaw, chaos)
     val builder = SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
