@@ -14,7 +14,10 @@ object Verify {
     * VerifyMasterSpec. */
   private[graft] def chaosMaster(raw: String, chaos: Boolean): String = {
     val LocalN = """local\[(\d+|\*)\]""".r
-    val LocalNF = """local\[(\d+|\*),(\d+)\]""".r
+    // whitespace around the comma mirrors Spark's own
+    // LOCAL_N_FAILURES_REGEX — "local[4, 1]" is a valid master and must
+    // be rewritten too (r12 review)
+    val LocalNF = """local\[(\d+|\*)\s*,\s*(\d+)\]""".r
     raw match {
       case "local" if chaos => "local[1,3]"
       case LocalN(n) if chaos => s"local[$n,3]"

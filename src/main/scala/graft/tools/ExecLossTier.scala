@@ -95,11 +95,32 @@ object ExecLossTier {
       println(s"[execloss] $line")
       out.write(line); out.newLine(); out.flush()
     }
-    def str(s: String) = "\"" + s.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\""
+    // sanitize EVERY control char (not just \n\r\t): a netty/shuffle error
+    // text with a stray NUL or ANSI escape would make the artifact line
+    // unparseable and zero the tier's evidence on a json.loads sweep
+    def str(s: String) =
+      "\"" + s.replaceAll("[\"\\\\\\p{Cntrl}]", " ") + "\""
+
+    // OS-pid presence is necessary but not sufficient: a relaunched
+    // CoarseGrainedExecutorBackend process exists before it has REGISTERED
+    // with the driver and is schedulable — a baseline started in that
+    // window runs on a degraded cluster and inflates the fuse estimate
+    // (r12 review). statusTracker counts the driver too, hence n + 1.
+    def waitForRegistered(n: Int, timeoutMs: Long = 120000): Boolean = {
+      val deadline = System.currentTimeMillis() + timeoutMs
+      while (spark.sparkContext.statusTracker.getExecutorInfos.length < n + 1 &&
+          System.currentTimeMillis() < deadline)
+        Thread.sleep(500)
+      spark.sparkContext.statusTracker.getExecutorInfos.length >= n + 1
+    }
+    def ready(where: String): Unit = {
+      require(waitForExecutors(2), s"executor JVMs did not respawn before $where")
+      require(waitForRegistered(2), s"executors did not re-register before $where")
+    }
 
     def runWithKill(name: String, fn: (SparkSession, String) => DataFrame,
                     fuseMs: Long): (Either[String, String], Boolean) = {
-      require(waitForExecutors(2), "executors did not recover before phase")
+      ready("kill run")
       val killer = new Killer(fuseMs, name)
       killer.start()
       val res =
@@ -108,6 +129,7 @@ object ExecLossTier {
           Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(120))
         }
       val doneAt = System.nanoTime()
+      killer.cancel() // a finished query needs no post-job kill (r12 review)
       killer.join(fuseMs + 5000)
       (res, killer.landedBefore(doneAt))
     }
@@ -123,17 +145,28 @@ object ExecLossTier {
       var fuse = fuse0
       var attempt = 0
       var done = false
+      var sawError = false
+      var sawWrong = false
       while (!done && attempt < 2) {
         attempt += 1
         runWithKill(name, fn, fuse) match {
-          case (Right(_), false) =>
-            // finished before the fuse fired: honest non-evidence
+          case (Right(h), false) if h == baseline =>
+            // finished (correctly) before the fuse fired: honest
+            // non-evidence for the kill claim
             record(Seq("query" -> str(name), "phase" -> str(phase),
               "outcome" -> str("kill_missed"), "attempt" -> attempt.toString): _*)
             fuse = math.max(200L, fuse / 3) // shorter fuse, try once more
+          case (Right(_), false) =>
+            // finished before the fuse AND hashed wrong: a genuine
+            // wrong-result anomaly with NO fault injected — the one
+            // thing that must never hide behind a kill_missed label
+            sawWrong = true
+            record(Seq("query" -> str(name), "phase" -> str(phase),
+              "outcome" -> str("wrong_no_kill"), "attempt" -> attempt.toString): _*)
           case (Left(err), false) =>
             // FAILED with no kill landed: a genuine anomaly, never to be
             // conflated with kill_missed — record the error and retry
+            sawError = true
             record(Seq("query" -> str(name), "phase" -> str(phase),
               "outcome" -> str("error_no_kill"), "attempt" -> attempt.toString,
               "error" -> str(err)): _*)
@@ -145,7 +178,7 @@ object ExecLossTier {
           case (Left(err), true) =>
             // fail-fast half of the contract: the rerun (executors
             // recovered) must be exact from scratch
-            require(waitForExecutors(2), "executors did not recover for rerun")
+            ready("rerun")
             val rerun = resultHash(fn(spark, sfDir))
             record((Seq("query" -> str(name), "phase" -> str(phase),
               "outcome" -> str(if (rerun == baseline) "failfast_rerun_exact" else "WRONG"),
@@ -153,9 +186,14 @@ object ExecLossTier {
             done = true
         }
       }
+      // terminal summary must not file a real anomaly under a
+      // missed-kill label (r12 review)
       if (!done)
         record(Seq("query" -> str(name), "phase" -> str(phase),
-          "outcome" -> str("no_kill_landed_twice")): _*)
+          "outcome" -> str(
+            if (sawWrong) "wrong_no_kill_twice"
+            else if (sawError) "error_no_kill_twice"
+            else "no_kill_landed_twice")): _*)
     }
 
     try rows.foreach { case (name, fn, pinned) =>
@@ -164,7 +202,7 @@ object ExecLossTier {
       // behind the same 2-executor readiness wait as the kill runs, so a
       // cluster still recovering from the previous row's kill cannot
       // inflate baseSec and overshoot the fuse (r12 review)
-      require(waitForExecutors(2), "executors did not recover before baseline")
+      ready("baseline")
       val t0 = System.nanoTime()
       val baseline = resultHash(fn(spark, sfDir))
       val baseSec = (System.nanoTime() - t0) / 1e9
@@ -178,7 +216,7 @@ object ExecLossTier {
       if (pinned && name != "st8_stream_closed_windows") {
         sys.props("graft.reliableCkpt") = "true"
         try {
-          require(waitForExecutors(2), "executors did not recover before reliable baseline")
+          ready("reliable baseline")
           val base2 = resultHash(fn(spark, sfDir))
           record(Seq("query" -> str(name), "phase" -> str("reliable_ckpt_baseline"),
             "outcome" -> str(if (base2 == baseline) "flag_identical" else "WRONG")): _*)

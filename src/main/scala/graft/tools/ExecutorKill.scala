@@ -28,28 +28,39 @@ object ExecutorKill {
   }
 
   /** Fire-once fuse: after `fuseMs`, kill -9 ONE executor JVM of this
-    * application. `killedPid`/`killedAtNanos` stay -1 until fired — the
-    * caller asserts kill-before-job-end ordering rather than trusting
-    * the sleep (r11 advisor). */
+    * application. Firing is tracked with an explicit flag (not a
+    * nanoTime sign test — System.nanoTime has an arbitrary origin and
+    * may legally be negative); the caller asserts kill-before-job-end
+    * ordering rather than trusting the sleep (r11 advisor). `cancel()`
+    * interrupts a still-sleeping fuse so a query that finished early is
+    * not followed by a pointless post-job kill + executor-relaunch wait
+    * (r12 review). */
   final class Killer(fuseMs: Long, label: String) {
     @volatile private var pid = -1L
-    @volatile private var atNanos = -1L
+    @volatile private var atNanos = 0L
+    @volatile private var didFire = false
     private val t = new Thread(() => {
-      Thread.sleep(fuseMs)
-      executorPids().headOption.foreach { p =>
-        pid = p
-        ProcessHandle.of(p).ifPresent(_.destroyForcibly())
-        atNanos = System.nanoTime()
-      }
+      try {
+        Thread.sleep(fuseMs)
+        executorPids().headOption.foreach { p =>
+          pid = p
+          ProcessHandle.of(p).ifPresent(_.destroyForcibly())
+          atNanos = System.nanoTime()
+          didFire = true
+        }
+      } catch { case _: InterruptedException => () /* cancelled pre-fire */ }
     }, s"graft-executor-killer-$label")
     t.setDaemon(true)
 
     def start(): Unit = t.start()
     def join(ms: Long): Unit = t.join(ms)
+    /** Best-effort: stop a fuse that has not fired yet (a fuse already
+      * past its sleep may still fire — the caller re-checks `fired`). */
+    def cancel(): Unit = t.interrupt()
     def killedPid: Long = pid
-    def killedAtNanos: Long = atNanos
+    def fired: Boolean = didFire
     /** True iff the kill fired strictly before `doneNanos`. */
     def landedBefore(doneNanos: Long): Boolean =
-      pid > 0 && atNanos > 0 && atNanos < doneNanos
+      didFire && atNanos < doneNanos
   }
 }

@@ -19,6 +19,9 @@ class VerifyMasterSpec extends AnyFunSuite {
     assert(Verify.chaosMaster("local[*]", chaos = true) == "local[*,3]")
     assert(Verify.chaosMaster("local[4,1]", chaos = true) == "local[4,3]")
     assert(Verify.chaosMaster("local[4,2]", chaos = true) == "local[4,3]")
+    // Spark's LOCAL_N_FAILURES_REGEX allows whitespace around the comma
+    assert(Verify.chaosMaster("local[4, 1]", chaos = true) == "local[4,3]")
+    assert(Verify.chaosMaster("local[* , 2]", chaos = true) == "local[*,3]")
   }
 
   test("chaos on: an already-retry-tolerant suffix is preserved, not lowered") {
