@@ -31,11 +31,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * arg(0) as it is produced — a mid-run abort loses nothing already
   * recorded (r12 review; default CORRECTNESS_execloss_r12.json).
   * Outcome vocabulary:
-  *  - `kill_missed`: the query finished before the fuse fired — honest
-  *    non-evidence (r11 advisor), retried once with a shorter fuse;
-  *  - `error_no_kill`: the query FAILED but no kill had landed — a
-  *    genuine anomaly recorded with its error text, never conflated
-  *    with kill_missed (r12 review), retried once;
+  *  - `kill_missed`: the query finished (hash-exact) before the fuse
+  *    fired — honest non-evidence (r11 advisor), retried once with a
+  *    shorter fuse;
+  *  - `error_no_kill` / `wrong_no_kill`: the query FAILED (resp. hashed
+  *    wrong) with no kill landed — genuine anomalies recorded with their
+  *    evidence, never conflated with kill_missed (r12 review);
+  *    terminal summaries distinguish `error_no_kill_twice` /
+  *    `wrong_no_kill_twice` / `no_kill_landed_twice`;
   *  - `recovered_exact` / `failfast_rerun_exact` / `WRONG`: see above.
   */
 object ExecLossTier {
