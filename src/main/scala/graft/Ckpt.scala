@@ -36,10 +36,13 @@ import org.apache.spark.sql.Dataset
   * reliable checkpoint files are NOT deleted when the round's Dataset
   * goes out of scope unless the session was built with
   * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (a
-  * context-start conf — it cannot be set here). Deployments enabling
-  * SPARK_GRAFT_RELIABLE_CKPT should set that conf too, or sweep the
-  * checkpoint dir between jobs; otherwise a long iterative job
-  * accumulates one pinned snapshot per round on the DFS.
+  * context-start conf — it cannot be set here). The exec-loss tiers'
+  * `ExecLossHarness.clusterSession` and the test session set it, and
+  * CkptSpec pins the sweep mechanism (5 dropped rounds → ≤1 surviving
+  * snapshot). Deployments enabling SPARK_GRAFT_RELIABLE_CKPT should set
+  * the same conf (or sweep the checkpoint dir between jobs); otherwise a
+  * long iterative job accumulates one pinned snapshot per round on the
+  * DFS.
   */
 object Ckpt {
 

@@ -78,6 +78,47 @@ class CkptSpec extends AnyFunSuite {
     assert(off.nonEmpty)
   }
 
+  test("reliable-ckpt housekeeping: GC'd pins are swept, no per-round snapshot accumulation") {
+    // The Ckpt scaladoc footgun, automated (r13 / r12-verdict ask 6): an
+    // iterative operator pins once per round, and without
+    // spark.cleaner.referenceTracking.cleanCheckpoints=true (a
+    // context-start conf — set in SparkTestSession here, and by the
+    // exec-loss tiers' clusterSession) every round leaves a permanent
+    // rdd-* snapshot on the DFS. With it, the ContextCleaner deletes a
+    // pin's files once the pinned RDD is unreachable — bounding the dir
+    // at the live rounds, not the job's lifetime round count.
+    assert(spark.sparkContext.getConf
+      .get("spark.cleaner.referenceTracking.cleanCheckpoints") == "true")
+    withReliable {
+      def rddDirs(): Int = {
+        val raw = spark.sparkContext.getCheckpointDir.get
+        val path = if (raw.contains(":/")) new java.net.URI(raw).getPath else raw
+        val d = new java.io.File(path)
+        Option(d.listFiles()).map(_.count(_.getName.startsWith("rdd-"))).getOrElse(0)
+      }
+      import spark.implicits._
+      // 5 "rounds", each pinning and dropping its intermediate — the
+      // iterative-operator shape (BPE merges, CC hops, Lloyd passes)
+      var keep: org.apache.spark.sql.DataFrame = null
+      (1 to 5).foreach { i =>
+        keep = spark.range(100L + i).map(_ + i).toDF("v").pin()
+        assert(keep.count() == 100L + i)
+      }
+      val pinned = rddDirs()
+      assert(pinned >= 5, s"expected >=5 snapshots while rounds are live, saw $pinned")
+      keep = null // last round dropped: every pin is now unreachable
+      val deadline = System.currentTimeMillis() + 30000
+      var n = rddDirs()
+      while (n > 1 && System.currentTimeMillis() < deadline) {
+        System.gc() // the cleaner acts on weak-ref enqueue — provoke it
+        Thread.sleep(500)
+        n = rddDirs()
+      }
+      assert(n <= 1, s"checkpoint dir still holds $n snapshots after the sweep " +
+        "(cleanCheckpoints conf not honored?)")
+    }
+  }
+
   test("lost local-checkpoint blocks fail fast — never partial/wrong rows") {
     // The executable half of the fail-fast-never-wrong contract: a local
     // checkpoint's blocks are the ONLY copy of the data (lineage is

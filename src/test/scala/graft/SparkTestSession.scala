@@ -12,6 +12,10 @@ object SparkTestSession {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // context-start conf the reliable-checkpoint housekeeping contract
+      // needs (CkptSpec): checkpoint files of GC'd RDDs are swept by the
+      // ContextCleaner instead of accumulating one snapshot per pin
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
