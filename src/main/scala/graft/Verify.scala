@@ -110,6 +110,29 @@ object Verify {
             spillDisk.addAndGet(e.taskMetrics.diskBytesSpilled)
           }
       })
+    // Speculation tier (SPARK_GRAFT_SPEC_REPORT=1, r13): evidence that the
+    // speculation scheduler was genuinely armed for the run. The conf is
+    // context-start, so it is read back from the LIVE SparkConf (a typo'd
+    // passthrough would print false and flag the tier vacuous). Speculative
+    // ATTEMPT counts are also recorded, with the known structural caveat:
+    // on one machine TaskSetManager never places a speculative clone (the
+    // dequeueSpeculativeTask !hasAttemptOnHost guard — ProbeSpeculation
+    // documents this with an executed straggler probe), so armed-with-zero-
+    // placed is the expected honest reading, and the tier's value is that
+    // the speculation machinery (speculatable-task scanning inside
+    // TaskSetManager on every interval tick) ran against all 134 queries
+    // without perturbing results.
+    val specReport = sys.env.contains("SPARK_GRAFT_SPEC_REPORT")
+    val (specStarted, specWon) =
+      (new java.util.concurrent.atomic.AtomicLong, new java.util.concurrent.atomic.AtomicLong)
+    if (specReport) spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskStart(e: org.apache.spark.scheduler.SparkListenerTaskStart): Unit =
+          if (e.taskInfo != null && e.taskInfo.speculative) specStarted.incrementAndGet()
+        override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (e.taskInfo != null && e.taskInfo.speculative && e.taskInfo.successful)
+            specWon.incrementAndGet()
+      })
     new java.io.File(outDir).mkdirs()
     // local-iteration aid: SPARK_GRAFT_ONLY=q48,tx6 restricts the dump to
     // matching query names (comma-separated prefixes); unset = full run,
@@ -145,6 +168,16 @@ object Verify {
     if (spillReport)
       println(s"[spill] memory_spilled_bytes=${spillMem.get} disk_spilled_bytes=${spillDisk.get}" +
         (if (spillDisk.get == 0) " — VACUOUS: nothing spilled, tighten the pressure" else ""))
+    if (specReport) {
+      val armed = spark.sparkContext.getConf.getBoolean("spark.speculation", false)
+      println(s"[speculation] armed=$armed" +
+        s" multiplier=${spark.sparkContext.getConf.get("spark.speculation.multiplier", "unset")}" +
+        s" quantile=${spark.sparkContext.getConf.get("spark.speculation.quantile", "unset")}" +
+        s" speculative_started=${specStarted.get} speculative_won=${specWon.get}" +
+        (if (!armed) " — VACUOUS: spark.speculation did not reach the scheduler" else
+          " (zero placed is expected on one host: dequeueSpeculativeTask's" +
+            " !hasAttemptOnHost guard — see ProbeSpeculation)"))
+    }
     spark.stop()
   }
 }
