@@ -145,6 +145,33 @@ object Bench {
     } catch {
       case e: Throwable => println(s"[bench] streaming warm-up failed: ${e.getMessage}")
     }
+    // Host-speed calibration (r13): a fixed, corpus-independent CPU+shuffle
+    // probe — 100M xxhash64'd longs through a 1024-group hash aggregate and
+    // a final sort, noop-written — timed once after warm-up and reported as
+    // "calib" in the JSON. The total stays RAW; the calibration field
+    // prices the VM class so cross-round totals become comparable
+    // (BASELINE.md r12→r13: same-code totals swung 140→236 s across round
+    // hosts and 194.9→235.5 s run-to-run on one host — without a recorded
+    // host-speed datum every cross-round delta is unattributable). Never
+    // fatal: a failed probe records -1 and the bench proceeds.
+    val calibSec: Double =
+      try {
+        val t0 = System.nanoTime()
+        spark.range(0L, 100000000L, 1L, 32)
+          .selectExpr("xxhash64(id) AS h")
+          .selectExpr("pmod(h, 1024) AS g", "h")
+          // bit_xor, not sum: 97k ~2^63-magnitude hashes per group overflow
+          // a long sum under ANSI; xor is overflow-free and still forces
+          // the full map-side combine + shuffle
+          .groupBy("g").agg(org.apache.spark.sql.functions.expr("bit_xor(h)").as("x"),
+            org.apache.spark.sql.functions.count("*").as("c"))
+          .orderBy("g")
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          println(s"[bench] calibration probe failed: ${e.getMessage}"); -1.0
+      }
     // A query that throws must not masquerade as a fast success: its timing
     // is recorded NEGATIVE (time-to-failure) and its name+message land in an
     // "errors" object, excluded from the total.
@@ -286,11 +313,11 @@ object Bench {
       if (!stSolo && results.exists(r => stCodes.contains(code(r._1))))
         ""","st_family":"st1 carries the concurrent family wall-clock; st2-st8 are cache fetches""""
       else ""
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errJson$rtJson$jsJson$famJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","calib":${fmt(calibSec)},"queries":$qs$errJson$rtJson$jsJson$famJson,"sf":"$sfDir"}"""
     // Last-resort guard: if the registry ever grows the line past the tail
     // window, drop per-query detail rather than emit an unparseable line.
     println(if (line.length <= 1800) line
-            else s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir"}""")
+            else s"""{"metric":"total","value":${fmt(total)},"unit":"sec","calib":${fmt(calibSec)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
