@@ -97,16 +97,22 @@ class CkptSpec extends AnyFunSuite {
         Option(d.listFiles()).map(_.count(_.getName.startsWith("rdd-"))).getOrElse(0)
       }
       import spark.implicits._
-      // 5 "rounds", each pinning and dropping its intermediate — the
-      // iterative-operator shape (BPE merges, CC hops, Lloyd passes)
-      var keep: org.apache.spark.sql.DataFrame = null
+      // 5 "rounds", each pinning an intermediate — the iterative-operator
+      // shape (BPE merges, CC hops, Lloyd passes). References are HELD for
+      // the whole loop: in a long test JVM a mid-loop GC lets the cleaner
+      // sweep dropped rounds before the loop even finishes (observed in
+      // the full-suite run — the conf working early), which would make a
+      // drop-as-you-go >=5 assertion racy. Holding all 5 pins proves the
+      // live-rounds bound deterministically; dropping them all proves the
+      // sweep.
+      val rounds = scala.collection.mutable.ListBuffer.empty[org.apache.spark.sql.DataFrame]
       (1 to 5).foreach { i =>
-        keep = spark.range(100L + i).map(_ + i).toDF("v").pin()
-        assert(keep.count() == 100L + i)
+        rounds += spark.range(100L + i).map(_ + i).toDF("v").pin()
+        assert(rounds.last.count() == 100L + i)
       }
       val pinned = rddDirs()
-      assert(pinned >= 5, s"expected >=5 snapshots while rounds are live, saw $pinned")
-      keep = null // last round dropped: every pin is now unreachable
+      assert(pinned >= 5, s"expected >=5 snapshots while all rounds are live, saw $pinned")
+      rounds.clear() // every pin is now unreachable
       val deadline = System.currentTimeMillis() + 30000
       var n = rddDirs()
       while (n > 1 && System.currentTimeMillis() < deadline) {
