@@ -590,10 +590,19 @@ object StreamingOps {
       pairSplitUs: Option[Long] = None,
       dupKeySplit: Option[Seq[Column]] = None): (String, Long) = {
     val inDir = new java.io.File(base, "in").getPath
-    // cache the slim projection: the range writes below are nFiles
-    // sequential jobs over it, and without the cache each one re-scans
-    // the source parquet (48 full scans at the probe-scaled batch count)
-    val events = graft.Tables(s, d, "events").select(cols.map(col): _*).cache()
+    // materialize the slim projection once: the range writes below are
+    // nFiles jobs over it, and without it each one re-scans the source
+    // parquet (48 full scans at the probe-scaled batch count). PIN, not
+    // cache(): Spark's CacheManager is shared across sessions and dedups
+    // by canonicalized plan, so two family members staging the SAME
+    // projection concurrently (st2/st3 both project user_id,ts) shared one
+    // cache entry — and the first member's finally-unpersist dropped the
+    // blocks while the other member's staging jobs were still reading them
+    // ("Block rdd_N_0 does not exist", surfaced by the full-suite family
+    // launch on a slow r13 host). pin()'s localCheckpoint blocks belong to
+    // this member's private RDD — plan-equality sharing is impossible.
+    import graft.Ckpt.PinOps
+    val events = graft.Tables(s, d, "events").select(cols.map(col): _*).pin()
     try {
       val Seq(lo, hi, n) = events
         .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))),
@@ -622,7 +631,17 @@ object StreamingOps {
       })
       restampInOrder(inDir)
       (inDir, n)
-    } finally events.unpersist()
+    } finally {
+      // free the PRIVATE pinned blocks now rather than at RDD GC — staging
+      // is complete and nothing re-reads the projection. Safe by
+      // construction: unlike the former shared cache entry, this RDD is
+      // reachable only from this method, so no concurrent reader exists.
+      events.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false)
+        case _ => () // reliableCkpt form: files, not blocks; cleaner-swept
+      }
+    }
   }
 
   /** Staging cuts that provably split joinable pairs across micro-batches.
