@@ -66,10 +66,14 @@ object Bench {
     * (best reading, the discarded first reading when any re-read improved
     * on it, jitter-suspect flag: best still >5x ref after the budget).
     * Negative readings are error sentinels (time-to-failure): never a
-    * minimum candidate, never suspect, never re-timed. `canRetime=false`
-    * (st2-st8 cache fetches) skips re-reads but still applies the suspect
-    * marker — an inflated fetch is host noise the record must not
-    * misrepresent as plan cost. */
+    * minimum candidate, never suspect, never re-timed — and a FAILED
+    * re-read stops the escalation immediately (a query that succeeded
+    * once and then fails on re-run signals a degrading host; burning the
+    * remaining read budget on it is waste, and the successful first
+    * reading stands — r13 review). `canRetime=false` (st2-st8 cache
+    * fetches) skips re-reads but still applies the suspect marker — an
+    * inflated fetch is host noise the record must not misrepresent as
+    * plan cost. */
   private[graft] def retimePolicy(first: Double, ref: Double, canRetime: Boolean,
                                   reread: () => Double): (Double, Option[Double], Boolean) = {
     var best = first
@@ -80,7 +84,7 @@ object Bench {
         val again = reread()
         reads += 1
         if (again >= 0 && again < best) best = again
-        continue = reads < 3 && best > math.max(1.5, 5.0 * ref)
+        continue = again >= 0 && reads < 3 && best > math.max(1.5, 5.0 * ref)
       }
     }
     val suspect = best >= 0 && best > math.max(1.5, 5.0 * ref)
@@ -122,27 +126,8 @@ object Bench {
     // 3 of 4 fresh-JVM runs. One tiny stateful AvailableNow query into a
     // noop sink loads the lot; its input is synthesized, so this cannot
     // mask an unreadable sfDir.
-    try {
-      import org.apache.spark.sql.functions.{col, window}
-      val dir = java.nio.file.Files.createTempDirectory("graft-bench-warm").toFile
-      val in = new java.io.File(dir, "in")
-      spark.range(100)
-        .selectExpr("id", "timestamp_micros(id * 1000000) AS ts")
-        .write.parquet(in.getPath)
-      spark.readStream.schema("id BIGINT, ts TIMESTAMP").parquet(in.getPath)
-        .withWatermark("ts", "1 minute")
-        .groupBy(window(col("ts"), "1 minute")).count()
-        .writeStream.format("noop")
-        .option("checkpointLocation", new java.io.File(dir, "ckpt").getPath)
-        .outputMode("update")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-        .awaitTermination()
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-      }
-      rm(dir)
-    } catch {
+    try graft.tools.StatefulProbe.run(spark)
+    catch {
       case e: Throwable => println(s"[bench] streaming warm-up failed: ${e.getMessage}")
     }
     // Host-speed calibration (r13): a fixed, corpus-independent CPU+shuffle
@@ -265,9 +250,21 @@ object Bench {
       // the 1.0 s missing-ref default stays UNSCALED: it is a floor for
       // queries with no history, not an sf0.1 reading to extrapolate
       val ref = RefSeconds.get(code(name)).map(_ * refScale).getOrElse(1.0)
+      // A re-read failure must not file the query under "errors": the
+      // artifact contract says errors are excluded from the total, but the
+      // SUCCESSFUL first reading is kept and counted — recording both
+      // makes the JSON self-contradictory (r13 review). The policy's
+      // negative sentinel already stops the escalation; the error text is
+      // dropped here because the first reading is the row of record.
+      val rereadClean = () => {
+        val before = errors
+        val v = timed(name, SparkEntry.queries(name))
+        if (v < 0) errors = before
+        v
+      }
       val (best, discardedFirst, suspect) = retimePolicy(sec, ref,
         canRetime = !stFetchRows.contains(code(name)),
-        reread = () => timed(name, SparkEntry.queries(name)))
+        reread = rereadClean)
       discardedFirst.foreach(f => retimed += code(name) -> f)
       if (suspect) suspects ::= code(name)
       name -> best

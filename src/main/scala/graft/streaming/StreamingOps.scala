@@ -636,10 +636,17 @@ object StreamingOps {
       // is complete and nothing re-reads the projection. Safe by
       // construction: unlike the former shared cache entry, this RDD is
       // reachable only from this method, so no concurrent reader exists.
+      // BOTH pin forms analyze to a LogicalRDD (Dataset.checkpoint builds
+      // its result the same way as localCheckpoint), so this also fires
+      // under graft.reliableCkpt — harmlessly: the reliable form's data
+      // lives in checkpoint FILES (cleaner-swept), not in these blocks.
       events.queryExecution.analyzed match {
         case lr: org.apache.spark.sql.execution.LogicalRDD =>
           lr.rdd.unpersist(blocking = false)
-        case _ => () // reliableCkpt form: files, not blocks; cleaner-swept
+        case other =>
+          // no known pin form reaches here; never fail staging over cleanup
+          System.err.println(
+            s"[graft.staging] pin cleanup skipped: unexpected ${other.getClass.getName}")
       }
     }
   }

@@ -76,7 +76,7 @@ final class ExecLossHarness(spark: SparkSession, sfDir: String, artifact: String
   }
 
   private def runWithKill(name: String, fn: (SparkSession, String) => DataFrame,
-                          fuseMs: Long): (Either[String, String], Boolean) = {
+                          fuseMs: Long): (Either[String, String], Boolean, Long) = {
     ready("kill run")
     val killer = new Killer(fuseMs, name)
     killer.start()
@@ -88,7 +88,7 @@ final class ExecLossHarness(spark: SparkSession, sfDir: String, artifact: String
     val doneAt = System.nanoTime()
     killer.cancel() // a finished query needs no post-job kill (r12 review)
     killer.join(fuseMs + 5000)
-    (res, killer.landedBefore(doneAt))
+    (res, killer.landedBefore(doneAt), killer.firedAtNanos)
   }
 
   /** No-kill baseline for a row, computed in this same session behind the
@@ -105,11 +105,18 @@ final class ExecLossHarness(spark: SparkSession, sfDir: String, artifact: String
 
   /** One (row, phase): up to two kill attempts against `baseline`,
     * shrinking the fuse after a missed kill; the single judging policy
-    * every tier shares (r12 review — previously hand-synced copies). */
+    * every tier shares (r12 review — previously hand-synced copies).
+    * `evidence` (r13 review) maps the kill's fire-time nanos to extra
+    * per-record fields on kill-landed outcomes — the st tier uses it to
+    * record whether the kill genuinely landed mid-micro-batch (a fuse at
+    * 40% of harness wall-clock can fire during input STAGING, and a tier
+    * whose kills never touched streaming state would be vacuous for the
+    * restore-from-checkpoint claim while still reading zero-WRONG). */
   def runPhase(name: String, phase: String,
                fn: (SparkSession, String) => DataFrame,
                baseline: String, fuse0: Long,
-               extra: Seq[(String, String)]): Unit = {
+               extra: Seq[(String, String)],
+               evidence: Long => Seq[(String, String)] = _ => Seq.empty): Unit = {
     var fuse = fuse0
     var attempt = 0
     var done = false
@@ -118,39 +125,40 @@ final class ExecLossHarness(spark: SparkSession, sfDir: String, artifact: String
     while (!done && attempt < 2) {
       attempt += 1
       runWithKill(name, fn, fuse) match {
-        case (Right(h), false) if h == baseline =>
+        case (Right(h), false, _) if h == baseline =>
           // finished (correctly) before the fuse fired: honest
           // non-evidence for the kill claim
           record(Seq("query" -> str(name), "phase" -> str(phase),
             "outcome" -> str("kill_missed"), "attempt" -> attempt.toString): _*)
           fuse = math.max(200L, fuse / 3) // shorter fuse, try once more
-        case (Right(_), false) =>
+        case (Right(_), false, _) =>
           // finished before the fuse AND hashed wrong: a genuine
           // wrong-result anomaly with NO fault injected — the one
           // thing that must never hide behind a kill_missed label
           sawWrong = true
           record(Seq("query" -> str(name), "phase" -> str(phase),
             "outcome" -> str("wrong_no_kill"), "attempt" -> attempt.toString): _*)
-        case (Left(err), false) =>
+        case (Left(err), false, _) =>
           // FAILED with no kill landed: a genuine anomaly, never to be
           // conflated with kill_missed — record the error and retry
           sawError = true
           record(Seq("query" -> str(name), "phase" -> str(phase),
             "outcome" -> str("error_no_kill"), "attempt" -> attempt.toString,
             "error" -> str(err)): _*)
-        case (Right(h), true) =>
+        case (Right(h), true, killedAt) =>
           record((Seq("query" -> str(name), "phase" -> str(phase),
             "outcome" -> str(if (h == baseline) "recovered_exact" else "WRONG"),
-            "attempt" -> attempt.toString) ++ extra): _*)
+            "attempt" -> attempt.toString) ++ extra ++ evidence(killedAt)): _*)
           done = true
-        case (Left(err), true) =>
+        case (Left(err), true, killedAt) =>
           // fail-fast half of the contract: the rerun (executors
           // recovered) must be exact from scratch
           ready("rerun")
           val rerun = resultHash(fn(spark, sfDir))
           record((Seq("query" -> str(name), "phase" -> str(phase),
             "outcome" -> str(if (rerun == baseline) "failfast_rerun_exact" else "WRONG"),
-            "attempt" -> attempt.toString, "error" -> str(err)) ++ extra): _*)
+            "attempt" -> attempt.toString, "error" -> str(err)) ++ extra ++
+            evidence(killedAt)): _*)
           done = true
       }
     }

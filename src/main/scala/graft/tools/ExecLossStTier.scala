@@ -38,26 +38,10 @@ object ExecLossStTier {
   private val RocksDb =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
-  /** Tiny stateful AvailableNow query (the Bench streaming warm-up shape,
-    * synthesized input) on `session` — used with a bogus provider to prove
-    * the conf path reaches the state-store layer. */
-  private def tinyStateful(session: SparkSession): Unit = {
-    import org.apache.spark.sql.functions.{col, window}
-    val dir = java.nio.file.Files.createTempDirectory("graft-stloss-probe").toFile
-    val in = new java.io.File(dir, "in")
-    session.range(100)
-      .selectExpr("id", "timestamp_micros(id * 1000000) AS ts")
-      .write.parquet(in.getPath)
-    session.readStream.schema("id BIGINT, ts TIMESTAMP").parquet(in.getPath)
-      .withWatermark("ts", "1 minute")
-      .groupBy(window(col("ts"), "1 minute")).count()
-      .writeStream.format("noop")
-      .option("checkpointLocation", new java.io.File(dir, "ckpt").getPath)
-      .outputMode("update")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-      .awaitTermination()
-  }
+  /** Tiny stateful AvailableNow query on `session` — used with a bogus
+    * provider to prove the conf path reaches the state-store layer. Body
+    * shared via StatefulProbe (r13 review: one implementation). */
+  private def tinyStateful(session: SparkSession): Unit = StatefulProbe.run(session)
 
   def main(args: Array[String]): Unit = {
     val artifact = args.headOption.getOrElse("CORRECTNESS_execloss_st_r13.json")
@@ -86,6 +70,40 @@ object ExecLossStTier {
     require(waitForExecutors(2), s"expected 2 executor JVMs, saw ${executorPids()}")
     val h = new ExecLossHarness(spark, sfDir, artifact)
 
+    // Mid-micro-batch evidence (r13 review): the fuse is sized from total
+    // harness wall-clock, which includes input STAGING — a kill landing
+    // there would exercise the staging pin path, not RocksDB state
+    // restore, and without a marker the artifact could read zero-WRONG
+    // while never touching streaming state. A StreamingQueryListener on
+    // this session records every batch-progress instant and each query's
+    // active interval; per kill-landed record the tier emits
+    // streaming_batches_before_kill (within the current row) and
+    // streaming_active_at_kill.
+    val progressNanos = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    val startedAt = new java.util.concurrent.ConcurrentHashMap[java.util.UUID, java.lang.Long]()
+    val endedAt = new java.util.concurrent.ConcurrentHashMap[java.util.UUID, java.lang.Long]()
+    spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit =
+        startedAt.put(e.runId, System.nanoTime())
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        progressNanos.add(System.nanoTime())
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+        endedAt.put(e.runId, System.nanoTime())
+    })
+    // row-scoped floor: batches recorded before the current row began are
+    // another row's micro-batches and must not count as its evidence
+    var rowStartNanos = 0L
+    def evidence(killedAt: Long): Seq[(String, String)] = {
+      import scala.jdk.CollectionConverters._
+      val batches = progressNanos.asScala.count(t => t >= rowStartNanos && t < killedAt)
+      val active = startedAt.asScala.exists { case (id, t0) =>
+        t0 < killedAt && Option(endedAt.get(id)).forall(_ > killedAt)
+      }
+      Seq("streaming_batches_before_kill" -> batches.toString,
+        "streaming_active_at_kill" -> active.toString)
+    }
+
     try {
       // Conf-liveness probe: a bogus provider must break a stateful query
       // by NAME. (The green rows below then genuinely ran on RocksDB.)
@@ -107,8 +125,9 @@ object ExecLossStTier {
 
       rows.foreach { case (name, fn) =>
         val (baseline, fuse) = h.baselineFuse(name, fn)
+        rowStartNanos = System.nanoTime()
         h.runPhase(name, "rocksdb_execloss", fn, baseline, fuse,
-          Seq("provider" -> h.str("rocksdb")))
+          Seq("provider" -> h.str("rocksdb")), evidence)
       }
     } finally h.close()
 

@@ -59,6 +59,8 @@ object ExecutorKill {
     def cancel(): Unit = t.interrupt()
     def killedPid: Long = pid
     def fired: Boolean = didFire
+    /** nanoTime at which the kill fired; only meaningful when `fired`. */
+    def firedAtNanos: Long = atNanos
     /** True iff the kill fired strictly before `doneNanos`. */
     def landedBefore(doneNanos: Long): Boolean =
       didFire && atNanos < doneNanos

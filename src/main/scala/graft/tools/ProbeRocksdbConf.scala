@@ -20,23 +20,8 @@ object ProbeRocksdbConf {
   private val Changelog =
     "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
 
-  private def tiny(session: SparkSession): Unit = {
-    import org.apache.spark.sql.functions.{col, window}
-    val dir = java.nio.file.Files.createTempDirectory("graft-rdbconf-probe").toFile
-    val in = new java.io.File(dir, "in")
-    session.range(100)
-      .selectExpr("id", "timestamp_micros(id * 1000000) AS ts")
-      .write.parquet(in.getPath)
-    session.readStream.schema("id BIGINT, ts TIMESTAMP").parquet(in.getPath)
-      .withWatermark("ts", "1 minute")
-      .groupBy(window(col("ts"), "1 minute")).count()
-      .writeStream.format("noop")
-      .option("checkpointLocation", new java.io.File(dir, "ckpt").getPath)
-      .outputMode("update")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-      .awaitTermination()
-  }
+  // probe body shared via StatefulProbe (r13 review: one implementation)
+  private def tiny(session: SparkSession): Unit = StatefulProbe.run(session)
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

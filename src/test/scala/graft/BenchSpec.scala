@@ -74,9 +74,18 @@ class BenchSpec extends AnyFunSuite {
     assert(best == -4.2 && discarded.isEmpty && !suspect && r.taken == 0)
   }
 
-  test("negative (error) re-read is never a minimum candidate") {
+  test("negative (error) re-read is never a minimum candidate and stops the escalation") {
+    // a query that succeeded once and then FAILS on re-run signals a
+    // degrading host: the first reading stands and the remaining read
+    // budget is not burned on it (r13 review)
     val r = new Reads(-0.1, -0.2, -0.3)
     val (best, discarded, suspect) = Bench.retimePolicy(9.0, 1.0, canRetime = true, r.next)
-    assert(best == 9.0 && discarded.isEmpty && suspect && r.taken == 3)
+    assert(best == 9.0 && discarded.isEmpty && suspect && r.taken == 1)
+  }
+
+  test("a failed re-read mid-escalation keeps the best reading found so far") {
+    val r = new Reads(7.0, -1.0, 0.4)
+    val (best, discarded, suspect) = Bench.retimePolicy(20.0, 1.0, canRetime = true, r.next)
+    assert(best == 7.0 && discarded.contains(20.0) && suspect && r.taken == 2)
   }
 }
