@@ -140,10 +140,20 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
     def wanted(name: String): Boolean =
       only.forall(_.exists(p => name.startsWith(p)))
+    // Supplementary per-query timing (r13 verdict item 8): the seconds each
+    // dump took, written as VERIFYTIME.json in outDir. A second,
+    // harness-independent per-query timing record immune to the bench
+    // line-budget — SUPPORTING evidence only (the dump action is
+    // coalesce(1)+parquet, not the bench's noop write, so absolute values
+    // differ from BENCH; same-corpus cross-round ratios are the use).
+    var dumpSecs = List.empty[(String, Double)]
     SparkEntry.queries.filter(kv => wanted(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        dumpSecs ::= name -> (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -162,6 +172,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // SIBLING path, deliberately outside outDir: the correctness checker
+    // enumerates outDir/* as query dumps (tools/check.py's rows-only
+    // sweep — and the driver's checker does the same), so a metadata file
+    // INSIDE outDir would be recorded as a failed rows-only query.
+    def fmt(v: Double) = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    Files.writeString(Paths.get(s"${outDir.stripSuffix("/")}_VERIFYTIME.json"),
+      dumpSecs.sortBy(_._1).map { case (k, v) => s"${q(k)}: ${fmt(v)}" }
+        .mkString("{", ",", "}"))
     if (chaos)
       println(s"[chaos] injected_failures=${chaosFailures.get} retried_ok=${chaosRetriedOk.get}" +
         (if (chaosFailures.get == 0) " — VACUOUS: no task was actually killed" else ""))

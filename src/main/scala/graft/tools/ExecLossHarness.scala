@@ -20,9 +20,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    appear.
   *  - `kill_missed`: query finished exactly before the fuse fired —
   *    honest non-evidence, retried once with a shorter fuse.
-  *  - `error_no_kill` / `wrong_no_kill` (+ `_twice` terminal summaries):
-  *    genuine anomalies with no fault injected, recorded with their
-  *    evidence, never conflated with kill_missed.
+  *  - `error_no_kill` / `wrong_no_kill` (+ terminal summaries — `_twice`
+  *    only when the anomaly actually repeated, `_terminal` with an
+  *    `occurrences` field when it happened once alongside a kill_missed;
+  *    r13 advisor): genuine anomalies with no fault injected, recorded
+  *    with their evidence, never conflated with kill_missed.
   */
 final class ExecLossHarness(spark: SparkSession, sfDir: String, artifact: String) {
 
@@ -106,24 +108,31 @@ final class ExecLossHarness(spark: SparkSession, sfDir: String, artifact: String
   /** One (row, phase): up to two kill attempts against `baseline`,
     * shrinking the fuse after a missed kill; the single judging policy
     * every tier shares (r12 review — previously hand-synced copies).
-    * `evidence` (r13 review) maps the kill's fire-time nanos to extra
-    * per-record fields on kill-landed outcomes — the st tier uses it to
-    * record whether the kill genuinely landed mid-micro-batch (a fuse at
-    * 40% of harness wall-clock can fire during input STAGING, and a tier
-    * whose kills never touched streaming state would be vacuous for the
-    * restore-from-checkpoint claim while still reading zero-WRONG). */
+    * `evidence` (r13 review, attempt-scoped r14) maps (attempt-start
+    * nanos, kill fire-time nanos) to extra per-record fields on
+    * kill-landed outcomes — the st tier uses it to record whether the
+    * kill genuinely landed mid-micro-batch (a fuse at 40% of harness
+    * wall-clock can fire during input STAGING, and a tier whose kills
+    * never touched streaming state would be vacuous for the
+    * restore-from-checkpoint claim while still reading zero-WRONG).
+    * The floor is the ATTEMPT start, not the row start: after a
+    * kill_missed retry, attempt 1's completed micro-batches must not
+    * count as attempt 2's evidence — a retry kill landing during input
+    * staging would otherwise still report batches > 0, contradicting
+    * its own streaming_active_at_kill=false (r13 advisor). */
   def runPhase(name: String, phase: String,
                fn: (SparkSession, String) => DataFrame,
                baseline: String, fuse0: Long,
                extra: Seq[(String, String)],
-               evidence: Long => Seq[(String, String)] = _ => Seq.empty): Unit = {
+               evidence: (Long, Long) => Seq[(String, String)] = (_, _) => Seq.empty): Unit = {
     var fuse = fuse0
     var attempt = 0
     var done = false
-    var sawError = false
-    var sawWrong = false
+    var errorN = 0
+    var wrongN = 0
     while (!done && attempt < 2) {
       attempt += 1
+      val attemptStart = System.nanoTime()
       runWithKill(name, fn, fuse) match {
         case (Right(h), false, _) if h == baseline =>
           // finished (correctly) before the fuse fired: honest
@@ -135,20 +144,21 @@ final class ExecLossHarness(spark: SparkSession, sfDir: String, artifact: String
           // finished before the fuse AND hashed wrong: a genuine
           // wrong-result anomaly with NO fault injected — the one
           // thing that must never hide behind a kill_missed label
-          sawWrong = true
+          wrongN += 1
           record(Seq("query" -> str(name), "phase" -> str(phase),
             "outcome" -> str("wrong_no_kill"), "attempt" -> attempt.toString): _*)
         case (Left(err), false, _) =>
           // FAILED with no kill landed: a genuine anomaly, never to be
           // conflated with kill_missed — record the error and retry
-          sawError = true
+          errorN += 1
           record(Seq("query" -> str(name), "phase" -> str(phase),
             "outcome" -> str("error_no_kill"), "attempt" -> attempt.toString,
             "error" -> str(err)): _*)
         case (Right(h), true, killedAt) =>
           record((Seq("query" -> str(name), "phase" -> str(phase),
             "outcome" -> str(if (h == baseline) "recovered_exact" else "WRONG"),
-            "attempt" -> attempt.toString) ++ extra ++ evidence(killedAt)): _*)
+            "attempt" -> attempt.toString) ++ extra ++
+            evidence(attemptStart, killedAt)): _*)
           done = true
         case (Left(err), true, killedAt) =>
           // fail-fast half of the contract: the rerun (executors
@@ -158,18 +168,28 @@ final class ExecLossHarness(spark: SparkSession, sfDir: String, artifact: String
           record((Seq("query" -> str(name), "phase" -> str(phase),
             "outcome" -> str(if (rerun == baseline) "failfast_rerun_exact" else "WRONG"),
             "attempt" -> attempt.toString, "error" -> str(err)) ++ extra ++
-            evidence(killedAt)): _*)
+            evidence(attemptStart, killedAt)): _*)
           done = true
       }
     }
-    // terminal summary must not file a real anomaly under a
-    // missed-kill label (r12 review)
-    if (!done)
-      record(Seq("query" -> str(name), "phase" -> str(phase),
-        "outcome" -> str(
-          if (sawWrong) "wrong_no_kill_twice"
-          else if (sawError) "error_no_kill_twice"
-          else "no_kill_landed_twice")): _*)
+    // Terminal summary must not file a real anomaly under a missed-kill
+    // label (r12 review) — and must not OVERSTATE it either (r13 advisor):
+    // `_twice` only when the anomaly repeated; a single anomaly alongside
+    // a kill_missed reads `_terminal` with its occurrence count.
+    if (!done) {
+      val label =
+        if (wrongN >= 2) "wrong_no_kill_twice"
+        else if (wrongN == 1) "wrong_no_kill_terminal"
+        else if (errorN >= 2) "error_no_kill_twice"
+        else if (errorN == 1) "error_no_kill_terminal"
+        else "no_kill_landed_twice"
+      val occ =
+        if (wrongN >= 1) Seq("occurrences" -> wrongN.toString)
+        else if (errorN >= 1) Seq("occurrences" -> errorN.toString)
+        else Seq.empty
+      record((Seq("query" -> str(name), "phase" -> str(phase),
+        "outcome" -> str(label)) ++ occ): _*)
+    }
   }
 }
 

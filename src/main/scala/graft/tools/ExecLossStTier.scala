@@ -91,12 +91,14 @@ object ExecLossStTier {
       override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
         endedAt.put(e.runId, System.nanoTime())
     })
-    // row-scoped floor: batches recorded before the current row began are
-    // another row's micro-batches and must not count as its evidence
-    var rowStartNanos = 0L
-    def evidence(killedAt: Long): Seq[(String, String)] = {
+    // attempt-scoped floor (r13 advisor): the harness passes each kill
+    // attempt's start nanos — batches recorded before THIS attempt began
+    // (another row's, or a prior kill_missed attempt's) must not count as
+    // its evidence, else a retry kill landing during input staging could
+    // report batches > 0 while streaming_active_at_kill reads false
+    def evidence(attemptStart: Long, killedAt: Long): Seq[(String, String)] = {
       import scala.jdk.CollectionConverters._
-      val batches = progressNanos.asScala.count(t => t >= rowStartNanos && t < killedAt)
+      val batches = progressNanos.asScala.count(t => t >= attemptStart && t < killedAt)
       val active = startedAt.asScala.exists { case (id, t0) =>
         t0 < killedAt && Option(endedAt.get(id)).forall(_ > killedAt)
       }
@@ -125,7 +127,6 @@ object ExecLossStTier {
 
       rows.foreach { case (name, fn) =>
         val (baseline, fuse) = h.baselineFuse(name, fn)
-        rowStartNanos = System.nanoTime()
         h.runPhase(name, "rocksdb_execloss", fn, baseline, fuse,
           Seq("provider" -> h.str("rocksdb")), evidence)
       }

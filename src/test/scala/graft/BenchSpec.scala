@@ -88,4 +88,76 @@ class BenchSpec extends AnyFunSuite {
     val (best, discarded, suspect) = Bench.retimePolicy(20.0, 1.0, canRetime = true, r.next)
     assert(best == 7.0 && discarded.contains(20.0) && suspect && r.taken == 2)
   }
+
+  // ---- renderLine: the bench-of-record JSON line (r13 verdict item 1) ----
+  // BENCH_r13.json lost its per-query map because the calib field's 13
+  // chars pushed the full line past a binary 1800 guard whose fallback
+  // dropped EVERYTHING per-query. These pins guarantee the r14 contract:
+  // at the REAL registry size with maximum realistic evidence the full
+  // line fits, and when it can't fit, evidence degrades in tiers with the
+  // queries map the last thing to go.
+
+  /** The real registry's short codes — the exact keys Bench will emit. */
+  private lazy val registryCodes: Seq[String] =
+    SparkEntry.queries.keys.toSeq.sorted.map(_.takeWhile(_ != '_'))
+
+  private def parseable(line: String): Boolean =
+    line.startsWith("{") && line.endsWith("}") && !line.contains("\n")
+
+  test("renderLine: full registry + calib + 10 retimed + 10 suspects + fam fits 1800 whole") {
+    // adversarial-but-realistic values: every query at a 3-char 1-decimal
+    // reading (9.9), retimed firsts at 2-digit magnitudes (the r13 spike
+    // shape), a full 10-deep suspect list, and the fam flag
+    val qs = registryCodes.map(_ -> 9.9)
+    val rt = registryCodes.take(10).map(_ -> 68.0)
+    val js = registryCodes.slice(10, 20).toList
+    val line = Bench.renderLine(213.71, 1.30, qs, Seq.empty, rt, js,
+      rereadErrors = 2, stFam = true, sfDir = "/root/testdata/sf0.1")
+    assert(line.length <= 1800, s"full-evidence line is ${line.length} chars")
+    assert(parseable(line))
+    assert(line.contains("\"queries\":{") && line.contains("\"calib\":1.30"))
+    assert(line.contains("\"retimed\":{") && line.contains("\"jitter_suspect\":["))
+    assert(line.contains("\"fam\":1") && line.contains("\"reread_errors_n\":2"))
+    assert(registryCodes.forall(c => line.contains("\"" + c + "\":")),
+      "every registry code must appear in the full-tier queries map")
+  }
+
+  test("renderLine: overflow degrades retimed/suspects to counts BEFORE dropping queries") {
+    // stress-shaped values (3-digit seconds) + oversized evidence: the
+    // full tier cannot fit, but the queries map must survive via tiering
+    val qs = registryCodes.map(_ -> 999.9)
+    val rt = registryCodes.take(30).map(_ -> 999.9)
+    val js = registryCodes.slice(30, 60).toList
+    val line = Bench.renderLine(9999.99, 2.50, qs, Seq.empty, rt, js,
+      rereadErrors = 0, stFam = true, sfDir = "/root/testdata/sf0.1")
+    assert(line.length <= 1800, s"degraded line is ${line.length} chars")
+    assert(parseable(line))
+    assert(line.contains("\"queries\":{"), "queries map must outlive the evidence maps")
+    assert(line.contains("\"retimed_n\":30") && line.contains("\"jitter_suspect_n\":30"))
+    assert(!line.contains("\"retimed\":{") && !line.contains("\"jitter_suspect\":["))
+  }
+
+  test("renderLine: queries drop only as the last resort, counts survive") {
+    val qs = registryCodes.map(_ -> 9.9)
+    val line = Bench.renderLine(100.0, 1.10, qs, Seq.empty,
+      Seq("q01" -> 9.0), List("q02"), rereadErrors = 1, stFam = false,
+      sfDir = "/root/testdata/sf0.1", budget = 200)
+    assert(line.length <= 200 || !line.contains("\"queries\":{"),
+      "under an impossible budget the last tier drops queries but stays minimal")
+    assert(parseable(line))
+    assert(line.contains("\"value\":100.00") && line.contains("\"calib\":1.10"))
+    assert(line.contains("\"retimed_n\":1") && line.contains("\"jitter_suspect_n\":1"))
+    assert(line.contains("\"reread_errors_n\":1"))
+  }
+
+  test("renderLine: errors map rides along; >10 errors degrade to errors_n") {
+    val qs = Seq("q01" -> 1.0, "q02" -> 2.0)
+    val few = Bench.renderLine(3.0, 1.2, qs, Seq("q02" -> "boom"),
+      Seq.empty, Nil, 0, stFam = false, sfDir = "sf")
+    assert(few.contains(""""errors":{"q02":"boom"}"""))
+    val many = (1 to 11).map(i => f"q$i%02d" -> "boom")
+    val capped = Bench.renderLine(3.0, 1.2, qs, many, Seq.empty, Nil, 0,
+      stFam = false, sfDir = "sf")
+    assert(capped.contains(""""errors_n":11""") && !capped.contains(""""errors":{"""))
+  }
 }

@@ -113,13 +113,25 @@ class CkptSpec extends AnyFunSuite {
       val pinned = rddDirs()
       assert(pinned >= 5, s"expected >=5 snapshots while all rounds are live, saw $pinned")
       rounds.clear() // every pin is now unreachable
+      // The cleaner acts on weak-ref enqueue, so a collection must actually
+      // happen. System.gc() alone is a no-op under -XX:+DisableExplicitGC
+      // (and advisory on collectors that ignore explicit requests), which
+      // would stall this loop 30 s and then fail on a healthy conf (r13
+      // advisor) — so each iteration ALSO allocates real garbage pressure
+      // (~32 MB) to provoke a collection the JVM cannot decline.
+      val explicitGcDisabled = java.lang.management.ManagementFactory
+        .getRuntimeMXBean.getInputArguments.contains("-XX:+DisableExplicitGC")
       val deadline = System.currentTimeMillis() + 30000
       var n = rddDirs()
+      var pressure = 0L // consumed below so the allocation cannot be DCE'd
       while (n > 1 && System.currentTimeMillis() < deadline) {
-        System.gc() // the cleaner acts on weak-ref enqueue — provoke it
+        val ballast = Array.fill(32)(new Array[Byte](1 << 20))
+        pressure += ballast.iterator.map(_.length.toLong).sum
+        if (!explicitGcDisabled) System.gc()
         Thread.sleep(500)
         n = rddDirs()
       }
+      assert(pressure >= 0)
       assert(n <= 1, s"checkpoint dir still holds $n snapshots after the sweep " +
         "(cleanCheckpoints conf not honored?)")
     }
