@@ -78,6 +78,14 @@ object Verify {
     }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Provenance for invariance tiers (r14): the JVM-defaults tier re-runs
+    // the registry under a hostile default locale + timezone (tr-TR /
+    // non-UTC) and needs in-artifact evidence the options actually reached
+    // the forked JVM — without this line a vacuous run (options silently
+    // dropped) would read as a passing tier.
+    println(s"[verify] jvm_defaults locale=${java.util.Locale.getDefault}" +
+      s" tz=${java.util.TimeZone.getDefault.getID}" +
+      s" session_tz=${spark.conf.get("spark.sql.session.timeZone")}")
     // Non-vacuity evidence for the chaos tier: count injected failures and
     // the successful second attempts, printed at the end — a chaos run
     // that recorded zero retried tasks proved nothing.

@@ -34,7 +34,7 @@ object Sinks {
   /** Extension → format: lowercase whole path, last '.'-segment
     * (reference src/lib.rs:80-81). */
   def fromPath(path: String): Format =
-    path.toLowerCase.split('.').lastOption match {
+    path.toLowerCase(java.util.Locale.ROOT).split('.').lastOption match {
       case Some("parquet") => Parquet
       case Some("csv")     => Csv
       // .jsonl is the conventional extension for exactly what the json

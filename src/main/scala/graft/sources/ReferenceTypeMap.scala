@@ -20,7 +20,7 @@ import org.apache.spark.sql.types._
 object ReferenceTypeMap {
 
   /** PostgreSQL declared type → Spark type (conversion.rs:10-27). */
-  def postgres(t: String): Option[DataType] = t.toUpperCase match {
+  def postgres(t: String): Option[DataType] = t.toUpperCase(java.util.Locale.ROOT) match {
     case "BOOL"      => Some(BooleanType)
     case "INT2"      => Some(ShortType)
     case "INT4"      => Some(IntegerType)
@@ -36,7 +36,7 @@ object ReferenceTypeMap {
   }
 
   /** MySQL column type → Spark type (conversion.rs:29-50). */
-  def mysql(t: String): Option[DataType] = t.toUpperCase match {
+  def mysql(t: String): Option[DataType] = t.toUpperCase(java.util.Locale.ROOT) match {
     case "INT24" | "LONG"                    => Some(IntegerType)
     case "FLOAT"                             => Some(DoubleType) // conversion.rs:36-38
     case "NEWDECIMAL"                        => Some(DoubleType) // lossy, conversion.rs:39
@@ -46,7 +46,7 @@ object ReferenceTypeMap {
   }
 
   /** SQLite declared type → Spark type (conversion.rs:52-67). */
-  def sqlite(t: String): Option[DataType] = t.toUpperCase match {
+  def sqlite(t: String): Option[DataType] = t.toUpperCase(java.util.Locale.ROOT) match {
     case "INTEGER" => Some(LongType)
     case "TEXT"    => Some(StringType)
     case "REAL"    => Some(DoubleType)

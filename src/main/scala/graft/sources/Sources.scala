@@ -47,7 +47,7 @@ object Source {
       graft.Tables.ensureNanosReadable(spark)
       val ext = "." + fileExt.getOrElse(format)
       val entries = Option(new File(dir).listFiles()).getOrElse(Array.empty[File])
-      val files = entries.filter(f => f.isFile && f.getName.toLowerCase.endsWith(ext))
+      val files = entries.filter(f => f.isFile && f.getName.toLowerCase(java.util.Locale.ROOT).endsWith(ext))
       // Directory tables: a subdirectory holding format files (possibly
       // under key=value partition dirs) registers under its own name, with
       // Spark's native partition discovery — at scale tables are
@@ -62,7 +62,7 @@ object Source {
       // another through createOrReplaceTempView — fail loudly instead.
       val fileNames = files.map(f => f.getName.dropRight(ext.length))
       val dirNames = dirTables.map { f =>
-        if (f.getName.toLowerCase.endsWith(ext)) f.getName.dropRight(ext.length) else f.getName
+        if (f.getName.toLowerCase(java.util.Locale.ROOT).endsWith(ext)) f.getName.dropRight(ext.length) else f.getName
       }
       val dups = (fileNames ++ dirNames).groupBy(identity).collect {
         case (n, occ) if occ.size > 1 => n
@@ -81,7 +81,7 @@ object Source {
           .createOrReplaceTempView(f.getName.dropRight(ext.length))
       }
       dirTables.sortBy(_.getName).foreach { f =>
-        val name = if (f.getName.toLowerCase.endsWith(ext))
+        val name = if (f.getName.toLowerCase(java.util.Locale.ROOT).endsWith(ext))
           f.getName.dropRight(ext.length) else f.getName
         graft.Tables.normalizeTimestamps(reader.format(format).load(f.getAbsolutePath))
           .createOrReplaceTempView(name)
@@ -90,7 +90,7 @@ object Source {
 
     private def containsData(f: File, ext: String, depth: Int): Boolean =
       depth <= 3 && Option(f.listFiles()).getOrElse(Array.empty[File]).exists { c =>
-        (c.isFile && c.getName.toLowerCase.endsWith(ext)) ||
+        (c.isFile && c.getName.toLowerCase(java.util.Locale.ROOT).endsWith(ext)) ||
           (c.isDirectory && containsData(c, ext, depth + 1))
       }
   }
@@ -172,7 +172,7 @@ object Source {
         val i = kv.indexOf('=')
         if (i < 0) kv -> "" else kv.substring(0, i) -> kv.substring(i + 1)
       }
-      val (part, keep) = params.partition(p => PartitionKeys.contains(p._1.toLowerCase))
+      val (part, keep) = params.partition(p => PartitionKeys.contains(p._1.toLowerCase(java.util.Locale.ROOT)))
       val keptQs = keep.map { case (k, v) => if (v.isEmpty) k else s"$k=$v" }.mkString("&")
       (if (keptQs.isEmpty) path else s"$path?$keptQs", part.toMap)
     }
@@ -180,7 +180,7 @@ object Source {
 
   /** Scheme = text before the first ':' (reference src/lib.rs:50-64). */
   def fromUrl(url: String): Source = {
-    val scheme = url.takeWhile(_ != ':').toLowerCase
+    val scheme = url.takeWhile(_ != ':').toLowerCase(java.util.Locale.ROOT)
     val rest = url.drop(scheme.length + 1) match {
       case r if r.startsWith("//") => r.drop(2)
       case r => r

@@ -39,7 +39,7 @@ object ProbeRocksdbConf {
       catch { case e: Throwable =>
         val texts = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
           .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
-        if (texts.toLowerCase.contains("changelog") || texts.contains(Changelog))
+        if (texts.toLowerCase(java.util.Locale.ROOT).contains("changelog") || texts.contains(Changelog))
           "conf_live: malformed value failed naming the conf"
         else s"failed WITHOUT naming the conf: ${texts.take(200)}"
       }

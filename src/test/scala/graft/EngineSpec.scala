@@ -118,6 +118,29 @@ class EngineSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](Sinks.fromPath("x.tsv"))
   }
 
+  test("extension/scheme/type dispatch is JVM-default-locale invariant (Turkish-i)") {
+    // On a heterogeneous fleet, executor/driver JVMs inherit host locales.
+    // Under tr-TR, locale-sensitive case mapping breaks any dispatch token
+    // containing i/I: "integer".toUpperCase == "İNTEGER" (dotted capital)
+    // and "FILE".toLowerCase == "fıle" (dotless i) — so the type map would
+    // return None (⇒ reference-parity unimplemented!) and scheme/extension
+    // dispatch would misroute. All dispatch sites case-fold with
+    // Locale.ROOT; this pins it under a live Turkish default locale.
+    val saved = java.util.Locale.getDefault
+    java.util.Locale.setDefault(java.util.Locale.forLanguageTag("tr-TR"))
+    try {
+      assert("i".toUpperCase != "I", "precondition: tr locale is active")
+      assert(ReferenceTypeMap.sqlite("integer").contains(LongType))
+      assert(ReferenceTypeMap.mysql("int24").contains(IntegerType))
+      assert(ReferenceTypeMap.postgres("time").contains(IntegerType))
+      assert(Sinks.fromPath("OUT.JSONL") == Sinks.Json)
+      assert(Sinks.fromPath("X.CSV") == Sinks.Csv)
+      // SQLITE contains an I: under tr the scheme would lowercase to
+      // "sqlıte" and dispatch would reject a valid URL
+      assert(Source.fromUrl("SQLITE:///tmp/x.db") == Source.fromUrl("sqlite:///tmp/x.db"))
+    } finally java.util.Locale.setDefault(saved)
+  }
+
   // --- type map (reference src/db/conversion.rs, SURVEY §1.3) ---
 
   test("reference type map matches conversion.rs") {
