@@ -89,6 +89,7 @@ object Bench {
       rereadErrors: Int,
       stFam: Boolean,
       sfDir: String,
+      calibEnd: Double = -1.0,
       budget: Int = 1800): String = {
     def fmt2(v: Double) = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
     def fmt1(v: Double) = BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
@@ -111,8 +112,15 @@ object Bench {
         .mkString(""","jitter_suspect":[""", ",", "]")
     val jsN = if (suspects.isEmpty) "" else s""","jitter_suspect_n":${suspects.size}"""
     val rre = if (rereadErrors > 0) s""","reread_errors_n":$rereadErrors""" else ""
+    // calib_end (r14): a second identical probe AFTER the last query. The
+    // start probe alone can misprice a run — this session's final pair read
+    // calib 2.17 vs 1.26 back-to-back while totals moved only 1.11x — and a
+    // start/end bracket distinguishes "host was slow throughout" from
+    // "host degraded (or recovered) mid-run", which per-query evidence
+    // alone cannot. Omitted when the end probe failed (-1).
+    val ce = if (calibEnd > 0) s""","calib_end":${fmt2(calibEnd)}""" else ""
     def line(q: String, rt: String, js: String, fam: String) =
-      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","calib":${fmt2(calib)}$q$errJson$rt$js$fam$rre,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","calib":${fmt2(calib)}$ce$q$errJson$rt$js$fam$rre,"sf":"$sfDir"}"""
     val famFlag = if (stFam) ""","fam":1""" else ""
     val tiers = Seq(
       line(qsJson, rtMap, jsArr, famFlag),
@@ -204,7 +212,7 @@ object Bench {
     // hosts and 194.9→235.5 s run-to-run on one host — without a recorded
     // host-speed datum every cross-round delta is unattributable). Never
     // fatal: a failed probe records -1 and the bench proceeds.
-    val calibSec: Double =
+    def calibProbe(): Double =
       try {
         val t0 = System.nanoTime()
         spark.range(0L, 100000000L, 1L, 32)
@@ -222,6 +230,7 @@ object Bench {
         case e: Throwable =>
           println(s"[bench] calibration probe failed: ${e.getMessage}"); -1.0
       }
+    val calibSec: Double = calibProbe()
     // Calib-scaled re-time references (r13 verdict item 7): RefSeconds are
     // fast-host sf0.1 floors, and on the r13 VM class the 2x triggers fired
     // broadly on honest readings — each trigger costs a full re-run, so a
@@ -371,7 +380,8 @@ object Bench {
       suspects = suspects,
       rereadErrors = rereadErrors,
       stFam = stFam,
-      sfDir = sfDir))
+      sfDir = sfDir,
+      calibEnd = calibProbe()))
     spark.stop()
   }
 }

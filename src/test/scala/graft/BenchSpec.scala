@@ -112,10 +112,12 @@ class BenchSpec extends AnyFunSuite {
     val rt = registryCodes.take(10).map(_ -> 68.0)
     val js = registryCodes.slice(10, 20).toList
     val line = Bench.renderLine(213.71, 1.30, qs, Seq.empty, rt, js,
-      rereadErrors = 2, stFam = true, sfDir = "/root/testdata/sf0.1")
+      rereadErrors = 2, stFam = true, sfDir = "/root/testdata/sf0.1",
+      calibEnd = 2.17)
     assert(line.length <= 1800, s"full-evidence line is ${line.length} chars")
     assert(parseable(line))
     assert(line.contains("\"queries\":{") && line.contains("\"calib\":1.30"))
+    assert(line.contains("\"calib_end\":2.17"))
     assert(line.contains("\"retimed\":{") && line.contains("\"jitter_suspect\":["))
     assert(line.contains("\"fam\":1") && line.contains("\"reread_errors_n\":2"))
     assert(registryCodes.forall(c => line.contains("\"" + c + "\":")),
