@@ -71,7 +71,12 @@ object Bench {
     *   2. drop the fam flag
     *   3. retimed map -> retimed_n count
     *   4. suspect list -> jitter_suspect_n count
-    *   5. last resort: counts only (no queries map)
+    *   5. drop the queries map (counts + error map survive)
+    *   6. last resort, provably minimal: errors map -> errors_n and the
+    *      calib_end / host_scale extras dropped — every remaining field
+    *      is a bounded count or fixed-width number, so this tier always
+    *      fits (r15 advisor fix: the old last tier still carried an
+    *      up-to-10-entry error map + calib_end and could overflow)
     * Query/retimed seconds are 1-decimal — run-to-run jitter on this host
     * class dwarfs 0.05 s (BASELINE.md), and the ~134 saved chars keep the
     * full tier affordable at the 134-query registry. `fam:1` encodes what
@@ -90,17 +95,19 @@ object Bench {
       stFam: Boolean,
       sfDir: String,
       calibEnd: Double = -1.0,
-      budget: Int = 1800): String = {
+      budget: Int = 1800,
+      hostScale: Double = -1.0): String = {
     def fmt2(v: Double) = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
     def fmt1(v: Double) = BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
     val qsJson = queries.map { case (k, v) => "\"" + k + "\":" + fmt1(v) }
       .mkString(""","queries":{""", ",", "}")
+    val errN = if (errors.isEmpty) "" else s""","errors_n":${errors.size}"""
     val errJson =
       if (errors.isEmpty) ""
       else if (errors.size <= 10)
         errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
           .mkString(""","errors":{""", ",", "}")
-      else s""","errors_n":${errors.size}"""
+      else errN
     val rtMap =
       if (retimed.isEmpty) ""
       else retimed.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + fmt1(v) }
@@ -119,15 +126,24 @@ object Bench {
     // "host degraded (or recovered) mid-run", which per-query evidence
     // alone cannot. Omitted when the end probe failed (-1).
     val ce = if (calibEnd > 0) s""","calib_end":${fmt2(calibEnd)}""" else ""
-    def line(q: String, rt: String, js: String, fam: String) =
-      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","calib":${fmt2(calib)}$ce$q$errJson$rt$js$fam$rre,"sf":"$sfDir"}"""
+    // host_scale (r15, verdict item 7): the re-time allowance factor the
+    // run actually applied (min(2.5, max(1.0, calib/1.10)); see main), so
+    // the trigger maths is readable from the artifact alone without
+    // recomputing calib/1.10. Omitted when the probe failed (-1).
+    val hs = if (hostScale > 0) s""","host_scale":${fmt2(hostScale)}""" else ""
+    def line(q: String, err: String, rt: String, js: String, fam: String,
+             extras: String) =
+      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","calib":${fmt2(calib)}$extras$q$err$rt$js$fam$rre,"sf":"$sfDir"}"""
     val famFlag = if (stFam) ""","fam":1""" else ""
     val tiers = Seq(
-      line(qsJson, rtMap, jsArr, famFlag),
-      line(qsJson, rtMap, jsArr, ""),
-      line(qsJson, rtN, jsArr, ""),
-      line(qsJson, rtN, jsN, ""),
-      line("", rtN, jsN, ""))
+      line(qsJson, errJson, rtMap, jsArr, famFlag, ce + hs),
+      line(qsJson, errJson, rtMap, jsArr, "", ce + hs),
+      line(qsJson, errJson, rtN, jsArr, "", ce + hs),
+      line(qsJson, errJson, rtN, jsN, "", ce + hs),
+      line("", errJson, rtN, jsN, "", ce + hs),
+      // provably-minimal floor: only bounded counts and fixed-width
+      // numbers remain — the one tier that can never itself overflow
+      line("", errN, rtN, jsN, "", ""))
     tiers.find(_.length <= budget).getOrElse(tiers.last)
   }
 
@@ -381,7 +397,10 @@ object Bench {
       rereadErrors = rereadErrors,
       stFam = stFam,
       sfDir = sfDir,
-      calibEnd = calibProbe()))
+      calibEnd = calibProbe(),
+      // emit the APPLIED allowance only — a failed start probe means the
+      // references ran unscaled, and the line already shows calib:-1
+      hostScale = if (calibSec > 0) hostScale else -1.0))
     spark.stop()
   }
 }

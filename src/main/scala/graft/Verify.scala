@@ -149,7 +149,9 @@ object Verify {
     def wanted(name: String): Boolean =
       only.forall(_.exists(p => name.startsWith(p)))
     // Supplementary per-query timing (r13 verdict item 8): the seconds each
-    // dump took, written as VERIFYTIME.json in outDir. A second,
+    // dump took, written as <outDir>_VERIFYTIME.json BESIDE outDir (see
+    // the sibling-path note at the write site below — a file inside
+    // outDir would be swept up as a failed rows-only query). A second,
     // harness-independent per-query timing record immune to the bench
     // line-budget — SUPPORTING evidence only (the dump action is
     // coalesce(1)+parquet, not the bench's noop write, so absolute values

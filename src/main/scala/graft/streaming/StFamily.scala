@@ -125,7 +125,8 @@ object StFamily {
         val r = Try(fn(s.newSession(), d))
         // per-member completion offset from family launch: the family's
         // wall-clock is max(member), so this names the critical-path member
-        println(f"[stfamily] $code done at +${(System.nanoTime() - t0) / 1e9}%.2f s")
+        println("[stfamily] %s done at +%.2f s".formatLocal(java.util.Locale.ROOT,
+          code, (System.nanoTime() - t0) / 1e9))
         r
       }
     }

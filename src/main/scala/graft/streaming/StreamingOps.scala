@@ -627,7 +627,7 @@ object StreamingOps {
         case ((cutLo, cutHi), i) => () =>
           // zero-padded names keep path order = time order for any nFiles
           events.filter(us >= cutLo && us < cutHi)
-            .coalesce(1).write.parquet(f"$inDir/c$i%02d.parquet")
+            .coalesce(1).write.parquet(s"$inDir/" + "c%02d.parquet".formatLocal(java.util.Locale.ROOT, i))
       })
       restampInOrder(inDir)
       (inDir, n)
@@ -1018,7 +1018,7 @@ object StreamingOps {
     val docs = graft.Tables(s, d, "documents").select("doc_id", "text")
     stageConcurrently((0 until 3).map { i => () =>
       docs.filter(col("doc_id") % 3 === i)
-        .coalesce(1).write.parquet(f"$inDir/c$i%02d.parquet")
+        .coalesce(1).write.parquet(s"$inDir/" + "c%02d.parquet".formatLocal(java.util.Locale.ROOT, i))
     })
     restampInOrder(inDir)
     val schema = s.read.parquet(s"$inDir/c00.parquet").schema

@@ -35,7 +35,8 @@ object CountRows {
         val t0 = System.nanoTime()
         try {
           val c = fn(spark, sfDir).count()
-          println(f"[countrows] $name,$c,${(System.nanoTime() - t0) / 1e9}%.2f")
+          println("[countrows] %s,%d,%.2f".formatLocal(java.util.Locale.ROOT,
+            name, c, (System.nanoTime() - t0) / 1e9))
         } catch {
           case e: Throwable =>
             // sanitize: exception messages routinely carry commas/newlines,

@@ -23,7 +23,7 @@ object ProbeLate {
     def mk(rows: Seq[(Long, Long)], i: Int): Unit =
       rows.toDF("user_id", "us")
         .select(col("user_id"), timestamp_micros(col("us")).as("ts"))
-        .coalesce(1).write.parquet(f"$base/c$i%02d.parquet")
+        .coalesce(1).write.parquet(s"$base/" + "c%02d.parquet".formatLocal(java.util.Locale.ROOT, i))
     mk(Seq((1L, t0), (1L, t0 + 10 * mn)), 0)
     mk(Seq((1L, t0 + 5 * mn), (2L, t0 + 400 * mn)), 1)
     mk(Seq((2L, t0 + 500 * mn)), 2)

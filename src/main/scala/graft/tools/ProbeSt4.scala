@@ -26,7 +26,7 @@ object ProbeSt4 {
     val t0 = System.nanoTime()
     graft.streaming.StreamingOps.intervalPairsFromStream(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
-    println(f"TOTAL ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    println("TOTAL %.2f s".formatLocal(java.util.Locale.ROOT, (System.nanoTime() - t0) / 1e9))
     spark.stop()
   }
 }

@@ -41,7 +41,7 @@ object TimeQuery {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[timeq] warm-up failed (timings may be cold): $e")
     }
-    args.foreach(n => println(f"TIMEQ $n ${run(n)}%.2f s"))
+    args.foreach(n => println("TIMEQ %s %.2f s".formatLocal(java.util.Locale.ROOT, n, run(n))))
     spark.stop()
   }
 }

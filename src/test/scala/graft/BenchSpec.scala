@@ -113,11 +113,13 @@ class BenchSpec extends AnyFunSuite {
     val js = registryCodes.slice(10, 20).toList
     val line = Bench.renderLine(213.71, 1.30, qs, Seq.empty, rt, js,
       rereadErrors = 2, stFam = true, sfDir = "/root/testdata/sf0.1",
-      calibEnd = 2.17)
+      calibEnd = 2.17, hostScale = 1.18)
     assert(line.length <= 1800, s"full-evidence line is ${line.length} chars")
     assert(parseable(line))
     assert(line.contains("\"queries\":{") && line.contains("\"calib\":1.30"))
     assert(line.contains("\"calib_end\":2.17"))
+    assert(line.contains("\"host_scale\":1.18"),
+      "the applied re-time allowance must be readable from the artifact")
     assert(line.contains("\"retimed\":{") && line.contains("\"jitter_suspect\":["))
     assert(line.contains("\"fam\":1") && line.contains("\"reread_errors_n\":2"))
     assert(registryCodes.forall(c => line.contains("\"" + c + "\":")),
@@ -140,14 +142,24 @@ class BenchSpec extends AnyFunSuite {
   }
 
   test("renderLine: queries drop only as the last resort, counts survive") {
+    // r15 advisor fix: the bound is now UNCONDITIONAL — the final tier
+    // carries only bounded counts and fixed-width numbers (errors map
+    // degraded to errors_n, calib_end/host_scale dropped), so it provably
+    // fits; the old last tier could still overflow on a 10-entry error map
     val qs = registryCodes.map(_ -> 9.9)
-    val line = Bench.renderLine(100.0, 1.10, qs, Seq.empty,
+    val line = Bench.renderLine(100.0, 1.10, qs, (1 to 10).map(i => f"q$i%02d" -> ("x" * 40)),
       Seq("q01" -> 9.0), List("q02"), rereadErrors = 1, stFam = false,
-      sfDir = "/root/testdata/sf0.1", budget = 200)
-    assert(line.length <= 200 || !line.contains("\"queries\":{"),
-      "under an impossible budget the last tier drops queries but stays minimal")
+      sfDir = "/root/testdata/sf0.1", budget = 200, calibEnd = 0.94,
+      hostScale = 1.0)
+    assert(line.length <= 200,
+      s"the last tier must fit an impossible budget unconditionally (${line.length} chars)")
+    assert(!line.contains("\"queries\":{"))
     assert(parseable(line))
     assert(line.contains("\"value\":100.00") && line.contains("\"calib\":1.10"))
+    assert(line.contains("\"errors_n\":10") && !line.contains("\"errors\":{"),
+      "the minimal tier degrades the error map to its count")
+    assert(!line.contains("\"calib_end\":") && !line.contains("\"host_scale\":"),
+      "the minimal tier drops the calibration extras")
     assert(line.contains("\"retimed_n\":1") && line.contains("\"jitter_suspect_n\":1"))
     assert(line.contains("\"reread_errors_n\":1"))
   }

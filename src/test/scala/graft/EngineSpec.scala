@@ -126,6 +126,11 @@ class EngineSpec extends AnyFunSuite {
     // return None (⇒ reference-parity unimplemented!) and scheme/extension
     // dispatch would misroute. All dispatch sites case-fold with
     // Locale.ROOT; this pins it under a live Turkish default locale.
+    // NOTE: Locale.setDefault mutates PROCESS-GLOBAL state. Safe only
+    // because this build runs forked test suites sequentially (sbt's
+    // testForkedParallel defaults to false, and this repo does not set
+    // it); enabling parallel forked execution would let the tr-TR window
+    // poison concurrently running suites (r14 advisor).
     val saved = java.util.Locale.getDefault
     java.util.Locale.setDefault(java.util.Locale.forLanguageTag("tr-TR"))
     try {
@@ -138,6 +143,30 @@ class EngineSpec extends AnyFunSuite {
       // SQLITE contains an I: under tr the scheme would lowercase to
       // "sqlıte" and dispatch would reject a valid URL
       assert(Source.fromUrl("SQLITE:///tmp/x.db") == Source.fromUrl("sqlite:///tmp/x.db"))
+    } finally java.util.Locale.setDefault(saved)
+  }
+
+  test("numeric formatting is JVM-default-locale invariant (Arabic-Indic digits)") {
+    // The r15 sweep companion to the Turkish-i pin above: scala's f""
+    // interpolator and String.format localize %d/%f through the default
+    // locale, and CLDR ar locales substitute Arabic-Indic digits (de-DE
+    // substitutes a comma decimal separator). Streaming-ingest chunk
+    // files are named with zero-padded indices so path order = time
+    // order — a fleet JVM defaulting to ar-SA would have named them
+    // with non-ASCII digits, breaking name order and every downstream
+    // diag parse (CountRows CSV, TIMEQ lines). All %d/%f format sites
+    // in src/main now use formatLocal(Locale.ROOT); %x sites need no
+    // pin (the Formatter localization algorithm applies only to decimal
+    // conversions). Same process-global-mutation caveat as the Turkish
+    // test: safe only under sequential forked suites.
+    val saved = java.util.Locale.getDefault
+    java.util.Locale.setDefault(java.util.Locale.forLanguageTag("ar-SA"))
+    try {
+      assert("%02d".format(7) != "07", "precondition: ar digit substitution is active")
+      assert("c%02d.parquet".formatLocal(java.util.Locale.ROOT, 7) == "c07.parquet",
+        "chunk-file naming must stay ASCII under any default locale")
+      assert("%.2f s".formatLocal(java.util.Locale.ROOT, 1.5) == "1.50 s",
+        "diag seconds must keep the ASCII dot under any default locale")
     } finally java.util.Locale.setDefault(saved)
   }
 
