@@ -612,52 +612,73 @@ object Dedup {
       .select(col("node"), least(col("node"), col("nl")).as("label"))
       .pin()
     var changed = 1L
-    var rounds = 0
-    while (changed > 0 && rounds < propagationRounds) {
-      // TWO propagation hops per driver-synchronized round — q42's succ²
-      // batching applied to labels. The per-round cost at any SF is job
-      // launch + checkpoint materialization (driver-synchronized), not
-      // data volume, so batching hops halves the round count for
-      // diameter-bound graphs. NOT done by squaring the edge set: sym² of
-      // a hub of degree d is d² leaf-pair edges — quadratic blowup on
-      // exactly the star shapes LSH produces — while chaining the hop
-      // keeps shuffle mass at |E| per hop. The intermediate hop is
-      // neither checkpointed nor counted; its lineage is two joins deep,
-      // bounded, and severed at the double-round checkpoint.
-      val hop1 = sym
-        .join(labels.select(col("node").as("v"), col("label")), "v")
-        .groupBy(col("u").as("node")).agg(min("label").as("nl"))
-        // inner join: sym's u-set IS labels' node set (both derive from
-        // sym's endpoints), so no node is lost
-        .join(labels, "node")
-        .select(col("node"), least(col("label"), col("nl")).as("label"),
-          col("label").as("old"))
-      val neighborMin = sym
-        .join(hop1.select(col("node").as("v"), col("label")), "v")
-        .groupBy(col("u").as("node")).agg(min("label").as("nl"))
-      // carry the pre-double-round label through the materialization so
-      // the convergence check is a filter over the checkpoint, not another
-      // join. LAZY checkpoint: the plan is severed either way (analysis
-      // stays O(1) per round); the blocks materialize inside the count()
-      // below instead of as their own job — one fewer job launch per round
-      val next = hop1.join(neighborMin, Seq("node"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nl"), col("label"))).as("label"),
-          col("old"))
-        .pinLazy()
-      changed = next.filter(col("label") =!= col("old")).count()
-      // the count() above materialized EVERY partition of `next`, so the
-      // previous round's label blocks are dead — release them now instead
-      // of holding O(rounds) superseded label sets in executor storage
-      // until the ContextCleaner's driver-GC-timed sweep
+    var hops = 0 // propagation hops executed after the fused init hop
+    // GEOMETRIC hop batching (r15 optimization round): the per-round cost
+    // at any SF is job launch + checkpoint materialization
+    // (driver-synchronized), not data volume — the r14 form chained a
+    // fixed TWO hops per driver round (q42's succ² batching), which still
+    // needs ⌈d/2⌉ driver barriers on a diameter-d graph (the sf0.1
+    // near-dup graph converged in 14 hops = 7 barriers). Doubling the
+    // batch each round (2, 4, 8, then 8 thereafter) reaches a fixpoint at
+    // hop d within O(log d) barriers while over-shooting at most one
+    // batch (≤ 2× the necessary hop work, each hop |E| shuffle mass —
+    // the geometric-doubling bound). NOT done by squaring the edge set:
+    // sym² of a hub of degree k is k² leaf-pair edges — quadratic blowup
+    // on exactly the star shapes LSH produces — while chaining the hop
+    // keeps shuffle mass at |E| per hop. Every SECOND hop inside a batch
+    // is lazily pinned: each hop's plan references its predecessor twice
+    // (neighbor-min join + least), so an unpinned k-hop chain is a
+    // 2^k-copy Catalyst tree; the pin severs it (LogicalRDD) and the
+    // blocks materialize transitively inside the round's single count()
+    // job, never as their own jobs.
+    var batch = 2
+    while (changed > 0 && hops < propagationRounds) {
+      var cur = labels
+      // superseded intra-batch pins, released once the count() below has
+      // materialized the batch's final labels
+      var stale = List.empty[DataFrame]
+      for (i <- 1 to batch) {
+        val neighborMin = sym
+          .join(cur.select(col("node").as("v"), col("label")), "v")
+          .groupBy(col("u").as("node")).agg(min("label").as("nl"))
+        // left join + coalesce: a node all of whose neighbors carry larger
+        // labels than it gets no nl row only when sym has no edge for it,
+        // which cannot happen (labels' node set derives from sym's
+        // endpoints) — but left keeps the step total under any input
+        val stepped = cur
+          .join(neighborMin, Seq("node"), "left")
+          .select(col("node") +:
+            least(col("label"), coalesce(col("nl"), col("label"))).as("label") +:
+            (if (i == batch) Seq(col("label").as("old")) else Nil): _*)
+        cur =
+          if (i == batch || i % 2 == 0) {
+            // carry the pre-final-hop label ("old") through the last pin so
+            // the convergence check is a filter over the checkpoint, not
+            // another join: the final hop changing NOTHING means F(x) = x —
+            // the fixpoint — which detects convergence mid-batch instead of
+            // needing a whole extra all-quiet round
+            val pinned = stepped.pinLazy()
+            if (i != batch) stale ::= pinned
+            pinned
+          } else stepped
+      }
+      changed = cur.filter(col("label") =!= col("old")).count()
+      // the count() above materialized EVERY partition of the batch, so
+      // the previous labels and the intra-batch intermediates are dead —
+      // release them now instead of holding O(rounds) superseded label
+      // sets in executor storage until the ContextCleaner's
+      // driver-GC-timed sweep
       org.apache.spark.sql.GraftShim.unpersistCheckpoint(labels)
-      labels = next.select("node", "label")
-      rounds += 2
+      stale.foreach(org.apache.spark.sql.GraftShim.unpersistCheckpoint)
+      labels = cur.select("node", "label")
+      hops += batch
+      batch = math.min(8, batch * 2)
     }
     if (changed == 0) {
       // round-count visibility for the stress gate (VERDICT r08 #5): the
-      // init absorbs hop 1, then each driver round advances two hops
-      println(s"[graft.cc] converged after $rounds propagation hops (+1 fused in init)")
+      // init absorbs hop 1, then each driver round advances a doubling
+      // hop batch
+      println(s"[graft.cc] converged after $hops propagation hops (+1 fused in init)")
       labels
     }
     else {
