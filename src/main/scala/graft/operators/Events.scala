@@ -509,22 +509,28 @@ object Events {
     * inherent floor of two ranked passes over different orders), with
     * every other exchange carrying per-type or per-bin rows. */
   def madAnomaliesOf(ev: DataFrame): DataFrame = {
+    // All pins below are LAZY (r15 optimization round): every one is read
+    // by ≥2 downstream consumers, but the consumers run sequentially, so
+    // the blocks materialize once inside the FIRST consumer's job and the
+    // rest read them — identical reuse to the former eager pins, minus
+    // four driver-synchronized materialization jobs (each was a launch-
+    // latency floor at any SF; at fixture scale they were ~40% of ev18).
     // dense type index without a window: 1-row sorted-list agg, exploded
     val tix = ev.select("event_type").distinct()
       .agg(sort_array(collect_list("event_type")).as("ts"))
       .select(posexplode(col("ts"))).toDF("tix", "event_type")
-      .pin()
+      .pinLazy()
     val in1 = ev.join(broadcast(tix), "event_type")
       .select(col("tix"), col("event_id"), col("value").as("__v"))
-      .pin() // exclusiveSum + dev + output all read these blocks
-    val stats1 = in1.agg(min("__v").as("mn"), max("__v").as("mx")).pin()
+      .pinLazy() // exclusiveSum + dev + output all read these blocks
+    val stats1 = in1.agg(min("__v").as("mn"), max("__v").as("mx")).pinLazy()
     val counts = in1.groupBy("tix").agg(count(lit(1)).as("n"))
-    val starts = Prefix.triangularOffsets(counts, "tix", "n", "start").pin()
+    val starts = Prefix.triangularOffsets(counts, "tix", "n", "start").pinLazy()
     val med = groupMedianCore(in1, stats1, starts, "med")
     val dv = in1.join(broadcast(med), "tix")
       .withColumn("dev", abs(col("__v") - col("med")))
     val in2 = dv.select(col("tix"), col("event_id"), col("dev").as("__v"))
-      .pin()
+      .pinLazy()
     // dev ∈ [0, mx − mn] for every group — derived bounds, no second agg
     val stats2 = stats1.select(
       lit(0.0).as("mn"), (col("mx") - col("mn")).cast("double").as("mx"))

@@ -55,23 +55,29 @@ object Graph {
     val sym = edges.unionByName(edges.select(col("b").as("a"), col("a").as("b")))
       .filter(col("a") =!= col("b")).distinct()
       .pin()
-    val nodes = sym.select(col("a").as("node")).distinct().pin()
-    val n = nodes.count()
-    require(n > 0, "pageRank needs at least one edge")
-
     // Degree is static — fold it into the edge relation ONCE so each
     // iteration is a single join (ranks ⋈ weighted edges) + one aggregation
     // instead of two joins; over 10 iterations that drops 10 join stages
-    // from the run.
+    // from the run. The node relation IS deg's key set (every node of a
+    // pair graph has degree ≥ 1), so deg doubles as the node table — the
+    // former separate `sym.select(a).distinct()` shuffle + pin + count
+    // re-derived the same keys a second time (r15 optimization round).
     val deg = sym.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+      .pin()
+    val nodes = deg.select("node")
+    val n = deg.count()
+    require(n > 0, "pageRank needs at least one edge")
     val weightedEdges = sym.join(deg.withColumnRenamed("node", "a"), "a")
       .select(col("a"), col("b"), col("deg")).pin()
     // teleport (1−d)/n in fixed point: (100−pct)·10¹⁶ is exact (10¹⁸/100),
     // then one truncating division by n — mirrored verbatim in the oracle
     val teleport = (100L - dampingPct) * (FpScale / 100L) / n
 
+    // LAZY: the init has exactly one consumer (iteration 1's contribution
+    // join), so its blocks land inside the final action like every other
+    // iteration's — an eager pin here was one more driver-synchronized job
     var ranks = nodes.withColumn("s", lit(FpScale / n))
-      .pin()
+      .pinLazy()
     for (_ <- 1 to iterations) {
       val contribs = weightedEdges
         .join(ranks.withColumnRenamed("node", "a"), "a")

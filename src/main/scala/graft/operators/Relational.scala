@@ -786,16 +786,19 @@ object Relational {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("c").orderBy("t", "k")
     val gapUs = 2592000000000L
-    // Two chain-walk steps per recursion round: the same window pass also
-    // derives succ² (valid only when BOTH hops are within the gap), the
-    // anchor seeds positions 0 AND 1, and the recursive step walks succ² —
-    // halving the rounds (each round is a full Spark job; per-step latency,
-    // not data volume, is this operator's cost at any SF). Row-set
-    // equivalence: a streak is a path, so every node has a unique 2-step
-    // predecessor in its own parity class — evens are reached from the
-    // seed, odds from the seed's successor, each exactly once. The oracle
-    // keeps the single-step inline recursion, so the hash compare proves
-    // the batched walk emits the identical chain relation.
+    // FOUR chain-walk steps per recursion round (succ² through r14; succ⁴
+    // since the r15 optimization round): the same window pass derives
+    // succ¹..succ⁴ (succᵢ valid only when ALL i hops are within the gap),
+    // the anchor seeds positions 0–3, and the recursive step walks succ⁴ —
+    // quartering the rounds (each round is a full Spark job; per-step
+    // latency, not data volume, is this operator's cost at any SF).
+    // Row-set equivalence: a streak is a path, so every node has a unique
+    // 4-step predecessor in its own residue class mod 4 — positions 0–3
+    // are reached from the anchor, position p ≥ 4 from position p−4, each
+    // exactly once. The oracle keeps the single-step inline recursion, so
+    // the hash compare proves the batched walk emits the identical chain
+    // relation.
+    val within = (lo: Column, hi: Column) => hi - lo <= gapUs
     t(s, d, "orders")
       .select(
         col("o_orderkey").as("k"), col("o_custkey").as("c"),
@@ -804,28 +807,43 @@ object Relational {
       .withColumn("nt", lead("t", 1).over(w))
       .withColumn("nk2", lead("k", 2).over(w))
       .withColumn("nt2", lead("t", 2).over(w))
+      .withColumn("nk3", lead("k", 3).over(w))
+      .withColumn("nt3", lead("t", 3).over(w))
+      .withColumn("nk4", lead("k", 4).over(w))
+      .withColumn("nt4", lead("t", 4).over(w))
       .withColumn("pt", lag("t", 1).over(w))
       .select(col("k"), col("c"),
-        when(col("nt") - col("t") <= gapUs, col("nk")).as("succ"),
-        when(col("nt") - col("t") <= gapUs && col("nt2") - col("nt") <= gapUs,
+        when(within(col("t"), col("nt")), col("nk")).as("succ"),
+        when(within(col("t"), col("nt")) && within(col("nt"), col("nt2")),
           col("nk2")).as("succ2"),
+        when(within(col("t"), col("nt")) && within(col("nt"), col("nt2")) &&
+          within(col("nt2"), col("nt3")), col("nk3")).as("succ3"),
+        when(within(col("t"), col("nt")) && within(col("nt"), col("nt2")) &&
+          within(col("nt2"), col("nt3")) && within(col("nt3"), col("nt4")),
+          col("nk4")).as("succ4"),
         (col("pt").isNull || col("t") - col("pt") > gapUs).as("is_seed"))
       .pin()
       .createOrReplaceTempView("q42_edges")
-    // non-recursive two-position anchor (a view — evaluated once per run)
+    // non-recursive four-position anchor (a view — evaluated once per run)
     s.sql(
       """SELECT c, k AS seed, k FROM q42_edges WHERE is_seed
         |UNION ALL
         |SELECT c, k AS seed, succ AS k FROM q42_edges
-        |WHERE is_seed AND succ IS NOT NULL""".stripMargin)
+        |WHERE is_seed AND succ IS NOT NULL
+        |UNION ALL
+        |SELECT c, k AS seed, succ2 AS k FROM q42_edges
+        |WHERE is_seed AND succ2 IS NOT NULL
+        |UNION ALL
+        |SELECT c, k AS seed, succ3 AS k FROM q42_edges
+        |WHERE is_seed AND succ3 IS NOT NULL""".stripMargin)
       .createOrReplaceTempView("q42_anchor")
     s.sql(
       """WITH RECURSIVE chain AS (
         |  SELECT c, seed, k FROM q42_anchor
         |  UNION ALL
-        |  SELECT e.c, ch.seed, e.succ2 AS k
+        |  SELECT e.c, ch.seed, e.succ4 AS k
         |  FROM chain ch JOIN q42_edges e ON e.k = ch.k
-        |  WHERE e.succ2 IS NOT NULL
+        |  WHERE e.succ4 IS NOT NULL
         |)
         |SELECT c AS o_custkey, seed, count(*) AS streak_len
         |FROM chain GROUP BY c, seed
