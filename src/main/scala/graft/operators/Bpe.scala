@@ -327,9 +327,9 @@ object Bpe {
         concat(
           array_join(filter(split(col("w"), ""), c => length(c) > 0), " "),
           lit(" " + EndOfWord)).as("sym"))
-      .pin()
+      .pinLazy()
     // the ONE full corpus-wide pair count; delta-maintained afterwards
-    var pairCounts = pairCountsOf(cur).pin()
+    var pairCounts = pairCountsOf(cur).pinLazy()
 
     val merges = Seq.newBuilder[(Long, String, String, String, Long)]
     var rank = 1L

@@ -72,7 +72,7 @@ object Dedup {
     // call); checkpoint blocks are GC-reclaimed once the query's plan is
     // dropped. Materializing once serves the three consumers (self-join a/b
     // + sizes) without re-deriving the scan+split+explode per branch.
-    val toks = tokens(docs).pin()
+    val toks = tokens(docs).pinLazy()
     val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // pair-join input: df-capped when requested; sizes above stay exact
     val joinToks =
@@ -125,13 +125,13 @@ object Dedup {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-      .pin() // feeds df-counts, n, and both sides of the pair join
+      .pinLazy() // feeds df-counts, n, and both sides of the pair join
     val n = tf.select("doc_id").distinct().count()
     val dfq = tf.groupBy("w").agg(count(lit(1)).as("df"))
     val wt = tf.join(dfq, "w")
       .select(col("doc_id"), col("w"),
         (col("tf") * log(lit(n.toDouble) / col("df"))).as("wt"))
-      .pin() // consumed by norms and twice by the pair join
+      .pinLazy() // consumed by norms and twice by the pair join
     val nrm = wt.groupBy("doc_id")
       .agg(sqrt(sum((col("wt") * col("wt")).cast("decimal(28,10)")).cast("double")).as("nrm"))
     // pair-join input: df-capped when requested; norms above stay exact
@@ -235,7 +235,7 @@ object Dedup {
     // leak). An eager localCheckpoint materializes it once — one row of 17
     // longs per doc — and its blocks are GC-reclaimed with the plan, so no
     // per-query cache accumulates.
-    val sigs = minhashSignatures(docs).pin()
+    val sigs = minhashSignatures(docs).pinLazy()
     val bands = bandKeys(sigs)
 
     val bucketSizes = bands.groupBy("band", "sig").agg(count(lit(1)).as("bsz"))
@@ -277,7 +277,7 @@ object Dedup {
     // Small pair list (bounded by the bucket cap + linear star pairs);
     // materialize so the verification join starts from stored pairs instead
     // of replaying the whole band/canon pipeline on both join branches.
-    val candidates = lshCandidates(docs).pin()
+    val candidates = lshCandidates(docs).pinLazy()
 
     verifiedJaccard(docs, candidates)
       .filter(col("jaccard") >= 0.85)
@@ -295,8 +295,8 @@ object Dedup {
     // four times (PlanAudit showed 4 `Scan parquet → Generate` copies) —
     // most of dd4's cost. Materialize once; blocks are GC-reclaimed after
     // the query, unlike a leaked `.cache()`.
-    val toks = tokens(docs).pin()
-    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n")).pin()
+    val toks = tokens(docs).pinLazy()
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n")).pinLazy()
     val ta = toks.select(col("doc_id").as("id_a"), col("w"))
     val tb = toks.select(col("doc_id").as("id_b"), col("w"))
     val inter = pairs.join(ta, "id_a").join(tb, Seq("id_b", "w"))
@@ -368,7 +368,7 @@ object Dedup {
     // materialized once (two longs per doc): the banded relation feeds four
     // branches (bucket sizes + the self-join's two sides); see jaccardPairs
     // for why localCheckpoint instead of cache
-    val sh = simhash(t(s, d, "documents")).pin()
+    val sh = simhash(t(s, d, "documents")).pinLazy()
     val allBanded = sh.select(
       col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(b =>
@@ -505,7 +505,7 @@ object Dedup {
     * closes it with a recursive CTE. Ground-truth union-find comparison
     * stays in DedupSpec. */
   def dupClusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = minhashLsh(s, d).select(col("id_a"), col("id_b")).pin()
+    val pairs = minhashLsh(s, d).select(col("id_a"), col("id_b")).pinLazy()
     val labels = connectedComponents(pairs)
     val docs = t(s, d, "documents").select(col("doc_id"))
     docs.join(labels.select(col("node").as("doc_id"), col("label")), Seq("doc_id"), "left")
@@ -573,7 +573,7 @@ object Dedup {
     val all = t(s, d, "documents")
     val m = math.max(1L, all.count() / 500)
     val docs = all.filter(col("doc_id") % m === 0).select("doc_id")
-    val pairs = jaccardPairs(s, d).select(col("id_a"), col("id_b")).pin()
+    val pairs = jaccardPairs(s, d).select(col("id_a"), col("id_b")).pinLazy()
     docs
       .join(connectedComponents(pairs).select(col("node").as("doc_id"), col("label")),
         Seq("doc_id"), "left")
@@ -599,7 +599,7 @@ object Dedup {
       .unionByName(edges.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .toDF("u", "v")
       .filter(col("u") =!= col("v"))
-      .pin()
+      .pinLazy()
     // Initial labels = least(u, min(N(u))): round 1 of min-label
     // propagation FUSED into the init — against identity labels the
     // per-round edge join is a no-op (label(v) = v), so starting from the
@@ -610,7 +610,7 @@ object Dedup {
     // components (the LSH canon groups) converge in the init itself.
     var labels = sym.groupBy(col("u").as("node")).agg(min("v").as("nl"))
       .select(col("node"), least(col("node"), col("nl")).as("label"))
-      .pin()
+      .pinLazy()
     var changed = 1L
     var hops = 0 // propagation hops executed after the fused init hop
     // GEOMETRIC hop batching (r15 optimization round): the per-round cost

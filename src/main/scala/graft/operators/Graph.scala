@@ -54,7 +54,7 @@ object Graph {
     val edges = pairs.toDF("a", "b")
     val sym = edges.unionByName(edges.select(col("b").as("a"), col("a").as("b")))
       .filter(col("a") =!= col("b")).distinct()
-      .pin()
+      .pinLazy()
     // Degree is static — fold it into the edge relation ONCE so each
     // iteration is a single join (ranks ⋈ weighted edges) + one aggregation
     // instead of two joins; over 10 iterations that drops 10 join stages
@@ -63,12 +63,12 @@ object Graph {
     // former separate `sym.select(a).distinct()` shuffle + pin + count
     // re-derived the same keys a second time (r15 optimization round).
     val deg = sym.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
-      .pin()
+      .pinLazy()
     val nodes = deg.select("node")
     val n = deg.count()
     require(n > 0, "pageRank needs at least one edge")
     val weightedEdges = sym.join(deg.withColumnRenamed("node", "a"), "a")
-      .select(col("a"), col("b"), col("deg")).pin()
+      .select(col("a"), col("b"), col("deg")).pinLazy()
     // teleport (1−d)/n in fixed point: (100−pct)·10¹⁶ is exact (10¹⁸/100),
     // then one truncating division by n — mirrored verbatim in the oracle
     val teleport = (100L - dampingPct) * (FpScale / 100L) / n
@@ -118,7 +118,7 @@ object Graph {
     * candidate join that produced the edges). The edge relation is
     * materialized once and reused by all three join branches. */
   def triangleCounts(pairs: DataFrame): DataFrame = {
-    val e = pairs.toDF("a", "b").pin()
+    val e = pairs.toDF("a", "b").pinLazy()
     val wedge = e.join(
       e.select(col("a").as("b"), col("b").as("c")), "b")
     val tri = wedge.join(

@@ -91,7 +91,7 @@ object Pipeline {
       .select(col("doc_id"), size(toks).cast("long").as("n_tokens"),
         round(quality, 4).as("quality"))
     // corpus-sized agg, consumed by tot + Prefix's three branches
-    val v = q.groupBy("quality").agg(sum("n_tokens").as("vt")).pin()
+    val v = q.groupBy("quality").agg(sum("n_tokens").as("vt")).pinLazy()
     val tot = v.agg(sum("vt").as("t"))
     // prefix order is quality DESC, so the bin key is (1 - quality): pid
     // then ascends with the prefix order as exclusiveSum requires
@@ -126,7 +126,7 @@ object Pipeline {
       .filter(col("text").isNotNull)
       .select(col("doc_id"), size(toks).cast("long").as("n_tokens"),
         round(quality, 4).as("quality"))
-      .pin() // consumed by the budget agg + Prefix's three branches
+      .pinLazy() // consumed by the budget agg + Prefix's three branches
     val budget = docs.agg(expr("sum(n_tokens) DIV 4").as("budget"))
     Prefix.exclusiveSum(
         docs,
@@ -356,7 +356,7 @@ object Pipeline {
     // stream per consumer. The train side stays lazy — it is consumed once
     // and at scale recomputing a narrow map beats storing it.
     val holdout = shingles.filter(col("split") === "holdout")
-      .select("sh").distinct().pin()
+      .select("sh").distinct().pinLazy()
     val nHoldout = holdout.count()
     val train = shingles.filter(col("split") === "train")
       .select(col("doc_id").as("train_id"), col("sh"))

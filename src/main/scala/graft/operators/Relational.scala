@@ -822,7 +822,7 @@ object Relational {
           within(col("nt2"), col("nt3")) && within(col("nt3"), col("nt4")),
           col("nk4")).as("succ4"),
         (col("pt").isNull || col("t") - col("pt") > gapUs).as("is_seed"))
-      .pin()
+      .pinLazy()
       .createOrReplaceTempView("q42_edges")
     // non-recursive four-position anchor (a view — evaluated once per run)
     s.sql(
@@ -947,7 +947,7 @@ object Relational {
     // for the localCheckpoint-over-cache rationale
     val v = t(s, d, "orders")
       .groupBy(col("o_totalprice").as("price")).agg(count(lit(1)).as("c"))
-      .pin()
+      .pinLazy()
     val tot = v.agg(sum("c").as("n"), min("price").as("mn"), max("price").as("mx"))
     Prefix.exclusiveSum(
         v.crossJoin(broadcast(tot)),

@@ -153,7 +153,7 @@ object Similarity {
       k: Int = 8, iters: Int = 3, nprobe: Int = 2): DataFrame = {
     val e = vectors(s, d)
       .select(col("vec_id"), col("embedding"))
-      .pin() // reused by every Lloyd pass + the final search
+      .pinLazy() // reused by every Lloyd pass + the final search
     def centLit(c: Array[Double]): Column = array(c.map(x => lit(x.toFloat)): _*)
     // argmin_c |x-c|^2 = argmin_c (|c|^2 - 2 x·c): one codegen'd dot per
     // centroid, ties broken by cell id through struct ordering
@@ -323,7 +323,7 @@ object Similarity {
       m: Int, ksub: Int, iters: Int, shortlist: Int): DataFrame = {
     val sub = Dim / m
     val e = corpus
-      .pin() // reused: training passes, encode, rescore
+      .pinLazy() // reused: training passes, encode, rescore
     def subvec(v: Column, j: Int): Column = slice(v, j * sub + 1, sub)
     def centLit(c: Array[Double]): Column = array(c.map(x => lit(x.toFloat)): _*)
     // argmin over the subspace's centroids, ties to the lower cell id
@@ -339,7 +339,7 @@ object Similarity {
     // needs a representative subset, not the corpus, and at 100 TB a
     // full-corpus Lloyd pass per iteration would dominate the build.
     val sampleMod = math.max(1L, e.count() / 4096)
-    val train = e.filter(col("vec_id") % sampleMod === 0).pin()
+    val train = e.filter(col("vec_id") % sampleMod === 0).pinLazy()
 
     // seeds: sub-vectors of the ksub lowest vec_ids, per subspace. ksub is
     // clamped to the vectors actually available — a tiny corpus (or a
