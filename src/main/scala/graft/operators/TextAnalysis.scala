@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.Ckpt.PinOps
 import graft.Tables
 
 /** Text-analysis operators over `documents` — token statistics, quality
@@ -160,6 +161,9 @@ object TextAnalysis {
     val tf = t(s, d, "documents")
       .select(col("doc_id"), explode(toks).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      // two consumers (df counts + the score join): materialize the token
+      // explode + aggregate once (lazy — r15 opt round)
+      .pinLazy()
     val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
     val scored = tf.join(df, "w")
       .withColumn("tfidf", round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6))
@@ -187,6 +191,9 @@ object TextAnalysis {
     val tf = t(s, d, "documents")
       .select(col("doc_id"), explode(toks).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      // three consumers (vocab → total, and the model join): materialize
+      // the token explode + aggregate once (lazy — r15 opt round)
+      .pinLazy()
     val vocab = tf.groupBy("w").agg(sum("tf").as("cnt"))
     val total = vocab.agg(sum("cnt").as("t"))
     tf.join(vocab, "w")
@@ -227,6 +234,10 @@ object TextAnalysis {
           element_at(col("a"), i + 2).as("v")))).as("b"))
       .select(col("doc_id"), col("b.u").as("u"), col("b.v").as("v"))
       .groupBy("doc_id", "u", "v").agg(count(lit(1)).as("tf"))
+      // three consumers (model counts via big→ctx, and the probe side of
+      // the model join) — materialize the bigram explode + aggregate once
+      // (lazy: blocks land inside the first consumer's job; r15 opt round)
+      .pinLazy()
     val big = tf.groupBy("u", "v").agg(sum("tf").as("cuv"))
     val ctx = big.groupBy("u").agg(sum("cuv").as("cu"))
     val vocab = t(s, d, "documents")
