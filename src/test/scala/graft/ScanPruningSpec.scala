@@ -58,9 +58,15 @@ class ScanPruningSpec extends AnyFunSuite {
     "dd1_exact_dedup", "dd2_fingerprint_dedup", "dd7_winnow_fingerprints",
     "dd9_edit_distance", "dd11_chunk_dedup", "dd13_quality_canonical",
     // text analysis: tokenize and score
+    // tx8/tx9 left this list in the r15 optimization round: their shared
+    // term-frequency aggregate is now lazily pinned, so the text scan
+    // lives under the severed LogicalRDD prefix (like the eager-
+    // construction rows) — the visible plan reads stored (doc, term)
+    // aggregates only. tx10 keeps a visible text scan via its unpinned
+    // vocabulary branch.
     "tx1_token_stats", "tx2_quality_score", "tx3_language_id",
     "tx4_top_bigrams", "tx5_regex_tokens", "tx7_charngram_langid",
-    "tx8_tfidf_topterms", "tx9_token_surprisal", "tx10_bigram_crossent",
+    "tx10_bigram_crossent",
     "hh1_heavy_hitters",
     // pipeline: quality/token-count/shingle stages
     "pp1_clean_corpus", "pp3_chunk_documents", "pp4_pack_sequences",
