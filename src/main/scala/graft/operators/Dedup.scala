@@ -584,83 +584,117 @@ object Dedup {
     * returns `(node, label)` with label = smallest node id reachable, for
     * every node appearing in at least one pair.
     *
-    * Fast path: min-label propagation — one edge join + min-aggregation per
-    * round, rounds needed = component diameter; near-dup graphs (LSH
-    * buckets + full-signature stars) converge in 2-4. A graph still moving
-    * after `propagationRounds` (e.g. a long chain) is handed — unchanged —
-    * to large-star/small-star (Kiveris et al., "Connected Components in
-    * MapReduce and Beyond"), which converges in O(log n) rounds on ANY
-    * graph: no diameter ceiling, no partial-result abort. Labels are
-    * localCheckpoint'ed every round — iterative self-referential lineage
-    * otherwise re-derives the whole history each action. */
+    * Fast path (r15 optimization round, rebuilt from the r14 form —
+    * results identical, pinned by DedupSpec's union-find comparisons and
+    * the dd8/dd12/dd13 oracles):
+    *
+    *  - The symmetric edge relation carries SELF-EDGES (u,u) for every
+    *    endpoint, so one propagation hop is just `join + min-agg`:
+    *    label'(u) = min(label(v) : v ∈ N(u) ∪ {u}) — the former per-hop
+    *    left-join + `least` fold (2 joins, 3 exchanges per hop) collapses
+    *    to 1 join + 1 partial-aggregated exchange (guide §2.4).
+    *  - The edge relation is REPARTITIONED BY THE JOIN KEY and sorted
+    *    before its one pin, so every hop's join reuses that partitioning
+    *    (LogicalRDD preserves outputPartitioning/ordering): the static
+    *    |E|-mass side never re-shuffles — only the small label table moves
+    *    per hop (guide §2.4 "two operations keyed the same way share one
+    *    exchange" / the bucketed-table pattern).
+    *  - Each hop except a batch's last runs a HASH-TO-MIN exchange over
+    *    its result (Rastogi et al., "Finding Connected Components in
+    *    Map-Reduce in Logarithmic Rounds"): every node additionally
+    *    PUSHES its new neighborhood min h(u) to its old pointer target
+    *    label(u), and PULLS its new target's min h(h(u)) (pointer
+    *    jumping / path compression). Label-region stars merge in one
+    *    step instead of crawling edge by edge, so convergence is
+    *    O(log d) steps on any graph — the sf0.1 near-dup graph that took
+    *    14 plain hops converges in 6 steps (2 + 4), and the 60-node
+    *    chain that used to need the star fallback converges inside
+    *    propagation (guide §1.2: fix the algorithm before the
+    *    constants). Sound because every candidate value is a component
+    *    member's id that is ≤ the receiving node's old label (the
+    *    self-edge hop emits every node, so the pointer self-joins are
+    *    total), so monotonicity and the fixpoint are unchanged.
+    *  - A batch's FINAL step is a plain hop that carries the pre-hop
+    *    label through the pin, so the convergence check stays a filter
+    *    over the checkpoint (fixpoint detected mid-batch, no extra
+    *    all-quiet round — the r14 "old"-carry trick, kept).
+    *
+    * Driver rounds stay GEOMETRICALLY batched (2, 4, 8, 8…): each round is
+    * one action whose job materializes the batch's chained steps
+    * transitively (every step lazily pinned — an unpinned hash-to-min
+    * step references its hop three times, so an unpinned chain is an
+    * exponential-copy Catalyst tree).
+    * A graph still moving after `propagationRounds` hops is handed to
+    * large-star/small-star (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond") — with the jump this fallback is near-
+    * unreachable (propagation itself is now O(log d)), but it stays as the
+    * loud-convergence backstop and is exercised directly by DedupSpec via
+    * `propagationRounds = 0`.
+    *
+    * Input contract: callers pass DISTINCT pairs (every registry caller
+    * emits groupBy/distinct output); duplicate pairs only inflate hop join
+    * mass — min-aggregation keeps results identical. */
   def connectedComponents(pairs: DataFrame, propagationRounds: Int = 20): DataFrame = {
     val edges = pairs.toDF("id_a", "id_b")
-    val sym = edges
-      .unionByName(edges.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      .toDF("u", "v")
-      .filter(col("u") =!= col("v"))
+    // symmetric edges + self-edges, partitioned+sorted by the hop join key
+    // ONCE before the single |E|-mass pin; self-edge duplicates (a node in
+    // k pairs contributes k self rows) are harmless under min()
+    val symPlus = edges.select(col("id_a").as("u"), col("id_b").as("v"))
+      .unionByName(edges.select(col("id_b").as("u"), col("id_a").as("v")))
+      .unionByName(edges.select(col("id_a").as("u"), col("id_a").as("v")))
+      .unionByName(edges.select(col("id_b").as("u"), col("id_b").as("v")))
+      .repartition(col("v"))
+      .sortWithinPartitions("v")
       .pinLazy()
-    // Initial labels = least(u, min(N(u))): round 1 of min-label
-    // propagation FUSED into the init — against identity labels the
-    // per-round edge join is a no-op (label(v) = v), so starting from the
-    // one-round-advanced state saves a full join+agg+join round AND
-    // replaces the node-distinct shuffle with the same-cost groupBy. The
-    // fixpoint is unchanged: labels start ≥ the component min and node-
-    // consistent, and propagation is monotone decreasing. Star-shaped
-    // components (the LSH canon groups) converge in the init itself.
-    var labels = sym.groupBy(col("u").as("node")).agg(min("v").as("nl"))
-      .select(col("node"), least(col("node"), col("nl")).as("label"))
+    // init = one hop over identity labels: min(v : v ∈ N(u) ∪ {u}) =
+    // least(u, min N(u)) — the self-edges fuse the former least() in
+    var labels = symPlus.groupBy(col("u").as("node")).agg(min("v").as("label"))
       .pinLazy()
     var changed = 1L
     var hops = 0 // propagation hops executed after the fused init hop
-    // GEOMETRIC hop batching (r15 optimization round): the per-round cost
-    // at any SF is job launch + checkpoint materialization
-    // (driver-synchronized), not data volume — the r14 form chained a
-    // fixed TWO hops per driver round (q42's succ² batching), which still
-    // needs ⌈d/2⌉ driver barriers on a diameter-d graph (the sf0.1
-    // near-dup graph converged in 14 hops = 7 barriers). Doubling the
-    // batch each round (2, 4, 8, then 8 thereafter) reaches a fixpoint at
-    // hop d within O(log d) barriers while over-shooting at most one
-    // batch (≤ 2× the necessary hop work, each hop |E| shuffle mass —
-    // the geometric-doubling bound). NOT done by squaring the edge set:
-    // sym² of a hub of degree k is k² leaf-pair edges — quadratic blowup
-    // on exactly the star shapes LSH produces — while chaining the hop
-    // keeps shuffle mass at |E| per hop. Every SECOND hop inside a batch
-    // is lazily pinned: each hop's plan references its predecessor twice
-    // (neighbor-min join + least), so an unpinned k-hop chain is a
-    // 2^k-copy Catalyst tree; the pin severs it (LogicalRDD) and the
-    // blocks materialize transitively inside the round's single count()
-    // job, never as their own jobs.
     var batch = 2
     while (changed > 0 && hops < propagationRounds) {
       var cur = labels
-      // superseded intra-batch pins, released once the count() below has
+      // superseded intra-batch pins, released once the count below has
       // materialized the batch's final labels
       var stale = List.empty[DataFrame]
       for (i <- 1 to batch) {
-        val neighborMin = sym
+        val hopped = symPlus
           .join(cur.select(col("node").as("v"), col("label")), "v")
-          .groupBy(col("u").as("node")).agg(min("label").as("nl"))
-        // left join + coalesce: a node all of whose neighbors carry larger
-        // labels than it gets no nl row only when sym has no edge for it,
-        // which cannot happen (labels' node set derives from sym's
-        // endpoints) — but left keeps the step total under any input
-        val stepped = cur
-          .join(neighborMin, Seq("node"), "left")
-          .select(col("node") +:
-            least(col("label"), coalesce(col("nl"), col("label"))).as("label") +:
-            (if (i == batch) Seq(col("label").as("old")) else Nil): _*)
+          .groupBy(col("u").as("node")).agg(min("label").as("label"))
         cur =
-          if (i == batch || i % 2 == 0) {
-            // carry the pre-final-hop label ("old") through the last pin so
-            // the convergence check is a filter over the checkpoint, not
-            // another join: the final hop changing NOTHING means F(x) = x —
-            // the fixpoint — which detects convergence mid-batch instead of
-            // needing a whole extra all-quiet round
-            val pinned = stepped.pinLazy()
-            if (i != batch) stale ::= pinned
-            pinned
-          } else stepped
+          if (i < batch) {
+            // hash-to-min exchange (Rastogi et al.) over the hop result:
+            // besides the neighborhood min h(u), every node PUSHES h(u)
+            // to its old pointer target label(u) — the mechanism that
+            // collapses two merged label-regions into one star in a
+            // round — and PULLS (jumps to) its NEW pointer target's own
+            // new min, h(h(u)) (path compression over the hop's output).
+            // All three candidate streams min-aggregate by
+            // node; each value is a component member's id and ≤ the
+            // node's old label, so monotonicity and the fixpoint are
+            // unchanged. `hopped` is referenced three times — its one
+            // exchange is deduped by ReuseExchange, so the hop's shuffle
+            // still runs once per step
+            val hj = hopped.select(col("node").as("hn"), col("label").as("hl"))
+            val push = cur.join(hj, col("node") === col("hn"))
+              .select(col("label").as("node"), col("hl").as("label"))
+            val pull = hopped.join(hj, col("label") === col("hn"))
+              .select(col("node"), col("hl").as("label"))
+            hopped.unionByName(push).unionByName(pull)
+              .groupBy("node").agg(min("label").as("label"))
+              .pinLazy()
+          } else {
+            // final step of the batch: a PLAIN hop that carries the
+            // pre-hop label ("old") through the pin, so the convergence
+            // check is a filter over the checkpoint — the final hop
+            // changing NOTHING means F(x) = x, detecting the fixpoint
+            // MID-batch instead of needing a whole extra all-quiet round
+            hopped
+              .join(cur.select(col("node"), col("label").as("old")), "node")
+              .pinLazy()
+          }
+        if (i != batch) stale ::= cur
       }
       changed = cur.filter(col("label") =!= col("old")).count()
       // the count() above materialized EVERY partition of the batch, so
@@ -677,15 +711,17 @@ object Dedup {
     if (changed == 0) {
       // round-count visibility for the stress gate (VERDICT r08 #5): the
       // init absorbs hop 1, then each driver round advances a doubling
-      // hop batch
-      println(s"[graft.cc] converged after $hops propagation hops (+1 fused in init)")
+      // batch of hash-to-min steps
+      println(s"[graft.cc] converged after $hops hash-to-min steps (+1 fused in init)")
       labels
     }
     else {
-      // handing off: the star phase reads only `sym`; the propagation
-      // labels are dead
+      // handing off: the star phase reads only the edge relation; the
+      // propagation labels are dead. Self-edges are filtered back out and
+      // the relation re-deduped (the star steps assume a clean symmetric
+      // edge set).
       org.apache.spark.sql.GraftShim.unpersistCheckpoint(labels)
-      largeSmallStar(sym)
+      largeSmallStar(symPlus.filter(col("u") =!= col("v")).distinct())
     }
   }
 
