@@ -3,7 +3,7 @@ package graft.operators
 import graft.Ckpt.PinOps
 import java.util.regex.{Matcher, Pattern}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -334,40 +334,80 @@ object Bpe {
     val merges = Seq.newBuilder[(Long, String, String, String, Long)]
     var rank = 1L
     var exhausted = false
+    // Superseded-pin release (bounded executor storage over long merge
+    // runs — the CC loop's housekeeping rule). Lazy pins materialize with
+    // a LAG: round k's collect materializes pairCounts(k−1) and — through
+    // its delta — cur(k−2); cur(k−1) only lands at round k+1's collect.
+    // A localCheckpoint's lineage is truncated, so a pin may only be
+    // released once every pin DERIVED from it holds blocks: keep the last
+    // 2 pair tables and the last 3 encodings, release older.
+    var oldPairs = List.empty[DataFrame]
+    var oldCurs = List.empty[DataFrame]
     while (rank <= numMerges && !exhausted) {
       val best = pairCounts
         .orderBy(col("cnt").desc, col("left"), col("right"))
         .limit(1)
         .collect()
+      oldPairs ::= pairCounts
+      oldCurs ::= cur
+      oldPairs.drop(2).foreach(org.apache.spark.sql.GraftShim.unpersistCheckpoint)
+      oldCurs.drop(3).foreach(org.apache.spark.sql.GraftShim.unpersistCheckpoint)
+      oldPairs = oldPairs.take(2)
+      oldCurs = oldCurs.take(3)
       if (best.isEmpty) exhausted = true
       else {
         val (l, r, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((rank, l, r, l + r, c))
         // left-to-right non-overlapping whole-symbol replacement ≡ greedy BPE
-        val pat = "(?<=^| )" + Pattern.quote(l + " " + r) + "(?= |$)"
+        val lr = l + " " + r
+        val pat = "(?<=^| )" + Pattern.quote(lr) + "(?= |$)"
         val repl = Matcher.quoteReplacement(l + r)
         // delta = post-merge pairs − pre-merge pairs of the words that
         // contain the winning pair; everything else is untouched, so the
-        // round's shuffle carries affected words only, never the corpus
-        val affected = cur.filter(col("sym").rlike(pat))
-        val delta = pairCountsOf(
-          affected.select((-col("freq")).as("freq"), col("sym")))
-          .union(pairCountsOf(
-            affected.select(col("freq"),
-              regexp_replace(col("sym"), pat, repl).as("sym"))))
+        // round's shuffle carries affected words only, never the corpus.
+        // contains() is an exact prefilter for the anchored regex (any
+        // regex match contains the raw "l r" substring), so the rlike
+        // runs only on candidate rows — a codegen'd memcmp scan instead
+        // of a regex scan over the whole word table (guide §1.2 per-task
+        // work).
+        val affected = cur.filter(col("sym").contains(lr) && col("sym").rlike(pat))
+        // ONE explode emits retractions (−freq over the old pairs) and
+        // additions (+freq over the new pairs) together, and its
+        // aggregation is FOLDED into the carried-table groupBy below —
+        // the former two pairCountsOf branches + their own aggregation
+        // cost 3 extra chained exchanges per round at any SF (r15 opt
+        // round; the per-round floor is stage latency, guide §1.2)
+        def pairStructs(a: Column, f: Column): Column =
+          when(size(a) >= 2, transform(
+            sequence(lit(0), size(a) - 2),
+            i => struct(
+              element_at(a, i + 1).as("left"),
+              element_at(a, i + 2).as("right"),
+              f.as("cnt"))))
+            .otherwise(array().cast("array<struct<left:string,right:string,cnt:bigint>>"))
+        val delta = affected
+          .select(col("freq"), split(col("sym"), " ").as("oa"),
+            split(regexp_replace(col("sym"), pat, repl), " ").as("na"))
+          .select(explode(concat(
+            pairStructs(col("oa"), -col("freq")),
+            pairStructs(col("na"), col("freq")))).as("p"))
+          .select(col("p.left").as("left"), col("p.right").as("right"), col("p.cnt").as("cnt"))
         // LAZY checkpoints: still truncate lineage (round k's plans read
         // round k−1's stored blocks, never a replay of merges 1..k−1), but
         // materialize inside the next round's first action instead of as
         // their own jobs — and the final round's states, which nothing
         // reads, never materialize at all (~2 jobs/round saved at fixture
         // scale where job launch dominates)
-        pairCounts = pairCounts.union(delta)
+        pairCounts = pairCounts.unionByName(delta)
           .groupBy("left", "right").agg(sum("cnt").as("cnt"))
           .filter(col("cnt") > 0)
           .pinLazy()
+        // conditional re-encode: rows without the raw substring cannot
+        // match the anchored regex — skip the regex scan on them
         cur = cur
           .select(col("freq"),
-            regexp_replace(col("sym"), pat, repl).as("sym"))
+            when(col("sym").contains(lr), regexp_replace(col("sym"), pat, repl))
+              .otherwise(col("sym")).as("sym"))
           .pinLazy()
         rank += 1
       }
