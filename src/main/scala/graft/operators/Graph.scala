@@ -64,11 +64,18 @@ object Graph {
     // re-derived the same keys a second time (r15 optimization round).
     val deg = sym.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
       .pinLazy()
-    val nodes = deg.select("node")
     val n = deg.count()
     require(n > 0, "pageRank needs at least one edge")
+    // Repartitioned + sorted by the per-iteration join key BEFORE the one
+    // pin (LogicalRDD preserves outputPartitioning/ordering), so the
+    // static |E|-mass side never re-shuffles across the 10 contribution
+    // joins — only the small rank table moves per iteration (guide §2.4,
+    // the CC loop's rule).
     val weightedEdges = sym.join(deg.withColumnRenamed("node", "a"), "a")
-      .select(col("a"), col("b"), col("deg")).pinLazy()
+      .select(col("a"), col("b"), col("deg"))
+      .repartition(col("a"))
+      .sortWithinPartitions("a")
+      .pinLazy()
     // teleport (1−d)/n in fixed point: (100−pct)·10¹⁶ is exact (10¹⁸/100),
     // then one truncating division by n — mirrored verbatim in the oracle
     val teleport = (100L - dampingPct) * (FpScale / 100L) / n
@@ -76,17 +83,22 @@ object Graph {
     // LAZY: the init has exactly one consumer (iteration 1's contribution
     // join), so its blocks land inside the final action like every other
     // iteration's — an eager pin here was one more driver-synchronized job
-    var ranks = nodes.withColumn("s", lit(FpScale / n))
+    var ranks = deg.select("node").withColumn("s", lit(FpScale / n))
       .pinLazy()
     for (_ <- 1 to iterations) {
-      val contribs = weightedEdges
+      // The symmetrized graph gives every node degree ≥ 1 in BOTH
+      // directions, so the destination key set of `contribs` is exactly
+      // the node set — the former per-iteration `nodes` LEFT join +
+      // COALESCE was belt-and-braces that cost one extra join + exchange
+      // per iteration; the teleport-plus-damped map applies directly to
+      // the aggregation output (r15 opt round, results bit-identical —
+      // gr1's fixed-point oracle re-checks every rank).
+      ranks = weightedEdges
         .join(ranks.withColumnRenamed("node", "a"), "a")
         .select(col("b").as("node"), expr("s div deg").as("c"))
         .groupBy("node").agg(sum("c").as("inflow"))
-      ranks = nodes
-        .join(contribs, Seq("node"), "left")
         .select(col("node"),
-          expr(s"$teleport + (CAST($dampingPct AS DECIMAL(38,0)) * COALESCE(inflow, 0)) div 100")
+          expr(s"$teleport + (CAST($dampingPct AS DECIMAL(38,0)) * inflow) div 100")
             .as("s"))
         // LAZY: the Catalyst plan is severed per iteration either way (the
         // checkpoint is a LogicalRDD, so analysis cost stays O(1) per
