@@ -168,9 +168,18 @@ object Pipeline {
     * narrow md5 map as pp2 — a function of doc_id, so NO join against the
     * split relation and no new shuffle beyond dd3's own: at 100 TB the
     * audit costs exactly the near-dup pass it composes. Both inputs are
-    * oracle-exact, so the leak list is hash-checked end to end. */
+    * oracle-exact, so the leak list is hash-checked end to end.
+    *
+    * The pair list is PINNED before the endpoint-split filter (r15 opt
+    * round): left lazy, Catalyst pushes the two-md5 predicate through
+    * dd3's pair aggregation onto the token equi-join output — two md5
+    * evaluations per JOINED TOKEN ROW (Σ df² rows) instead of per
+    * near-dup pair (measured 4.7 s vs dd3's own 1.6 s at sf0.1; guide
+    * §7.2 "duplicated UDF evaluation" — same trap, built-in edition).
+    * The pin severs the plan, so the split map runs over the
+    * materialized (small by construction) pair list only. */
   def splitLeakage(s: SparkSession, d: String): DataFrame =
-    Dedup.jaccardPairs(s, d)
+    Dedup.jaccardPairs(s, d).pinLazy()
       .withColumn("split_a", splitOf(col("id_a")))
       .withColumn("split_b", splitOf(col("id_b")))
       .filter(col("split_a") =!= col("split_b"))

@@ -59,7 +59,7 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "dd13_quality_canonical" -> 7, // dd3 pair derivation + CC tail + quality join + argmax agg + sort
     "pp12_token_budget" -> 5,      // budget agg + doc-granular two-pass prefix (stats, pid window, masses, offsets) + sort
     "ev19_time_weighted_avg" -> 2, // ONE user-keyed window feeding the agg + sort
-    "pp13_split_leakage" -> 5,     // dd3 pair derivation (4) + sort; split is a narrow map per endpoint
+    "pp13_split_leakage" -> 5,     // r15: pair list pinned (split filter must not push into dd3's token join), so the visible plan is split-map + sort over the LogicalRDD — budget kept at the pre-pin 5 as headroom
     "tx6_vocabulary" -> 4,         // count agg + rank-range repartition + count-offsets + sort (post-ckpt visible plan)
     "dd12_dup_clusters_exact" -> 7, // CC label join-backs + size agg + sort over the checkpointed dd3 edges
     "q24_approx_count_distinct" -> 5, // r08: one register agg PER branch (fused-long-key fast path; each combines to ≤groups×512 rows map-side, so both exchanges move register tables, not rows) + estimator agg + pivot agg + sort
