@@ -72,6 +72,9 @@ object Dedup {
     // call); checkpoint blocks are GC-reclaimed once the query's plan is
     // dropped. Materializing once serves the three consumers (self-join a/b
     // + sizes) without re-deriving the scan+split+explode per branch.
+    // (Probed r15 opt round: repartitioning by the join key before the pin
+    // buys nothing — a localCheckpoint scans back as UnknownPartitioning
+    // on this Spark, so downstream joins re-exchange regardless.)
     val toks = tokens(docs).pinLazy()
     val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // pair-join input: df-capped when requested; sizes above stay exact
@@ -593,12 +596,6 @@ object Dedup {
     *    label'(u) = min(label(v) : v ∈ N(u) ∪ {u}) — the former per-hop
     *    left-join + `least` fold (2 joins, 3 exchanges per hop) collapses
     *    to 1 join + 1 partial-aggregated exchange (guide §2.4).
-    *  - The edge relation is REPARTITIONED BY THE JOIN KEY and sorted
-    *    before its one pin, so every hop's join reuses that partitioning
-    *    (LogicalRDD preserves outputPartitioning/ordering): the static
-    *    |E|-mass side never re-shuffles — only the small label table moves
-    *    per hop (guide §2.4 "two operations keyed the same way share one
-    *    exchange" / the bucketed-table pattern).
     *  - Each hop except a batch's last runs a HASH-TO-MIN exchange over
     *    its result (Rastogi et al., "Finding Connected Components in
     *    Map-Reduce in Logarithmic Rounds"): every node additionally
@@ -636,15 +633,14 @@ object Dedup {
     * mass — min-aggregation keeps results identical. */
   def connectedComponents(pairs: DataFrame, propagationRounds: Int = 20): DataFrame = {
     val edges = pairs.toDF("id_a", "id_b")
-    // symmetric edges + self-edges, partitioned+sorted by the hop join key
-    // ONCE before the single |E|-mass pin; self-edge duplicates (a node in
-    // k pairs contributes k self rows) are harmless under min()
+    // symmetric edges + self-edges pinned ONCE (|E|-mass); self-edge
+    // duplicates (a node in k pairs contributes k self rows) are harmless
+    // under min(). (Probed: pre-partitioning by the hop join key buys
+    // nothing — a localCheckpoint scans back as UnknownPartitioning.)
     val symPlus = edges.select(col("id_a").as("u"), col("id_b").as("v"))
       .unionByName(edges.select(col("id_b").as("u"), col("id_a").as("v")))
       .unionByName(edges.select(col("id_a").as("u"), col("id_a").as("v")))
       .unionByName(edges.select(col("id_b").as("u"), col("id_b").as("v")))
-      .repartition(col("v"))
-      .sortWithinPartitions("v")
       .pinLazy()
     // init = one hop over identity labels: min(v : v ∈ N(u) ∪ {u}) =
     // least(u, min N(u)) — the self-edges fuse the former least() in

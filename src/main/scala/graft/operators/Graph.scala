@@ -66,16 +66,8 @@ object Graph {
       .pinLazy()
     val n = deg.count()
     require(n > 0, "pageRank needs at least one edge")
-    // Repartitioned + sorted by the per-iteration join key BEFORE the one
-    // pin (LogicalRDD preserves outputPartitioning/ordering), so the
-    // static |E|-mass side never re-shuffles across the 10 contribution
-    // joins — only the small rank table moves per iteration (guide §2.4,
-    // the CC loop's rule).
     val weightedEdges = sym.join(deg.withColumnRenamed("node", "a"), "a")
-      .select(col("a"), col("b"), col("deg"))
-      .repartition(col("a"))
-      .sortWithinPartitions("a")
-      .pinLazy()
+      .select(col("a"), col("b"), col("deg")).pinLazy()
     // teleport (1−d)/n in fixed point: (100−pct)·10¹⁶ is exact (10¹⁸/100),
     // then one truncating division by n — mirrored verbatim in the oracle
     val teleport = (100L - dampingPct) * (FpScale / 100L) / n
