@@ -433,7 +433,12 @@ object Similarity {
     val c = e.select(col("vec_id").as("c_id"), col("embedding").as("cv"),
       normFast(col("embedding")).as("cn"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
-    candidates.join(broadcast(q), "q_id").join(c, "c_id")
+    // candidate side BROADCAST into the corpus join (r15 opt round): the
+    // candidate list is |Q|·shortlist rows by construction — without the
+    // hint the planner has no stats on the derived side and sort-merges,
+    // shuffling the ENTIRE raw-vector corpus to meet a few hundred rows
+    // (guide §3.1: hint when you know a side is small and estimates don't)
+    broadcast(candidates.join(broadcast(q), "q_id")).join(c, "c_id")
       .withColumn("cos",
         round(dotFast(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
       .withColumn("rk", row_number().over(w).cast("long"))
