@@ -197,13 +197,57 @@ class DedupSpec extends AnyFunSuite {
 
   test("connected components: chain deeper than the propagation cap falls back and converges") {
     import spark.implicits._
-    // a 0-1-2-…-60 chain has diameter 60 > the 20-round propagation cap, so
-    // this exercises the large-star/small-star fallback end to end
+    // a 0-1-2-…-60 chain has diameter 60 > the 20-round propagation cap —
+    // under r14's plain hops this exercised the large-star/small-star
+    // fallback; with the r15 hash-to-min steps propagation itself covers
+    // it (doubling), so the labels must come out identical either way
     val chain = (0L until 60L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val labels = Dedup.connectedComponents(chain).collect()
       .map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
     assert(labels.size == 61)
     labels.foreach { case (n, l) => assert(l == 0L, s"node $n labelled $l") }
+  }
+
+  test("hash-to-min propagation converges a 300-deep chain inside the 20-step cap") {
+    import spark.implicits._
+    // r15 focused test for the O(log d) contract: 300 ≫ 20, so plain
+    // per-hop propagation could never converge inside the cap — only the
+    // push/pull doubling can. Min id placed at the FAR end (node 300 is
+    // relabeled 0 via reversal) so information must actually traverse.
+    val chain = (0L until 300L).map(i => (300L - i, 300L - i - 1)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(chain).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
+    assert(labels.size == 301)
+    labels.foreach { case (n, l) => assert(l == 0L, s"node $n labelled $l") }
+  }
+
+  test("hash-to-min propagation agrees with union-find on random multi-component graphs") {
+    import spark.implicits._
+    // r15 focused test: the push (h(u) → old pointer target) and pull
+    // (h(h(u))) legs are new logic on the PROPAGATION path (the default-
+    // rounds path; the fallback has its own test below) — pin them
+    // against union-find ground truth across seeds
+    for (seed <- Seq(3, 11)) {
+      val rng = new scala.util.Random(seed)
+      val pairs = Seq.fill(150)((rng.nextInt(120).toLong, rng.nextInt(120).toLong))
+        .filter { case (a, b) => a != b }
+      val got = Dedup.connectedComponents(pairs.toDF("id_a", "id_b"))
+        .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val truth = parent.keys.map(x => x -> find(x)).toMap
+      assert(got.keySet == truth.keySet, s"seed $seed: node sets differ")
+      truth.foreach { case (n, r) =>
+        assert(got(n) == r, s"seed $seed node $n: got ${got(n)}, want $r")
+      }
+    }
   }
 
   test("large-star/small-star agrees with union-find on a random multi-component graph") {
