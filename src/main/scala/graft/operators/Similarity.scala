@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Ckpt.PinOps
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, GraftShim, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -39,6 +39,21 @@ object Similarity {
 
   private[graft] val Dim = 64
   private[graft] val LshBits = 6
+
+  /** The Lloyd/PQ nearest-cell assignment as ONE stable-shaped codegen
+    * kernel ([[graft.functions.PqArgminCells]]) instead of per-centroid
+    * literal dot expressions. Bit-identical argmin (the kernel's scaladoc
+    * carries the equivalence argument; SimilaritySpec asserts it
+    * element-wise against the literal composition), but the codebook rides
+    * a runtime reference object, so the generated source — and its janino
+    * compilation — is shared across training iterations and the corpus
+    * encode rather than recompiled per iteration (r16 optimization round). */
+  private def cellsFast(
+      books: Array[Array[Array[Double]]], v: Column,
+      sub: Int, strictLen: Boolean): Column =
+    GraftShim.column(graft.functions.PqArgminCells(
+      GraftShim.expression(v),
+      books.map(_.map(_.toVector).toVector).toVector, sub, strictLen))
 
   /** Exact top-k neighbors for query vectors (vec_id < 10), ranked on
     * rounded cosine with id tie-break for cross-engine determinism. */
@@ -163,9 +178,6 @@ object Similarity {
           (lit(c.map(x => x * x).sum) - lit(2.0) * dotFast(v, centLit(c))).as("d"),
           lit(i).as("cell"))
       }
-    def cellOf(cents: Array[Array[Double]], v: Column): Column =
-      array_min(array(distCells(cents, v): _*)).getField("cell")
-
     // seeds: the k lowest vec_ids actually present (not `vec_id < k`, which
     // silently under-seeds a corpus with sparse or shifted ids)
     var cents: Array[Array[Double]] = e.orderBy("vec_id").limit(k)
@@ -175,8 +187,12 @@ object Similarity {
     // cell expression with an unhelpful analysis error
     require(cents.nonEmpty, "ivfKMeansTopK needs a non-empty embeddings corpus")
     for (_ <- 0 until iters) {
+      // stable-shaped assignment kernel (see cellsFast): whole-vector dot
+      // against 64-wide centroids, so validity is n == Dim (strictLen) —
+      // the literal form's dot length-mismatch semantics
       val means = e
-        .withColumn("cell", cellOf(cents, col("embedding")))
+        .withColumn("cell",
+          element_at(cellsFast(Array(cents), col("embedding"), Dim, strictLen = true), 1))
         .select(col("cell"), posexplode(col("embedding")))
         .toDF("cell", "pos", "x")
         // scaled-integer accumulation, not avg(float): quantize each
@@ -209,7 +225,10 @@ object Similarity {
     }
 
     val c = e
-      .withColumn("cell", cellOf(cents, col("embedding")))
+      // same kernel as training: identical generated source → the corpus
+      // assignment reuses the training pass's compiled stage
+      .withColumn("cell",
+        element_at(cellsFast(Array(cents), col("embedding"), Dim, strictLen = true), 1))
       .select(col("vec_id").as("c_id"), col("embedding").as("cv"), col("cell"),
         normFast(col("embedding")).as("cn"))
     val q = e.filter(col("vec_id") < 10)
@@ -326,13 +345,6 @@ object Similarity {
       .pinLazy() // reused: training passes, encode, rescore
     def subvec(v: Column, j: Int): Column = slice(v, j * sub + 1, sub)
     def centLit(c: Array[Double]): Column = array(c.map(x => lit(x.toFloat)): _*)
-    // argmin over the subspace's centroids, ties to the lower cell id
-    def cellOf(books: Array[Array[Array[Double]]], j: Int, v: Column): Column =
-      array_min(array(books(j).zipWithIndex.map { case (c, i) =>
-        struct(
-          (lit(c.map(x => x * x).sum) - lit(2.0) * dotFast(subvec(v, j), centLit(c))).as("dd"),
-          lit(i).as("cell"))
-      }: _*)).getField("cell")
 
     // Codebooks train on a deterministic hash-style sample (~4k vectors,
     // all of a small corpus) — the standard PQ recipe: codebook quality
@@ -352,12 +364,15 @@ object Similarity {
     var books: Array[Array[Array[Double]]] =
       Array.tabulate(m, kEff)((j, i) => seedRows(i).slice(j * sub, (j + 1) * sub))
     for (_ <- 0 until iters) {
-      val cells = array((0 until m).map(j => cellOf(books, j, col("embedding"))): _*)
+      // all-subspace assignment in the stable-shaped kernel: one compiled
+      // stage shared by every iteration AND the final encode (cellsFast)
+      val cells = cellsFast(books, col("embedding"), sub, strictLen = false)
       // assignments MATERIALIZE before the dimension explode: left inline,
-      // CollapseProject folds the 128-dot `cells` expression into the
+      // CollapseProject folds the all-subspace `cells` kernel into the
       // post-explode projection and re-evaluates it per exploded dimension
-      // (64× per vector — measured 31 s vs 1.4 s per pass at sf0.1; the
-      // same re-evaluation trap as TextAnalysis.bigramStream's re-split)
+      // (64× per vector — measured 31 s vs 1.4 s per pass at sf0.1 on the
+      // old literal form; the same re-evaluation trap as
+      // TextAnalysis.bigramStream's re-split)
       val assigned = train
         .select(col("embedding"), cells.as("cells"))
         .pinLazy() // severs the plan; materializes in the collect below
@@ -392,7 +407,7 @@ object Similarity {
     // materialized so the candidate join starts from stored codes, not a
     // re-encode under the join
     val codes = e.select(col("vec_id").as("c_id"),
-      array((0 until m).map(j => cellOf(books, j, col("embedding"))): _*).as("codes"))
+      cellsFast(books, col("embedding"), sub, strictLen = false).as("codes"))
       .pinLazy() // severed plan; blocks land on the first scan
     // centroid squared-norm tables (query-independent literals)
     val normLut: Seq[Column] =

@@ -43,6 +43,70 @@ class SimilaritySpec extends AnyFunSuite {
     assert(vals(1).isNullAt(1) && vals(2).isNullAt(1) && vals(3).isNullAt(1))
   }
 
+  // the literal composition PqArgminCells replaced (r16): per subspace j,
+  // argmin over struct(normLit − 2.0·dotFast(subvec, centLit), cellIdx)
+  private def literalCells(
+      books: Array[Array[Array[Double]]], v: org.apache.spark.sql.Column,
+      sub: Int, wholeVector: Boolean): org.apache.spark.sql.Column = {
+    def centLit(c: Array[Double]) = array(c.map(x => lit(x.toFloat)): _*)
+    def subvec(j: Int) = if (wholeVector) v else slice(v, j * sub + 1, sub)
+    array(books.indices.map { j =>
+      array_min(array(books(j).zipWithIndex.map { case (c, i) =>
+        struct(
+          (lit(c.map(x => x * x).sum) - lit(2.0) *
+            VectorFunctions.dotFast(subvec(j), centLit(c))).as("dd"),
+          lit(i).as("cell"))
+      }: _*)).getField("cell")
+    }: _*)
+  }
+
+  private def kernelCells(
+      books: Array[Array[Array[Double]]], v: org.apache.spark.sql.Column,
+      sub: Int, strictLen: Boolean): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftShim.column(graft.functions.PqArgminCells(
+      org.apache.spark.sql.GraftShim.expression(v),
+      books.map(_.map(_.toVector).toVector).toVector, sub, strictLen))
+
+  test("PqArgminCells kernel ≡ literal argmin composition on the embeddings corpus (PQ shape)") {
+    // deterministic pseudo-codebook with ties and negatives in range
+    val rnd = new scala.util.Random(42)
+    val books = Array.tabulate(8, 16, 8)((_, _, _) => (rnd.nextDouble() - 0.5) * 2)
+    books(0)(1) = books(0)(0).clone() // duplicate centroid: argmin tie → lower cell
+    val e = Tables(spark, sf, "embeddings")
+    val disagree = e.select(
+      (kernelCells(books, col("embedding"), 8, strictLen = false) <=>
+        literalCells(books, col("embedding"), 8, wholeVector = false)).as("eq"))
+      .filter(!col("eq"))
+    assert(disagree.count() == 0)
+  }
+
+  test("PqArgminCells kernel ≡ literal argmin on hostile inputs (short, null-element, null, NaN)") {
+    val books = Array(Array(Array(1.0, -2.0), Array(1.0, -2.0), Array(0.5, 0.25)))
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  (0, array(cast(1.0 as float), cast(2.0 as float))),
+        |  (1, array(cast(1.0 as float))),
+        |  (2, array(cast(1.0 as float), cast(null as float))),
+        |  (3, cast(null as array<float>)),
+        |  (4, array(cast('NaN' as float), cast(2.0 as float))),
+        |  (5, array(cast(1.0 as float), cast(2.0 as float), cast(9.0 as float)))
+        |AS t(id, v)""".stripMargin)
+    // PQ (slice) semantics: extra elements beyond m·sub are ignored by the
+    // slice, short/null-element subvectors fall back to cell 0
+    val dPq = df.select(
+      (kernelCells(books, col("v"), 2, strictLen = false) <=>
+        literalCells(books, col("v"), 2, wholeVector = false)).as("eq"))
+      .filter(!col("eq"))
+    assert(dPq.count() == 0)
+    // IVF (whole-vector) semantics: any length ≠ sub is a dot mismatch →
+    // null dd for every cell → cell 0 in both forms
+    val dIvf = df.select(
+      (kernelCells(books, col("v"), 2, strictLen = true) <=>
+        literalCells(books, col("v"), 2, wholeVector = true)).as("eq"))
+      .filter(!col("eq"))
+    assert(dIvf.count() == 0)
+  }
+
   test("brute-force topk returns exactly 5 ranked neighbors per query") {
     val out = Similarity.bruteForceTopK(spark, sf).collect()
     assert(out.length == 50)
