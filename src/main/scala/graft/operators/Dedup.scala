@@ -76,7 +76,9 @@ object Dedup {
     // buys nothing — a localCheckpoint scans back as UnknownPartitioning
     // on this Spark, so downstream joins re-exchange regardless.)
     val toks = tokens(docs).pinLazy()
-    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // pinned for the same reason as verifiedJaccard's sizes: joined back
+    // twice (na, nb) — unpinned, the size aggregation planned twice (§2.4)
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n")).pinLazy()
     // pair-join input: df-capped when requested; sizes above stay exact
     val joinToks =
       if (dfCap == Long.MaxValue) toks
@@ -135,8 +137,12 @@ object Dedup {
       .select(col("doc_id"), col("w"),
         (col("tf") * log(lit(n.toDouble) / col("df"))).as("wt"))
       .pinLazy() // consumed by norms and twice by the pair join
+    // pinned: joined back TWICE (na, nb) — unpinned, each join-back planned
+    // its own Exchange+HashAggregate over the full wt relation (r16 plan
+    // audit), i.e. the norm aggregation ran twice at corpus scale (§2.4)
     val nrm = wt.groupBy("doc_id")
       .agg(sqrt(sum((col("wt") * col("wt")).cast("decimal(28,10)")).cast("double")).as("nrm"))
+      .pinLazy()
     // pair-join input: df-capped when requested; norms above stay exact
     val joinWt =
       if (dfCap == Long.MaxValue) wt
