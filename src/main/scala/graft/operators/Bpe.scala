@@ -365,12 +365,21 @@ object Bpe {
         // delta = post-merge pairs − pre-merge pairs of the words that
         // contain the winning pair; everything else is untouched, so the
         // round's shuffle carries affected words only, never the corpus.
-        // contains() is an exact prefilter for the anchored regex (any
-        // regex match contains the raw "l r" substring), so the rlike
-        // runs only on candidate rows — a codegen'd memcmp scan instead
-        // of a regex scan over the whole word table (guide §1.2 per-task
-        // work).
-        val affected = cur.filter(col("sym").contains(lr) && col("sym").rlike(pat))
+        // contains() is an exact prefilter for the anchored match (any
+        // boundary match contains the raw "l r" substring), so the padded
+        // test runs only on candidate rows. The boundary test itself is a
+        // PADDED CONTAINS, not the anchored rlike: "(?<=^| )Q(?= |$)"
+        // matches sym exactly when " "+sym+" " contains " "+lr+" " (the
+        // lookarounds assert space-or-edge on both sides, which padding
+        // turns into literal spaces) — same rows, but a codegen'd memcmp
+        // instead of a regex, and CRUCIALLY source-stable: Spark inlines a
+        // foldable rlike PATTERN into the generated source, so the old
+        // form recompiled this stage every round (12 janino compilations
+        // per run, measured via CodegenProbe), while string `contains`
+        // needles ride the reference array and compile once (r16, the
+        // PqArgminCells lesson applied to the round loop).
+        val affected = cur.filter(col("sym").contains(lr) &&
+          concat(lit(" "), col("sym"), lit(" ")).contains(" " + lr + " "))
         // ONE explode emits retractions (−freq over the old pairs) and
         // additions (+freq over the new pairs) together, and its
         // aggregation is FOLDED into the carried-table groupBy below —
