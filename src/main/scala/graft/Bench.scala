@@ -96,7 +96,8 @@ object Bench {
       sfDir: String,
       calibEnd: Double = -1.0,
       budget: Int = 1800,
-      hostScale: Double = -1.0): String = {
+      hostScale: Double = -1.0,
+      stFamilySec: Double = -1.0): String = {
     def fmt2(v: Double) = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
     def fmt1(v: Double) = BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
     val qsJson = queries.map { case (k, v) => "\"" + k + "\":" + fmt1(v) }
@@ -134,7 +135,16 @@ object Bench {
     def line(q: String, err: String, rt: String, js: String, fam: String,
              extras: String) =
       s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","calib":${fmt2(calib)}$extras$q$err$rt$js$fam$rre,"sf":"$sfDir"}"""
-    val famFlag = if (stFam) ""","fam":1""" else ""
+    // st_family (r16, verdict item 8): the family's concurrent wall-clock
+    // under its OWN key, so PERF consumers reading the per-query map do not
+    // have to reconstruct it from st1 (whose row doubles as the launch
+    // carrier) — ADDITIVE only: every stN entry stays exactly as measured
+    // (the driver contract forbids removing or renaming query entries),
+    // and the value is NOT added to the total (st1 already carries it).
+    // Degrades with the fam flag (same information class, same tier).
+    val stFamSec =
+      if (stFam && stFamilySec >= 0) s""","st_family":${fmt1(stFamilySec)}""" else ""
+    val famFlag = if (stFam) ""","fam":1""" + stFamSec else ""
     val tiers = Seq(
       line(qsJson, errJson, rtMap, jsArr, famFlag, ce + hs),
       line(qsJson, errJson, rtMap, jsArr, "", ce + hs),
@@ -400,7 +410,11 @@ object Bench {
       calibEnd = calibProbe(),
       // emit the APPLIED allowance only — a failed start probe means the
       // references ran unscaled, and the line already shows calib:-1
-      hostScale = if (calibSec > 0) hostScale else -1.0))
+      hostScale = if (calibSec > 0) hostScale else -1.0,
+      // the family wall-clock is st1's (re-timed) reading — the launch row
+      stFamilySec = results.collectFirst {
+        case (n, v) if code(n) == "st1" && v >= 0 => v
+      }.getOrElse(-1.0)))
     spark.stop()
   }
 }

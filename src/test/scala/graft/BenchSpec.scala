@@ -126,6 +126,22 @@ class BenchSpec extends AnyFunSuite {
       "every registry code must appear in the full-tier queries map")
   }
 
+  test("renderLine: st_family key rides with the fam flag and never inflates the total") {
+    val qs = registryCodes.map(_ -> 9.9)
+    val line = Bench.renderLine(213.71, 1.30, qs, Seq.empty, Seq.empty, Nil,
+      rereadErrors = 0, stFam = true, sfDir = "/root/testdata/sf0.1",
+      calibEnd = 2.17, hostScale = 1.18, stFamilySec = 12.3)
+    assert(line.length <= 1800 && parseable(line))
+    assert(line.contains("\"fam\":1,\"st_family\":12.3"),
+      "the family wall-clock must be readable under its own key (r16)")
+    // absent without the fam flag (solo runs) or with no st1 reading
+    val solo = Bench.renderLine(3.0, 1.2, qs.take(3), Seq.empty, Seq.empty, Nil,
+      rereadErrors = 0, stFam = false, sfDir = "x", stFamilySec = 12.3)
+    val noSt1 = Bench.renderLine(3.0, 1.2, qs.take(3), Seq.empty, Seq.empty, Nil,
+      rereadErrors = 0, stFam = true, sfDir = "x", stFamilySec = -1.0)
+    assert(!solo.contains("st_family") && !noSt1.contains("st_family"))
+  }
+
   test("renderLine: overflow degrades retimed/suspects to counts BEFORE dropping queries") {
     // stress-shaped values (3-digit seconds) + oversized evidence: the
     // full tier cannot fit, but the queries map must survive via tiering

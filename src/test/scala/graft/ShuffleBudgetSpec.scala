@@ -59,7 +59,10 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "dd13_quality_canonical" -> 7, // dd3 pair derivation + CC tail + quality join + argmax agg + sort
     "pp12_token_budget" -> 5,      // budget agg + doc-granular two-pass prefix (stats, pid window, masses, offsets) + sort
     "ev19_time_weighted_avg" -> 2, // ONE user-keyed window feeding the agg + sort
-    "pp13_split_leakage" -> 5,     // r15: pair list pinned (split filter must not push into dd3's token join), so the visible plan is split-map + sort over the LogicalRDD — budget kept at the pre-pin 5 as headroom
+    "pp13_split_leakage" -> 2,     // r15 pin: visible plan is split-map + sort over the LogicalRDD (achieved 1) — r16 ratchet to achieved+1 so a re-inflation to the pre-pin 5-exchange shape fails here
+    "tx8_tfidf_topterms" -> 4,     // r15 TF pin: df agg + doc agg + sort over the pinned TF table (achieved 3, +1 headroom)
+    "tx9_token_surprisal" -> 6,    // r15 TF pin: achieved 5 (two aggs + global total + join-back + sort), +1 headroom
+    "tx10_bigram_crossent" -> 8,   // r15 shared-bigram pin: achieved 7, +1 headroom
     "tx6_vocabulary" -> 4,         // count agg + rank-range repartition + count-offsets + sort (post-ckpt visible plan)
     "dd12_dup_clusters_exact" -> 7, // CC label join-backs + size agg + sort over the checkpointed dd3 edges
     "q24_approx_count_distinct" -> 5, // r08: one register agg PER branch (fused-long-key fast path; each combines to ≤groups×512 rows map-side, so both exchanges move register tables, not rows) + estimator agg + pivot agg + sort
