@@ -113,9 +113,11 @@ class BenchSpec extends AnyFunSuite {
     val js = registryCodes.slice(10, 20).toList
     val line = Bench.renderLine(213.71, 1.30, qs, Seq.empty, rt, js,
       rereadErrors = 2, stFam = true, sfDir = "/root/testdata/sf0.1",
-      calibEnd = 2.17, hostScale = 1.18)
+      calibEnd = 2.17, hostScale = 1.18, stFamilySec = 68.0)
     assert(line.length <= 1800, s"full-evidence line is ${line.length} chars")
     assert(parseable(line))
+    assert(line.contains("\"st_family\":68.0"),
+      "the r16 family key must survive the adversarial full tier")
     assert(line.contains("\"queries\":{") && line.contains("\"calib\":1.30"))
     assert(line.contains("\"calib_end\":2.17"))
     assert(line.contains("\"host_scale\":1.18"),
