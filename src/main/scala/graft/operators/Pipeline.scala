@@ -191,7 +191,16 @@ object Pipeline {
     * covered and short docs yield exactly one chunk. A narrow generator
     * over the token array (rows × chunks/doc, no shuffle); the chunk text
     * is emitted as its md5 so the output stays compact. */
-  def chunkDocuments(s: SparkSession, d: String, chunk: Int = 32, stride: Int = 24): DataFrame = {
+  def chunkDocuments(s: SparkSession, d: String, chunk: Int = 32, stride: Int = 24): DataFrame =
+    chunkStream(s, d, chunk, stride).orderBy("doc_id", "chunk_id")
+
+  /** [[chunkDocuments]] WITHOUT the registered query's output ordering —
+    * the composable core. Consumers that re-aggregate (pp11) must build on
+    * this form: pinning or aggregating over the ordered wrapper would
+    * execute its global sort as a real range-exchange for nothing (the
+    * optimizer only elides the sort when it can see the whole plan, which
+    * a checkpoint boundary hides). */
+  private def chunkStream(s: SparkSession, d: String, chunk: Int, stride: Int): DataFrame = {
     val n = size(col("a"))
     val lastChunk = greatest(
       ceil((n - chunk).cast("double") / stride).cast("int"), lit(0))
@@ -204,7 +213,6 @@ object Pipeline {
         size(slice(col("a"), col("ci") * stride + 1, lit(chunk))).cast("long").as("n_chunk_tokens"),
         md5(array_join(slice(col("a"), col("ci") * stride + 1, lit(chunk)), " ").cast("binary"))
           .as("chunk_fp"))
-      .orderBy("doc_id", "chunk_id")
   }
 
   /** Cross-document boilerplate detection (pp11): per document, the
@@ -218,7 +226,14 @@ object Pipeline {
     * set is small relative to the chunk stream — the Bloom-prefilter trick
     * bf1 uses applies verbatim if it ever is not. */
   def boilerplateFraction(s: SparkSession, d: String): DataFrame = {
-    val chunks = chunkDocuments(s, d).select("doc_id", "chunk_fp")
+    // pinned: consumed TWICE (the cross-doc aggregation and the join's
+    // probe side) — unpinned, the plan scanned + chunked + md5'd the whole
+    // corpus once per branch (r16 plan audit: 2 parquet scans + 2
+    // Generates). The pinned relation is (doc_id, 16-byte fp) — compact by
+    // construction — so one chunking pass feeds both branches (§2.4).
+    val chunks = chunkStream(s, d, chunk = 32, stride = 24)
+      .select("doc_id", "chunk_fp")
+      .pinLazy()
     val crossDoc = chunks.groupBy("chunk_fp")
       .agg(countDistinct("doc_id").as("nd"))
       .filter(col("nd") > 1)

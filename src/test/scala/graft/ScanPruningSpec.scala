@@ -69,9 +69,13 @@ class ScanPruningSpec extends AnyFunSuite {
     "tx10_bigram_crossent",
     "hh1_heavy_hitters",
     // pipeline: quality/token-count/shingle stages
+    // pp11 left this list in the r16 optimization round: its chunk stream
+    // is now lazily pinned once (it fed two branches, each re-scanning +
+    // re-chunking the corpus), so the text scan lives under the severed
+    // LogicalRDD prefix — the visible plan reads stored (doc_id, fp) rows
     "pp1_clean_corpus", "pp3_chunk_documents", "pp4_pack_sequences",
     "pp5_outlier_filter", "pp8_repetition_filter",
-    "pp10_curriculum_shards", "pp11_boilerplate", "bf1_bloom_decontaminate",
+    "pp10_curriculum_shards", "bf1_bloom_decontaminate",
     // multimodal: text bytes are the deterministic payload substrate
     "mm1_media_features", "mm2_frame_sample", "mm3_binary_dedup",
     "mm4_media_neardup", "mm5_resize_audit")
