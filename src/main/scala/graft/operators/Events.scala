@@ -74,15 +74,23 @@ object Events {
     * corpus-sized work is the same single aggregation as [[tumbling]]. */
   def gapFill(s: SparkSession, d: String): DataFrame = {
     val e = t(s, d, "events")
+    // ONE corpus scan (r16): the grid's bounds and type set both derive
+    // from the hourly aggregate itself — min/max of the truncated hours
+    // equal the truncation of min/max ts (date_trunc is monotone), and the
+    // aggregate's key set IS the distinct event-type set (every row lands
+    // in some group, including null-keyed ones). The former standalone
+    // range/distinct branches each re-scanned the full events table for
+    // metadata the aggregate already carries (3 scans → 1, §2.4). Pinned:
+    // the hours×types relation feeds the bounds agg, the type set and the
+    // outer join — metadata scale at any SF.
     val actual = e
       .groupBy(date_trunc("hour", col("ts")).as("w_start"), col("event_type"))
       .agg(count(lit(1)).as("cnt"))
-    val range = e.agg(
-      date_trunc("hour", min(col("ts"))).as("lo"),
-      date_trunc("hour", max(col("ts"))).as("hi"))
+      .pinLazy()
+    val range = actual.agg(min(col("w_start")).as("lo"), max(col("w_start")).as("hi"))
     val grid = range
       .select(explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR"))).as("w_start"))
-      .crossJoin(e.select("event_type").distinct())
+      .crossJoin(actual.select("event_type").distinct())
     grid.join(actual, Seq("w_start", "event_type"), "left")
       .select(
         col("w_start"), col("event_type"),

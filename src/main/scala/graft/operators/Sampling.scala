@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.Ckpt.PinOps
 import graft.Tables
 
 /** Deterministic sampling operators for corpus construction.
@@ -71,7 +72,12 @@ object Sampling {
     * One stratum-keyed window shuffle; language stats travel broadcast. */
   def temperatureResample(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents").select(col("doc_id"), col("lang"))
-    val counts = docs.groupBy("lang").agg(count(lit(1)).as("nl"))
+    // pinned: consumed twice (the normalizer aggregate and the target
+    // join) — unpinned, each consumer re-planned the full corpus scan +
+    // language count (r16 plan audit: documents scanned 3×, now 2× — the
+    // remaining pair is the inherent stats-then-data two-pass). The pinned
+    // relation is one row per language.
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("nl")).pinLazy()
     val tot = counts.agg(
       sum("nl").as("n"),
       sum(sqrt(col("nl").cast("double")).cast("decimal(20,12)")).as("z"))
